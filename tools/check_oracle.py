@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracles and diff values. Usage:
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+fails, passes, skips = [], 0, 0
+for name in sorted(os.listdir(outdir)):
+    path = os.path.join(outdir, name)
+    if not os.path.isdir(path):
+        continue
+    files = glob.glob(f"{path}/*.parquet")
+    got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+    if name not in oracle:
+        skips += 1
+        print(f"  [rows-only] {name}: {len(got)} rows")
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        fails.append((name, f"columns differ: spark={gcols} duck={ecols}"))
+        continue
+    g = got[gcols].sort_values(gcols).reset_index(drop=True)
+    e = exp[ecols].sort_values(ecols).reset_index(drop=True)
+    if len(g) != len(e):
+        fails.append((name, f"row count differs: spark={len(g)} duck={len(e)}"))
+        continue
+    # dtype-tolerant compare (int32 vs int64 etc.), NaN == NaN
+    import pandas as pd
+    bad = None
+    for c in gcols:
+        gs, es = g[c], e[c]
+        try:
+            eq = (gs.isna() & es.isna()) | (gs == es)
+        except Exception:
+            eq = gs.astype(str) == es.astype(str)
+        if not eq.all():
+            i = int((~eq).idxmax())
+            bad = f"col {c} row {i}: spark={gs[i]!r} duck={es[i]!r} ({int((~eq).sum())} diffs)"
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes += 1
+        print(f"  [ok] {name}: {len(g)} rows")
+
+print(f"\n{passes} ok, {skips} rows-only, {len(fails)} FAILED")
+for n, msg in fails:
+    print(f"  FAIL {n}: {msg}")
+sys.exit(1 if fails else 0)
