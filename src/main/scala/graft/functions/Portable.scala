@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable building blocks: every function here has a textually
+  * translatable DuckDB equivalent producing bit-identical results, which is
+  * what lets the approximate-dedup operators (MinHash/SimHash) be checked by
+  * the DuckDB oracle rather than rows-only.
+  *
+  * All of these compile to native Catalyst expressions (whole-stage
+  * codegen); none are Scala UDFs.
+  */
+object Portable {
+
+  /** Deterministic 60-bit hash: first 15 hex digits of md5, as a long.
+    * DuckDB: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: hash60(seed || '|' || x). */
+  def hash60(seed: Int, c: Column): Column =
+    hash60(concat_ws("|", lit(seed), c))
+
+  /** Whitespace tokens of lowercased trimmed text.
+    * DuckDB: `string_split_regex(lower(trim(x)), '\s+')`. */
+  def words(c: Column): Column =
+    split(lower(trim(c)), "\\s+")
+
+  /** Word n-gram shingles; whole text as a single shingle when there are
+    * fewer than n words (keeps short docs hashable).
+    * DuckDB: list comprehension over range(). */
+  def shingles(ws: Column, text: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+      .otherwise(array(lower(trim(text))))
+
+  /** MinHash signature component `i`: min over shingles of the seeded hash.
+    * DuckDB: `list_min([hash60(i,'|',s) for s in shingles])`. */
+  def minhash(i: Int, shingleCol: Column): Column =
+    array_min(transform(shingleCol, s => hash60(i, s)))
+
+  /** 32-bit SimHash over a pre-hashed token array `hs` (longs from
+    * [[hash60]]): bit b is set when more than half the tokens have bit b
+    * set. DuckDB: list_sum over a range() comprehension with the same
+    * `pow(2,b)` arithmetic. */
+  def simhash32(hs: Column): Column =
+    (0 until 32).map { b =>
+      // shiftright, not division: fp division of 60-bit hashes loses the
+      // low bits. The Scala-side unroll keeps the shift amount literal.
+      val ones = size(filter(hs, h => shiftright(h, b) % 2 === 1))
+      when(ones * 2 > size(hs), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Cosine similarity of two float vectors, computed in double with
+    * left-to-right accumulation — matches DuckDB `list_cosine_similarity`.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, x => x.cast("double"))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0d), (acc, v) => acc + v)
+    val (da, db) = (d(a), d(b))
+    dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Portable
+
+/** Approximate-dedup operators: MinHash+LSH banding, n-gram Jaccard, and
+  * SimHash, built entirely from native Catalyst functions over the
+  * engine-portable hash ([[graft.functions.Portable]]) so MinHash/SimHash
+  * signatures are bit-identical to the DuckDB oracle.
+  *
+  * Scale shape: signature computation is a narrow per-row map (no shuffle);
+  * candidate generation shuffles once on the LSH band key (or shingle),
+  * whose buckets stay tiny by construction — this is the standard way
+  * near-dedup survives 100 TB, versus the O(n²) all-pairs join that
+  * doesn't.
+  */
+object Dedup {
+
+  private val NumHashes = 8
+  private val Bands = 4 // 2 minhashes per band
+
+  /** doc_id + shingle array (3-word shingles, lowercased). */
+  private def withShingles(s: SparkSession, d: String): DataFrame = {
+    val ws = Portable.words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Portable.shingles(ws, col("text"), 3).as("sh"))
+  }
+
+  private def duckShingles: String =
+    """SELECT doc_id,
+      |    CASE WHEN len(words) >= 3
+      |      THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+      |            for i in range(1, len(words)-1)]
+      |      ELSE [lower(trim(text))] END AS sh
+      |  FROM (SELECT doc_id, text,
+      |      string_split_regex(lower(trim(text)), '\s+') AS words
+      |    FROM documents)""".stripMargin
+
+  private def duckHash60(e: String): String =
+    s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+
+  private def duckMinhash(i: Int): String =
+    s"list_min([${duckHash60(s"'$i|' || s")} for s in sh])"
+
+  /** MinHash LSH band signatures, one row per document. Docs agreeing on
+    * any band column are near-duplicate candidates. */
+  val qMinhashBands: Q = Q(
+    "q_minhash_bands", {
+      val mh = (0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(", ")
+      val bands = (0 until Bands).map { b =>
+        s"md5(CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR)) AS band$b"
+      }.mkString(", ")
+      s"""SELECT doc_id, $bands FROM
+         |(SELECT doc_id, $mh FROM ($duckShingles))""".stripMargin
+    }) { (s, d) =>
+    val mh = withShingles(s, d).select(
+      col("doc_id") +: (0 until NumHashes).map(i =>
+        Portable.minhash(i, col("sh")).as(s"mh$i")): _*)
+    mh.select(
+      col("doc_id") +: (0 until Bands).map { b =>
+        md5(concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
+          .as(s"band$b")
+      }: _*)
+  }
+
+  /** LSH candidate pairs: the bucket join on band keys. Empty when the
+    * corpus has no near-duplicates (the oracle agrees on empty). */
+  val qMinhashPairs: Q = Q(
+    "q_minhash_pairs", {
+      val unpivot = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS bhash FROM bands")
+        .mkString(" UNION ALL ")
+      s"""WITH sh AS ($duckShingles),
+         |mh AS (SELECT doc_id, ${(0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(", ")} FROM sh),
+         |bands AS (SELECT doc_id, ${(0 until Bands).map(b => s"md5(CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR)) AS band$b").mkString(", ")} FROM mh),
+         |long AS ($unpivot)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM long a JOIN long b
+         |  ON a.band_id = b.band_id AND a.bhash = b.bhash AND a.doc_id < b.doc_id""".stripMargin
+    }) { (s, d) =>
+    val bands = qMinhashBands.build(s, d)
+    val long = bands.selectExpr(
+      "doc_id",
+      s"stack($Bands, ${(0 until Bands).map(b => s"$b, band$b").mkString(", ")}) AS (band_id, bhash)")
+    val a = long.select(col("doc_id").as("doc_a"), col("band_id"), col("bhash"))
+    val b = long.select(col("doc_id").as("doc_b"), col("band_id"), col("bhash"))
+    a.join(b, Seq("band_id", "bhash")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard of the 20 most-similar pairs, via the scalable
+    * shingle-inverted-index join (never all-pairs). */
+  val qNgramJaccard: Q = Q(
+    "q_ngram_jaccard",
+    s"""WITH sh AS ($duckShingles),
+       |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
+       |sizes AS (SELECT doc_id, len(sh) AS sz FROM ds),
+       |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+    val ds = withShingles(s, d).select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+    val sizes = ds.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inter = inv.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("both"))
+    inter
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sa"))), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "sb"))), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("both").cast("double") / (col("sa") + col("sb") - col("both")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** 32-bit SimHash per document over distinct word tokens. */
+  val qSimhash: Q = Q(
+    "q_simhash",
+    s"""SELECT doc_id,
+       |  list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1)) > len(hs)
+       |    THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END for b in range(0, 32)]) AS simhash
+       |FROM (SELECT doc_id,
+       |    [${duckHash60("t")} for t in list_distinct(string_split_regex(lower(trim(text)), '\\s+'))] AS hs
+       |  FROM documents)""".stripMargin) { (s, d) =>
+    val toks = array_distinct(Portable.words(col("text")))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        Portable.simhash32(transform(toks, t => Portable.hash60(t))).as("simhash"))
+  }
+
+  val all: Seq[Q] = Seq(qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash)
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Portable
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * Brute-force cosine top-k is the correctness baseline: a broadcast of the
+  * (small) query set against a scan of the corpus — one pass, no shuffle of
+  * the corpus, scales linearly in corpus size. The IVF variant is the scale
+  * path: a deterministic coarse quantizer prunes the scan to the probed
+  * cells, trading recall for a ~cells/nprobe scan reduction. The LSH
+  * near-dup variant buckets by random-hyperplane sign bits so candidate
+  * pairs shuffle on a 16-bit key instead of forming O(n²) pairs.
+  */
+object Similarity {
+
+  private val K = 3
+  private val NumQueries = 5
+
+  private def cosExpr = Portable.cosine(col("q_embedding"), col("embedding"))
+
+  /** Brute-force cosine top-k: broadcast queries × corpus scan. */
+  val qKnnBrute: Q = Q(
+    "q_knn_brute",
+    s"""SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |(SELECT query_id, neighbor_id, sim, row_number() OVER
+       |   (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       | FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |       CAST(c.embedding AS DOUBLE[])) AS sim
+       |   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |   WHERE q.vec_id < $NumQueries))
+       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Per-label centroid, dimension-wise — the vector aggregate that backs
+    * IVF training. Explode-then-aggregate keeps it a plain shuffle on
+    * (label, pos) rather than driver-side vector math. */
+  val qCentroids: Q = Q(
+    "q_embed_centroids",
+    """SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)),4) AS centroid
+      |FROM embeddings, range(1, 65) t(i) GROUP BY label, i""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of 16 deterministic
+    * coarse centroids (vectors with vec_id % 97 == 0), probe the query's 4
+    * nearest cells, brute-force only within them. Rows-only oracle; the
+    * spec asserts recall against [[qKnnBrute]]. */
+  val qKnnIvf: Q = Q.noOracle("q_knn_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
+    // cell assignment: nearest centroid per vector (broadcast 16 cells)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", Portable.cosine(col("c_embedding"), col("embedding")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // queries probe their 4 nearest cells
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", Portable.cosine(col("c_embedding"), col("q_embedding")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= 4)
+      .select(col("query_id"), col("q_embedding"), col("cent_id").as("cell"))
+    // brute force within probed cells only
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Embedding near-dup via random-hyperplane LSH: 16 sign bits from
+    * deterministic pseudo-random hyperplanes bucket the corpus; the top-20
+    * most-similar bucket-mate pairs come out. Rows-only oracle; spec plants
+    * duplicates and checks they surface. */
+  val qEmbedNearDup: Q = Q.noOracle("q_embed_neardup") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    // hyperplane component r(b, k) in [-1, 1): portable-hash-derived
+    def r(b: Int) = transform(
+      sequence(lit(0), lit(63)),
+      k => Portable.hash60(concat_ws(",", lit(b), k)).cast("double") / lit(math.pow(2, 59)) - 1)
+    val sig = (0 until 16).map { b =>
+      val dot = aggregate(
+        zip_with(col("embedding"), r(b), (x, y) => x.cast("double") * y),
+        lit(0d), (acc, v) => acc + v)
+      when(dot > 0, math.pow(2, b).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    val bucketed = emb.withColumn("bucket", sig)
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", Portable.cosine(col("emb_a"), col("emb_b")))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cosine"))
+  }
+
+  val all: Seq[Q] = Seq(qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup)
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Portable
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, quality scoring, language ID, fingerprinting, exact
+  * dedup. All are per-row narrow transforms (embarrassingly parallel at
+  * 100 TB — no shuffle except the final aggregate) built from native
+  * Catalyst functions, each with a DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Corpus stats per (lang, source): doc counts, char/token averages. */
+  val qTextStats: Q = Q(
+    "q_text_stats",
+    """SELECT lang, source, count(*) AS docs,
+      |  round(avg(n_chars),4) AS avg_chars,
+      |  round(avg(len(string_split_regex(trim(text),'\s+'))),4) AS avg_tokens,
+      |  max(length(text)) AS max_len
+      |FROM documents GROUP BY lang, source""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(avg(size(split(trim(col("text")), "\\s+"))), 4).as("avg_tokens"),
+        max(length(col("text"))).as("max_len"))
+  }
+
+  // BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+  private val TokenPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val TokenPatSql = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counting with a BPE-ish regex, per doc. */
+  val qTokenCount: Q = Q(
+    "q_token_count",
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$TokenPatSql')) AS n_tokens,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_words
+       |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"),
+        size(split(trim(col("text")), "\\s+")).as("n_words"))
+  }
+
+  private val Stop = "(?:the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)"
+
+  /** Quality scoring: stopword ratio, punctuation ratio, length gate —
+    * the usual cheap pre-training heuristics. */
+  val qQuality: Q = Q(
+    "q_quality_score",
+    s"""SELECT doc_id,
+       |  round(CAST(len(regexp_extract_all(lower(text), '\\b$Stop\\b')) AS DOUBLE)
+       |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stopword_ratio,
+       |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |    / greatest(length(text), 1), 4) AS punct_ratio,
+       |  CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END AS length_ok
+       |FROM documents""".stripMargin) { (s, d) =>
+    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val nStop = size(regexp_extract_all(lower(col("text")), lit("\\b" + Stop + "\\b"), lit(0)))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        round(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
+        round(nPunct.cast("double") / greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+        when(length(col("text")).between(50, 10000), 1).otherwise(0).as("length_ok"))
+  }
+
+  // Tiny stopword profiles per language; zh scored by CJK codepoints. The
+  // argmax tie-break is the fixed evaluation order en,de,es,fr,zh.
+  private val Profiles = Seq(
+    "en" -> "(?:the|and|of|to|in|is|that|it|was|for)",
+    "de" -> "(?:der|die|das|und|ist|nicht|ein|mit|auf|den)",
+    "es" -> "(?:el|la|los|las|de|que|y|es|en|un)",
+    "fr" -> "(?:le|la|les|des|et|est|que|une|dans|pour)")
+
+  /** N-gram-heuristic language ID: count stopword hits per profile, argmax
+    * with deterministic tie-break. */
+  val qLangId: Q = Q(
+    "q_langid", {
+      val scores = Profiles.map { case (l, p) =>
+        s"len(regexp_extract_all(lower(text), '\\b$p\\b')) AS s_$l"
+      }.mkString(",\n    ")
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN s_zh > 0 THEN 'zh'
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |    WHEN s_es >= s_fr THEN 'es'
+         |    ELSE 'fr' END AS predicted_lang
+         |FROM (SELECT doc_id, lang,
+         |    $scores,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+         |  FROM documents)""".stripMargin
+    }) { (s, d) =>
+    val lowered = lower(col("text"))
+    val withScores = Tables.documents(s, d)
+      .withColumns(Profiles.map { case (l, p) =>
+        s"s_$l" -> size(regexp_extract_all(lowered, lit("\\b" + p + "\\b"), lit(0)))
+      }.toMap)
+      .withColumn("s_zh", size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))))
+    withScores.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      when(col("s_zh") > 0, "zh")
+        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr").as("predicted_lang"))
+  }
+
+  /** Document fingerprinting: raw and whitespace-normalized content hashes
+    * (the canonical-form key used for exact dedup at scale). */
+  val qFingerprint: Q = Q(
+    "q_fingerprint",
+    """SELECT doc_id, md5(text) AS fingerprint,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ')))) AS norm_fingerprint
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fingerprint"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
+          .as("norm_fingerprint"))
+  }
+
+  /** Exact dedup by normalized content hash: group size and canonical
+    * (minimum) doc id per distinct content — the hash-groupBy dedup that
+    * scales to any corpus size (shuffle on a 128-bit key only). */
+  val qDedupExact: Q = Q(
+    "q_dedup_exact",
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ')))) AS content_hash,
+      |  count(*) AS copies, min(doc_id) AS canonical_doc
+      |FROM documents GROUP BY content_hash""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
+        .as("content_hash"))
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("canonical_doc"))
+  }
+
+  val all: Seq[Q] = Seq(
+    qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact)
+}
