@@ -11,11 +11,19 @@ object SparkEntry {
   /** Every registered query, across all operator modules. */
   def registry: Seq[Q] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
-      operators.Dedup.all ++ operators.Similarity.all
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.GeneratorQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q1Agg.build(spark, "/root/testdata/sf0.001")
+  /** Flagship: the reference's full pipeline in batch form — plan-driven
+    * generator → Hanoi CPU workload → per-(value, stream) stats. Driver
+    * smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val plan = plans.PlanParser.parse(
+      "sequence = [ { type = fixed, value = 7, rate = 1000, duration = 2 } ]")
+    streaming.StreamingStats.batchStats(
+      streaming.StreamingStats.withHanoiCost(
+        sources.PlanGenerator.generate(spark, plan)))
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
