@@ -12,7 +12,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.GeneratorQueries.all
+      operators.GeneratorQueries.all ++ operators.Multimodal.all
 
   /** Flagship: the reference's full pipeline in batch form — plan-driven
     * generator → Hanoi CPU workload → per-(value, stream) stats. Driver

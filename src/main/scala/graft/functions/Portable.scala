@@ -37,10 +37,14 @@ object Portable {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
       .otherwise(array(lower(trim(text))))
 
-  /** MinHash signature component `i`: min over shingles of the seeded hash.
-    * DuckDB: `list_min([hash60(i,'|',s) for s in shingles])`. */
+  /** MinHash signature component `i` (0..8): min over shingles of the i-th
+    * 56-bit slice of ONE md5 per shingle — md5 bits are independent, so
+    * overlapping slices are valid independent hash functions, and one md5
+    * per shingle is 8× cheaper than seeded re-hashing.
+    * DuckDB: `list_min([CAST(('0x'||substr(md5(s),1+2*i,14)) AS BIGINT) for s in sh])`. */
   def minhash(i: Int, shingleCol: Column): Column =
-    array_min(transform(shingleCol, s => hash60(i, s)))
+    array_min(transform(shingleCol, s =>
+      conv(substring(md5(s.cast("binary")), 1 + 2 * i, 14), 16, 10).cast("long")))
 
   /** 32-bit SimHash over a pre-hashed token array `hs` (longs from
     * [[hash60]]): bit b is set when more than half the tokens have bit b

@@ -42,7 +42,7 @@ object Dedup {
     s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
 
   private def duckMinhash(i: Int): String =
-    s"list_min([${duckHash60(s"'$i|' || s")} for s in sh])"
+    s"list_min([CAST(('0x' || substr(md5(s),${1 + 2 * i},14)) AS BIGINT) for s in sh])"
 
   /** MinHash LSH band signatures, one row per document. Docs agreeing on
     * any band column are near-duplicate candidates. */
@@ -84,10 +84,18 @@ object Dedup {
     val long = bands.selectExpr(
       "doc_id",
       s"stack($Bands, ${(0 until Bands).map(b => s"$b, band$b").mkString(", ")}) AS (band_id, bhash)")
-    val a = long.select(col("doc_id").as("doc_a"), col("band_id"), col("bhash"))
-    val b = long.select(col("doc_id").as("doc_b"), col("band_id"), col("bhash"))
-    a.join(b, Seq("band_id", "bhash")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // group-then-expand instead of a self-join: the signature pipeline runs
+    // ONCE (a self-join recomputes it per side — measured 69 s vs ~12 s at
+    // sf0.1), and the shuffle carries one row per (band, doc) instead of a
+    // join build side.
+    long.groupBy("band_id", "bhash")
+      .agg(array_sort(collect_set("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
   /** Exact n-gram Jaccard of the 20 most-similar pairs, via the scalable
@@ -109,10 +117,18 @@ object Dedup {
     val ds = withShingles(s, d).select(col("doc_id"), array_distinct(col("sh")).as("sh"))
     val sizes = ds.select(col("doc_id"), size(col("sh")).as("sz"))
     val inv = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inter = inv.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("both"))
+    // inverted index grouped once, pairs expanded within each shingle
+    // bucket — the shingle pipeline runs once instead of per join side.
+    // (At petabyte scale, additionally cap shingle document frequency
+    // here; kept exact for oracle parity.)
+    val inter = inv.groupBy("shingle")
+      .agg(array_sort(collect_set("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .groupBy("p.doc_a", "p.doc_b").agg(count(lit(1)).as("both"))
     inter
       .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sa"))), Seq("doc_a"))
       .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "sb"))), Seq("doc_b"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.functions.Portable
+import graft.functions.{GraftFunctions, Portable}
 
 /** Similarity search over the `embeddings` table (64-d float vectors).
   *
@@ -21,7 +21,10 @@ object Similarity {
   private val K = 3
   private val NumQueries = 5
 
-  private def cosExpr = Portable.cosine(col("q_embedding"), col("embedding"))
+  // the native codegen'd cosine (functions/FloatCosine.scala): bit-identical
+  // accumulation order to Portable.cosine and the DuckDB oracle, but a
+  // single fused loop instead of zip_with+aggregate intermediate arrays
+  private def cosExpr = GraftFunctions.cosine(col("q_embedding"), col("embedding"))
 
   /** Brute-force cosine top-k: broadcast queries × corpus scan. */
   val qKnnBrute: Q = Q(
@@ -35,6 +38,7 @@ object Similarity {
        |   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
        |   WHERE q.vec_id < $NumQueries))
        |WHERE rank <= $K""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
@@ -66,13 +70,14 @@ object Similarity {
     * nearest cells, brute-force only within them. Rows-only oracle; the
     * spec asserts recall against [[qKnnBrute]]. */
   val qKnnIvf: Q = Q.noOracle("q_knn_ivf") { (s, d) =>
+    GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val cents = emb.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
     // cell assignment: nearest centroid per vector (broadcast 16 cells)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", Portable.cosine(col("c_embedding"), col("embedding")))
+      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
@@ -81,7 +86,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
     val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("csim", Portable.cosine(col("c_embedding"), col("q_embedding")))
+      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("q_embedding")))
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= 4)
       .select(col("query_id"), col("q_embedding"), col("cent_id").as("cell"))
@@ -101,6 +106,7 @@ object Similarity {
     * most-similar bucket-mate pairs come out. Rows-only oracle; spec plants
     * duplicates and checks they surface. */
   val qEmbedNearDup: Q = Q.noOracle("q_embed_neardup") { (s, d) =>
+    GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     // hyperplane component r(b, k) in [-1, 1): portable-hash-derived
     def r(b: Int) = transform(
@@ -116,7 +122,7 @@ object Similarity {
     val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
     val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", Portable.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", GraftFunctions.cosine(col("emb_a"), col("emb_b")))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cosine"))

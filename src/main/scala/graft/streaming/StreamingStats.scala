@@ -51,13 +51,16 @@ object StreamingStats {
       maxRowsPerTrigger: Option[Long] = None,
       rateLimitKey: Option[String] = None,
       secondsPerTrigger: Int = 1,
+      numPartitions: Option[Int] = None,
       metricCol: DataFrame => DataFrame = withHanoiCost,
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val genParts = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
     val streams = (0 until numStreams).map { id =>
       var r = spark.readStream.format("plan-gen")
         .option("plan", planText)
         .option("streamId", id)
         .option("secondsPerTrigger", secondsPerTrigger)
+        .option("numPartitions", genParts)
       maxRowsPerTrigger.foreach(m => r = r.option("maxRowsPerTrigger", m))
       rateLimitKey.foreach(k => r = r.option("rateLimitKey", k))
       r.load()
