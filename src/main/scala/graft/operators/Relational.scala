@@ -330,19 +330,21 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** P4/F6 regex-extract projection with cast, then aggregate.
-    * (reference: RunLogData.scala:67-98) */
+  /** P4/F6 regex-extract projection with error-tolerant cast (P1), then
+    * aggregate. try_cast, not cast: Spark 4 runs ANSI mode, where a
+    * malformed value would fail the query instead of yielding null.
+    * (reference: RunLogData.scala:67-98, SimpleStreamingApp.scala:69) */
   val qRegexExtract: Q = Q(
     "q_regex_extract",
     """SELECT event_type, count(k) AS k_cnt, max(k) AS max_k,
       |  round(avg(k),4) AS avg_k
       |FROM (SELECT event_type,
-      |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+      |    TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
       |  FROM events) GROUP BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .select(
         col("event_type"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS int)").as("k"))
       .groupBy("event_type")
       .agg(count("k").as("k_cnt"), max("k").as("max_k"), round(avg("k"), 4).as("avg_k"))
   }
@@ -372,9 +374,52 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
   }
 
+  /** Cube (full grouping-sets lattice; Catalyst built-in). */
+  val qCube: Q = Q(
+    "q_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Non-equi range (theta) join against a broadcast band dimension —
+    * BroadcastNestedLoopJoin with a 3-row build side, so the fact scan
+    * streams through untouched. */
+  val qRangeJoin: Q = Q(
+    "q_range_join",
+    """SELECT band, count(*) AS cnt, round(sum(o_totalprice),2) AS total
+      |FROM orders JOIN (VALUES ('small', 0, 100000),
+      |  ('medium', 100000, 200000), ('large', 200000, 100000000))
+      |  AS b(band, lo, hi)
+      |ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bands = Seq(
+      ("small", 0, 100000), ("medium", 100000, 200000),
+      ("large", 200000, 100000000)).toDF("band", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+  }
+
+  /** HyperLogLog sketch vs exact distinct — sketches are engine-specific,
+    * so rows-only; the spec bounds the relative error. */
+  val qApproxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct("o_custkey").as("exact_customers"),
+        approx_count_distinct("o_custkey", 0.02).as("approx_customers"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qStats, qPivot, qTumbling, qDedupFirst, qUnionDistinct, qExcept,
     qIntersect, qMinMax, qCumSum, qLagGaps, qTopPerGroup, qJoinDims,
     qJoinFact, qSemiJoin, qAntiJoin, qOuterJoin, qAsOfJoin, qTopK,
-    qConditional, qRegexExtract, qTimeShift, qRollup)
+    qConditional, qRegexExtract, qTimeShift, qRollup, qCube, qRangeJoin,
+    qApproxDistinct)
 }
