@@ -178,6 +178,8 @@ object LogAnalytics {
       s"$timeMs DROP count=$count client=$clientId"
     def req(timeMs: Long, count: Long, clientId: Int): String =
       s"$timeMs REQ count=$count client=$clientId"
+    def ratio(timeMs: Long, streamId: Int, r: Double): String =
+      s"$timeMs RATIO stream=$streamId ratio=$r"
   }
 
   /** Load all eight tables from a directory of `run.log`/`application.log`/
