@@ -45,7 +45,15 @@ object Dedup {
     s"list_min([CAST(('0x' || substr(md5(s),${1 + 2 * i},14)) AS BIGINT) for s in sh])"
 
   /** MinHash LSH band signatures, one row per document. Docs agreeing on
-    * any band column are near-duplicate candidates. */
+    * any band column are near-duplicate candidates.
+    *
+    * Shape: explode shingles → ONE codegen'd md5 per shingle row → groupBy
+    * doc_id with 8 slice-mins. An array-lambda formulation
+    * (`array_min(transform(sh, md5…))` × 8 columns) re-evaluates the whole
+    * shingle pipeline per signature column and walks interpreted
+    * higher-order lambdas — measured 80+ s at sf0.1 vs ~2 s for this plan.
+    * The doc_id shuffle carries one partial-min row per (doc × partition),
+    * map-side combined, so it scales like any hash aggregate. */
   val qMinhashBands: Q = Q(
     "q_minhash_bands", {
       val mh = (0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(", ")
@@ -55,9 +63,12 @@ object Dedup {
       s"""SELECT doc_id, $bands FROM
          |(SELECT doc_id, $mh FROM ($duckShingles))""".stripMargin
     }) { (s, d) =>
-    val mh = withShingles(s, d).select(
-      col("doc_id") +: (0 until NumHashes).map(i =>
-        Portable.minhash(i, col("sh")).as(s"mh$i")): _*)
+    val hashed = withShingles(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
+    val mins = (0 until NumHashes).map(i =>
+      min(conv(substring(col("m"), 1 + 2 * i, 14), 16, 10).cast("long")).as(s"mh$i"))
+    val mh = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     mh.select(
       col("doc_id") +: (0 until Bands).map { b =>
         md5(concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
@@ -115,26 +126,25 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
     val ds = withShingles(s, d).select(col("doc_id"), array_distinct(col("sh")).as("sh"))
-    val sizes = ds.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // inverted index grouped once, pairs expanded within each shingle
-    // bucket — the shingle pipeline runs once instead of per join side.
-    // (At petabyte scale, additionally cap shingle document frequency
-    // here; kept exact for oracle parity.)
-    val inter = inv.groupBy("shingle")
-      .agg(array_sort(collect_set("doc_id")).as("docs"))
+    // Carry each doc's shingle-set size INTO the inverted index, so the
+    // bucket expansion emits (doc_a, sa, doc_b, sb) directly — no size
+    // lookup joins, and the shingle pipeline runs exactly once. Two
+    // shuffles total (shingle, pair); at petabyte scale additionally cap
+    // shingle document frequency here (kept exact for oracle parity).
+    val inv = ds.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    inv.groupBy("shingle")
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("sz")))).as("docs"))
       .filter(size(col("docs")) > 1)
       .select(explode(expr(
         """flatten(transform(docs, (x, i) ->
           |  transform(slice(docs, i + 2, size(docs)), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-      .groupBy("p.doc_a", "p.doc_b").agg(count(lit(1)).as("both"))
-    inter
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "sz" -> "sa"))), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "sz" -> "sb"))), Seq("doc_b"))
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           x.sz AS sa, y.sz AS sb))))""".stripMargin)).as("p"))
+      .groupBy("p.doc_a", "p.doc_b")
+      .agg(count(lit(1)).as("n_common"), first("p.sa").as("sa"), first("p.sb").as("sb"))
       .select(
         col("doc_a"), col("doc_b"),
-        round(col("both").cast("double") / (col("sa") + col("sb") - col("both")), 4).as("jaccard"))
+        round(col("n_common").cast("double") / (col("sa") + col("sb") - col("n_common")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -143,16 +153,29 @@ object Dedup {
   val qSimhash: Q = Q(
     "q_simhash",
     s"""SELECT doc_id,
-       |  list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1)) > len(hs)
-       |    THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END for b in range(0, 32)]) AS simhash
+       |  CAST(list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1)) > len(hs)
+       |    THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS simhash
        |FROM (SELECT doc_id,
        |    [${duckHash60("t")} for t in list_distinct(string_split_regex(lower(trim(text)), '\\s+'))] AS hs
        |  FROM documents)""".stripMargin) { (s, d) =>
-    val toks = array_distinct(Portable.words(col("text")))
-    Tables.documents(s, d)
+    // Explode → ONE md5 per token row → 32 codegen'd bit-count aggregates.
+    // The array formulation ([[Portable.simhash32]] over transform(toks,
+    // hash60)) inlines the md5 transform into each of the 32 per-bit
+    // filter lambdas → 32× the hashing, interpreted — measured 272 s at
+    // sf0.1 vs ~3 s for this plan. Same scale shape as a hash aggregate:
+    // map-side partial bit-counts, one shuffle on doc_id.
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(Portable.words(col("text")))).as("t"))
+      .select(col("doc_id"), Portable.hash60(col("t")).as("h"))
+    val bitCounts = (0 until 32).map(b =>
+      sum(shiftright(col("h"), b) % 2).as(s"b$b")) :+ count(lit(1)).as("n")
+    hashed.groupBy("doc_id").agg(bitCounts.head, bitCounts.tail: _*)
       .select(
         col("doc_id"),
-        Portable.simhash32(transform(toks, t => Portable.hash60(t))).as("simhash"))
+        (0 until 32).map(b =>
+          when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   val all: Seq[Q] = Seq(qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash)
