@@ -58,19 +58,23 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.registry.foreach { q =>
-      results(q.name) = time {
-        try force(q.build(spark, sfDir))
+      // timing and success tracked separately — a -1.0 failure marker must
+      // not be overwritten by the elapsed time of the failed attempt
+      val t0 = System.nanoTime()
+      val ok =
+        try { force(q.build(spark, sfDir)); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          results(q.name) = -1.0
+          false
         }
-      }
+      results(q.name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
     // Streaming headline: 50k rows/s for 20 s through the full pipeline.
-    // Best of two runs — a single run is exposed to GC debt left by the 46
+    // Two runs, both reported (stream_ingest_50k_run{1,2}); the headline
+    // key is the min — a single run is exposed to GC debt left by the 46
     // batch queries (observed 18.6 s vs 43 s run-to-run on identical code).
-    results("stream_ingest_50k") = (1 to 2).map { _ =>
+    val streamRuns = (1 to 2).map { _ =>
       System.gc()
       time {
         val q = streaming.StreamingStats.run(
@@ -83,12 +87,16 @@ object Bench {
         q.processAllAvailable()
         q.stop()
       }
-    }.min
+    }
+    results("stream_ingest_50k") = streamRuns.min
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // total = sum of per-query timings (streaming counted once, via the
+    // headline key; the individual runs are informational extras)
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runsJson = streamRuns.map(v => f"$v%.3f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_runs":$runsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
@@ -22,8 +23,20 @@ import org.apache.spark.sql.functions.call_function
 case class FloatCosine(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // no ExpectsInputTypes: AbstractDataType is private[sql]; inputs are
-  // ArrayType(FloatType) by construction (GraftFunctions.cosine callers)
+  // ExpectsInputTypes is unusable here (AbstractDataType is private[sql]),
+  // so input types are enforced via checkInputDataTypes: getFloat() on a
+  // non-FLOAT array would silently read garbage, not fail analysis.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -80,7 +93,11 @@ object GraftFunctions {
       registry.registerFunction(
         id,
         new ExpressionInfo(classOf[FloatCosine].getName, CosineName),
-        (exprs: Seq[Expression]) => FloatCosine(exprs.head, exprs(1)))
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            s"$CosineName takes exactly 2 arguments, got ${exprs.length}")
+          FloatCosine(exprs.head, exprs(1))
+        })
     }
   }
 

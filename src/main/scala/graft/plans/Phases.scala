@@ -43,8 +43,9 @@ object BucketMath {
     acc.result()
   }
 
-  /** Total rows a second yields at `rate` — Σ inBucket = floor(rate) by the
-    * telescoping floor-difference, but computed the same way for parity. */
+  /** Total rows a second yields at `rate` — Σ inBucket telescopes to
+    * floor(100 * (rate/100)) term-by-term in the same double arithmetic,
+    * so this is exactly Σ inBucket(i, rate) without the loop. */
   def rowsPerSecond(rate: Double): Int = (100 * (rate / 100d)).toInt
 }
 
@@ -57,12 +58,18 @@ sealed trait Phase extends Serializable {
   def duration: Option[Int]
   /** Scheduled values for phase-relative `second` (0-based). */
   def valuesFor(second: Int): List[TimedValues]
+  /** Row count of `valuesFor(second)` without materializing it — admission
+    * control calls this once per plan-second per trigger, and building the
+    * full value list there (e.g. 50k tuples/s) was pure allocation waste.
+    * Exact by the telescoping bucket sum ([[BucketMath.rowsPerSecond]]). */
+  def rowCountFor(second: Int): Int
 }
 
 /** Emits nothing for `duration` seconds (time offset only).
   * (reference: TestPhase.scala:35-38) */
 final case class NoopPhase(duration: Option[Int]) extends Phase {
   def valuesFor(second: Int): List[TimedValues] = Nil
+  def rowCountFor(second: Int): Int = 0
 }
 
 /** Constant `rate` items/s of a constant `value`. The reference keeps
@@ -72,6 +79,8 @@ final case class FixedPhase(value: Int, rate: Int, duration: Option[Int]) extend
   def valuesFor(second: Int): List[TimedValues] =
     if (duration.exists(_ < second)) Nil
     else BucketMath.bucketsFor(second, rate.toDouble)((_, n) => List.fill(n)(value))
+  def rowCountFor(second: Int): Int =
+    if (duration.exists(_ < second)) 0 else BucketMath.rowsPerSecond(rate.toDouble)
 }
 
 /** Linear rate interpolation from `startRate` to `endRate` over `durationSec`
@@ -79,14 +88,14 @@ final case class FixedPhase(value: Int, rate: Int, duration: Option[Int]) extend
   * (reference: RampPhase.scala:9-31) */
 final case class RampPhase(value: Int, startRate: Int, endRate: Int, durationSec: Int) extends Phase {
   def duration: Option[Int] = Some(durationSec)
+  private def rateAt(second: Int): Double =
+    if (durationSec == 1) startRate.toDouble
+    else startRate + (endRate - startRate) / (durationSec - 1d) * second
   def valuesFor(second: Int): List[TimedValues] =
     if (second >= durationSec) Nil
-    else {
-      val rate =
-        if (durationSec == 1) startRate.toDouble
-        else startRate + (endRate - startRate) / (durationSec - 1d) * second
-      BucketMath.bucketsFor(second, rate)((_, n) => List.fill(n)(value))
-    }
+    else BucketMath.bucketsFor(second, rateAt(second))((_, n) => List.fill(n)(value))
+  def rowCountFor(second: Int): Int =
+    if (second >= durationSec) 0 else BucketMath.rowsPerSecond(rateAt(second))
 }
 
 /** Constant rate cycling through `values` round-robin across the second's
@@ -98,6 +107,8 @@ final case class CyclePhase(values: List[Int], rate: Int, duration: Option[Int])
     if (duration.exists(_ <= second)) Nil
     else BucketMath.bucketsFor(second, rate.toDouble)((offset, n) =>
       List.tabulate(n)(x => values((offset + x) % values.size)))
+  def rowCountFor(second: Int): Int =
+    if (duration.exists(_ <= second)) 0 else BucketMath.rowsPerSecond(rate.toDouble)
 }
 
 /** Sequential phase composition: map an absolute second to the active phase
@@ -128,6 +139,9 @@ final case class PhaseSeq(phases: List[Phase]) extends Serializable {
         p.valuesFor(local).map(_.shift((second - local) * 1000L))
       case None => Nil
     }
+
+  def rowCountFor(second: Int): Int =
+    activePhase(second).map { case (p, local) => p.rowCountFor(local) }.getOrElse(0)
 }
 
 /** Repeats its inner phase sequence `times` times (unbounded if None):
@@ -145,6 +159,9 @@ final case class LoopPhase(times: Option[Int], phases: List[Phase]) extends Phas
       val beforeSec = seq.totalDuration.map(d => (second / d) * d).getOrElse(0)
       seq.valuesFor(inLoop).map(_.shift(beforeSec * 1000L))
     }
+  def rowCountFor(second: Int): Int =
+    if (duration.exists(_ < second)) 0
+    else seq.rowCountFor(seq.totalDuration.map(second % _).getOrElse(second))
 }
 
 /** A whole test plan: the phase sequence plus duration algebra (sum of
@@ -159,4 +176,7 @@ final case class TestPlan(phases: List[Phase]) extends Serializable {
   /** Rows generated for `second`, exploded to (timeMs, value) pairs. */
   def rowsFor(second: Int): List[(Long, Int)] =
     valuesFor(second).flatMap(tv => tv.values.map(v => (tv.timeMs, v)))
+
+  /** Count of [[rowsFor]] without materializing it (admission control). */
+  def rowCountFor(second: Int): Int = seq.rowCountFor(second)
 }

@@ -141,7 +141,7 @@ private final class PlanMicroBatchStream(opts: PlanOptions)
         var rows = 0L
         var done = false
         while (!done && sec < hardEnd) {
-          val next = rows + opts.plan.rowsFor(sec).size
+          val next = rows + opts.plan.rowCountFor(sec)
           if (next > maxRows && sec > startSec) done = true
           else { rows = next; sec += 1 }
         }

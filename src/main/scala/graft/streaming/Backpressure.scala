@@ -42,7 +42,14 @@ final class PidController(
   def reset(): Unit = { integral = 0.0; lastError = 0.0 }
 }
 
-/** Streaming listener applying a [[PidController]] to a rate-limit key. */
+/** Streaming listener applying a [[PidController]] to a rate-limit key.
+  *
+  * Listeners are session-global, so the listener must be pinned to ONE
+  * query: call [[attach]] with the started query (or its id) — progress
+  * and termination events from every other query (warmups, fan-out
+  * siblings) are ignored. Until attached, the first query whose progress
+  * arrives self-attaches, preserving the start-listener-then-query flow
+  * for single-query callers. */
 final class PidRateListener(
     key: String,
     triggerMs: Long,
@@ -51,17 +58,25 @@ final class PidRateListener(
     extends StreamingQueryListener {
 
   @volatile private var limit: Long = initialLimit
+  @volatile private var queryId: java.util.UUID = _
   RateLimitRegistry.set(key, initialLimit)
 
   def currentLimit: Long = limit
 
+  /** Pin this controller to the query it should steer. */
+  def attach(query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    queryId = query.id
+  def attach(id: java.util.UUID): Unit = queryId = id
+
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    RateLimitRegistry.clear(key)
+    if (queryId == null || queryId == e.id) RateLimitRegistry.clear(key)
   override def onQueryIdle(e: StreamingQueryListener.QueryIdleEvent): Unit = ()
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
+    if (queryId == null) queryId = p.id // self-attach to the first reporter
+    if (queryId != p.id) return
     val batchMs = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
     limit = controller.next(limit, p.numInputRows, batchMs, triggerMs)
     RateLimitRegistry.set(key, limit)
