@@ -30,7 +30,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 128 GiB machine; 8g forced constant GC at sf0.1 (simple 600k-row
-  // queries measured 30-50 s purely from collection pressure).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 128 GiB machine; 8g forced constant GC churn at sf0.1. NOTE this
+  // host's memory subsystem stalls on first-touch page faults (measured:
+  // allocation-heavy loops 0.8 s → 15 s run-to-run while non-allocating
+  // loops stay fast) — so hot paths must allocate little (see
+  // functions/Hanoi.scala), and -XX:+AlwaysPreTouch is NOT an option:
+  // pre-faulting 16g across parallel GC threads drove kernel soft
+  // lockups ("watchdog: CPU stuck 21s [GC Thread]") and killed the fork.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

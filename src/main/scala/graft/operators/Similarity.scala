@@ -108,15 +108,17 @@ object Similarity {
   val qEmbedNearDup: Q = Q.noOracle("q_embed_neardup") { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    // hyperplane component r(b, k) in [-1, 1): portable-hash-derived
-    def r(b: Int) = transform(
-      sequence(lit(0), lit(63)),
-      k => Portable.hash60(concat_ws(",", lit(b), k)).cast("double") / lit(math.pow(2, 59)) - 1)
+    // Hyperplane components r(b, k) in [-1, 1) are CONSTANTS (the same
+    // portable-hash derivation as before), so they are computed once on
+    // the driver and shipped as float-array literals — the previous
+    // column formulation re-ran 16 × 64 interpreted md5 hashes per ROW.
+    // Bit b = sign of the dot product = sign of graft_cosine (norms are
+    // positive), so each bit is one fused codegen'd loop.
+    def plane(b: Int): Array[Float] =
+      Array.tabulate(64)(k => (Portable.hash60Local(s"$b,$k").toDouble / math.pow(2, 59) - 1).toFloat)
     val sig = (0 until 16).map { b =>
-      val dot = aggregate(
-        zip_with(col("embedding"), r(b), (x, y) => x.cast("double") * y),
-        lit(0d), (acc, v) => acc + v)
-      when(dot > 0, math.pow(2, b).toLong).otherwise(0L)
+      when(GraftFunctions.cosine(col("embedding"), lit(plane(b))) > 0,
+        math.pow(2, b).toLong).otherwise(0L)
     }.reduce(_ + _)
     val bucketed = emb.withColumn("bucket", sig)
     val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))

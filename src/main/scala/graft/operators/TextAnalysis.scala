@@ -141,6 +141,53 @@ object TextAnalysis {
       .agg(count(lit(1)).as("copies"), min("doc_id").as("canonical_doc"))
   }
 
+  /** Deterministic hash-based sampling: keep docs whose portable 60-bit id
+    * hash lands in 1-of-20 residue class — the reproducible corpus-sample
+    * idiom (stable under reruns/re-partitioning, unlike `sample()`). */
+  val qHashSample: Q = Q(
+    "q_hash_sample",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(Portable.hash60(col("doc_id").cast("string")) % 20 === 0)
+      .select("doc_id", "lang")
+  }
+
+  /** Top TF-IDF term per document: token explode → (doc, term) counts →
+    * document frequencies → idf join → windowed top-1. The corpus size is
+    * a 1-row broadcast; ordering uses the 6-decimal-rounded score so both
+    * engines agree under fp ulp differences. */
+  val qTfidfTop: Q = Q(
+    "q_tfidf_top",
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (SELECT doc_id, tok,
+      |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf6
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, tok AS top_term, round(tfidf6, 4) AS tfidf
+      |FROM (SELECT doc_id, tok, tfidf6, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY tfidf6 DESC, tok) AS rn FROM scored)
+      |WHERE rn = 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf6", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), round(col("tfidf6"), 4).as("tfidf"))
+  }
+
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact)
+    qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
+    qHashSample, qTfidfTop)
 }

@@ -41,6 +41,27 @@ object StreamingStats {
       col("value"), col("stream_id"), col("cnt"), col("sum_ms"),
       col("mean_ms"), col("stddev_ms")).as("line"))
 
+  /** Idiomatic event-time variant of [[batchStats]]: tumbling event-time
+    * windows + watermark instead of processing-time batch scope. Not
+    * bit-identical to the reference under lag (SURVEY §7.3) — this is the
+    * declarative mode; [[run]] is the parity mode. Stateful aggregation:
+    * Spark keeps per-window partial state until the watermark passes, so
+    * the shuffle carries partial aggregates, never raw rows. */
+  def windowedStats(
+      df: DataFrame,
+      windowLength: String = "5 seconds",
+      watermarkDelay: String = "10 seconds",
+      metric: String = "hanoi_ms"): DataFrame =
+    df.withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLength), col("value"), col("stream_id"))
+      .agg(
+        count(metric).as("cnt"),
+        sum(metric).as("sum_ms"),
+        avg(metric).as("mean_ms"),
+        stddev_pop(metric).as("stddev_ms"))
+      .select(col("window.start").as("window_start"), col("value"),
+        col("stream_id"), col("cnt"), col("sum_ms"), col("mean_ms"), col("stddev_ms"))
+
   /** Full pipeline on N generator streams, unioned, exact per-batch
     * semantics. `sink` receives (statsDF, batchId) per micro-batch. */
   def run(

@@ -51,6 +51,36 @@ class StreamingStatsSpec extends SparkSpec {
     acc.foreach { case (v, (c, s)) => assert(s == c * v) }
   }
 
+  test("event-time windowed stats partition the plan by 5 s window") {
+    val planText =
+      "sequence = [ { type = fixed, value = 3, rate = 40, duration = 12 } ]"
+    val plan = PlanParser.parse(planText)
+    val totalRows = (0 until plan.duration.get).map(plan.rowCountFor).sum
+
+    val src = spark.readStream.format("plan-gen")
+      .option("plan", planText).option("secondsPerTrigger", 4)
+      .option("numPartitions", 2).load()
+    val stats = StreamingStats.windowedStats(
+      src.withColumn("hanoi_ms",
+        org.apache.spark.sql.functions.col("value").cast("long")),
+      windowLength = "5 seconds")
+    val q = stats.writeStream.outputMode("complete")
+      .format("memory").queryName("win_stats").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+      // 12 plan-seconds → 5s windows [0,5) [5,10) [10,15): 3 windows
+      assert(rows.length == 3, s"expected 3 windows, got ${rows.toSeq}")
+      assert(rows.map(_.getLong(3)).sum == totalRows)
+      // full windows carry 5 s × 40 rows/s
+      assert(rows.map(_.getLong(3)).max == 200L)
+      rows.foreach { r =>
+        assert(r.getDouble(5) == 3.0) // mean of constant metric
+        assert(r.getDouble(6) == 0.0) // stddev_pop of constant
+      }
+    } finally q.stop()
+  }
+
   test("PID controller shrinks on slow batches, grows on fast ones") {
     val pid = new PidController(minRows = 10, maxRows = 100000)
     val slow = pid.next(1000, numRows = 1000, batchMs = 2000, triggerMs = 1000)
