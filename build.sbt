@@ -30,12 +30,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 128 GiB machine; 8g forced constant GC churn at sf0.1. NOTE this
-  // host's memory subsystem stalls on first-touch page faults (measured:
-  // allocation-heavy loops 0.8 s → 15 s run-to-run while non-allocating
-  // loops stay fast) — so hot paths must allocate little (see
-  // functions/Hanoi.scala), and -XX:+AlwaysPreTouch is NOT an option:
-  // pre-faulting 16g across parallel GC threads drove kernel soft
-  // lockups ("watchdog: CPU stuck 21s [GC Thread]") and killed the fork.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // This host's memory subsystem stalls first-touch page faults 10-50×
+  // in bursts (identical allocation bursts measured 0.3 s vs 87-266 s;
+  // kernel time dominates). Counter-measures, all load-bearing:
+  //  - ParallelGC with a FIXED young gen: eden reuses the SAME pages
+  //    every cycle, so total faulted footprint = young + live set. (G1
+  //    rotates eden across every committed region and kept faulting cold
+  //    pages mid-run — 266 s stalls long after startup.)
+  //  - Xms = Xmx: never uncommit + re-fault.
+  //  - Bench/BenchProbe cycle the young gen before measuring
+  //    (graft.HeapWarmup), absorbing the one-time faults.
+  //  - hot paths allocate little (see functions/Hanoi.scala).
+  //  - -XX:+AlwaysPreTouch is NOT an option: parallel GC-thread
+  //    pre-fault drove kernel soft lockups and killed the fork.
+  "-XX:+UseParallelGC", "-Xmn2g",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -35,6 +35,10 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Fault every heap page before measuring (see HeapWarmup scaladoc —
+    // this host stalls first-touch page faults 10-50× in bursts).
+    HeapWarmup.cycle()
+
     // Warmup: force the FULL registry at the smallest scale factor — the
     // codegen/JIT cost of each distinct plan is paid once here instead of
     // being charged to the first measured run (observed: q1_agg 8.4 s cold

@@ -200,7 +200,58 @@ object Analytic {
       .agg(count(lit(1)).as("sessions"), max("n").as("max_session_events"))
   }
 
+  /** Forward as-of join: for each purchase, the user's NEXT click at-or-
+    * after it — the mirror of [[Relational.qAsOfJoin]], via an
+    * ignore-nulls first() over the following frame. Same scale shape: one
+    * shuffle on user_id, no correlated probes. */
+  val qAsOfForward: Q = Q(
+    "q_asof_forward",
+    """SELECT event_id, user_id, ts,
+      |  (SELECT min(e2.ts) FROM events e2 WHERE e2.user_id = e.user_id
+      |     AND e2.event_type = 'click'
+      |     AND (e2.ts > e.ts OR (e2.ts = e.ts AND e2.event_id >= e.event_id)))
+      |    AS next_click_ts
+      |FROM events e WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("next_click_ts", first("click_ts", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "next_click_ts")
+  }
+
+  /** The reference's stats fold as a typed Aggregator (SURVEY §2.10 G2),
+    * applied per event_type over the event values — same numbers as the
+    * built-in agg path ([[Relational.qStats]] proves those against the
+    * oracle); this gates the custom partial/merge implementation. */
+  val qTypedStats: Q = Q(
+    "q_typed_stats",
+    """SELECT event_type, count(value) AS cnt, sum(value) AS sum_value,
+      |  round(avg(value),4) AS mean_value,
+      |  round(stddev_pop(value),4) AS stddev_value
+      |FROM (SELECT event_type, CAST(floor(value) AS BIGINT) AS value FROM events)
+      |GROUP BY event_type""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val agg = graft.functions.StatsAggregator.ofLong.toColumn
+    Tables.events(s, d)
+      // floor before the long cast: Spark's double→long cast truncates
+      // while DuckDB's rounds — floor makes both engines agree.
+      .select(col("event_type"), floor(col("value")).cast("long").as("value"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("stats"))
+      .select(
+        col("key").as("event_type"),
+        col("stats.cnt").as("cnt"),
+        col("stats.sum").as("sum_value"),
+        round(col("stats.mean"), 4).as("mean_value"),
+        round(col("stats.stddevPop"), 4).as("stddev_value"))
+  }
+
   val all: Seq[Q] = Seq(
     qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
-    qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize)
+    qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
+    qAsOfForward, qTypedStats)
 }
