@@ -118,8 +118,24 @@ object Multimodal {
     }.toDF("doc_id", "embedding")
   }
 
+  /** The payload bytes as a DuckDB int list — the stub codec is pure md5
+    * math, so the whole media path is oracle-exact: payload =
+    * unhex(md5(text) || md5(md5(text))), one int per hex pair. */
+  private val OracleBytes =
+    "list_transform(range(32), i -> CAST(('0x' || substr(md5(text) || md5(md5(text)), 2*i+1, 2)) AS INT))"
+
   /** Gate query: decoded-image stats per format. */
-  val qDecodeStats: Q = Q.noOracle("q_multimodal_decode") { (s, d) =>
+  val qDecodeStats: Q = Q(
+    "q_multimodal_decode",
+    s"""WITH b AS (
+       |  SELECT doc_id, $OracleBytes AS bytes
+       |  FROM documents WHERE doc_id % 3 = 0
+       |)
+       |SELECT count(*) AS images,
+       |  round(avg(16 + (bytes[1] % 128)), 4) AS avg_width,
+       |  round(avg(16 + (bytes[2] % 128)), 4) AS avg_height,
+       |  round(avg(list_sum(bytes) / 32.0), 4) AS avg_intensity
+       |FROM b""".stripMargin) { (s, d) =>
     import s.implicits._
     decodeImages(mediaTable(s, d))
       .groupBy()
@@ -130,8 +146,14 @@ object Multimodal {
         round(avg("mean_intensity"), 4).as("avg_intensity"))
   }
 
-  /** Gate query: frame sampling + per-video counts. */
-  val qFrameSample: Q = Q.noOracle("q_multimodal_frames") { (s, d) =>
+  /** Gate query: frame sampling + per-video counts. Closed form: videos
+    * are doc_id%3==2, n_frames = doc_id%24+1, frames sampled every 4th. */
+  val qFrameSample: Q = Q(
+    "q_multimodal_frames",
+    """SELECT doc_id,
+      |  CAST((doc_id % 24) // 4 + 1 AS BIGINT) AS sampled_frames,
+      |  CAST(((doc_id % 24) // 4) * 4 AS INT) AS last_frame
+      |FROM documents WHERE doc_id % 3 = 2""".stripMargin) { (s, d) =>
     sampleFrames(mediaTable(s, d), everyN = 4)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("sampled_frames"), max("frame_index").as("last_frame"))
@@ -139,7 +161,14 @@ object Multimodal {
 
   /** Gate query: media embeddings → nearest media pairs via the same LSH
     * near-dup machinery (integration of modalities). */
-  val qMediaFeatures: Q = Q.noOracle("q_multimodal_features") { (s, d) =>
+  val qMediaFeatures: Q = Q(
+    "q_multimodal_features",
+    // each float term (a+b)/512.0f is exact (≤9-bit numerator, power-of-2
+    // divisor), so the double sum equals total-byte-sum/512 exactly
+    s"""SELECT doc_id,
+       |  round(list_sum($OracleBytes) / 512.0, 4) AS feature_sum,
+       |  CAST(16 AS INT) AS dims
+       |FROM documents""".stripMargin) { (s, d) =>
     val feats = extractFeatures(mediaTable(s, d))
     feats.select(
       col("doc_id"),
