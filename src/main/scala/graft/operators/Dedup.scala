@@ -98,15 +98,16 @@ object Dedup {
     // group-then-expand instead of a self-join: the signature pipeline runs
     // ONCE (a self-join recomputes it per side — measured 69 s vs ~12 s at
     // sf0.1), and the shuffle carries one row per (band, doc) instead of a
-    // join build side.
+    // join build side. Pairs come from two nested explodes (codegen'd
+    // Generate) — the array-lambda formulation (flatten∘transform∘slice)
+    // walks interpreted HigherOrderFunctions and allocates per element.
     long.groupBy("band_id", "bhash")
-      .agg(array_sort(collect_set("doc_id")).as("docs"))
+      .agg(collect_list("doc_id").as("docs"))
       .filter(size(col("docs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(docs, (x, i) ->
-          |  transform(slice(docs, i + 2, size(docs)), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      .select(col("docs"), explode(col("docs")).as("doc_a"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard of the 20 most-similar pairs, via the scalable
@@ -133,15 +134,15 @@ object Dedup {
     // shingle document frequency here (kept exact for oracle parity).
     val inv = ds.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     inv.groupBy("shingle")
-      .agg(array_sort(collect_set(struct(col("doc_id"), col("sz")))).as("docs"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("docs"))
       .filter(size(col("docs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(docs, (x, i) ->
-          |  transform(slice(docs, i + 2, size(docs)), y ->
-          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |           x.sz AS sa, y.sz AS sb))))""".stripMargin)).as("p"))
-      .groupBy("p.doc_a", "p.doc_b")
-      .agg(count(lit(1)).as("n_common"), first("p.sa").as("sa"), first("p.sb").as("sb"))
+      // two nested explodes (codegen'd Generate) + a < filter — faster than
+      // the interpreted flatten∘transform∘slice pair expansion
+      .select(col("docs"), explode(col("docs")).as("a"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"), first(col("a.sz")).as("sa"), first(col("b.sz")).as("sb"))
       .select(
         col("doc_a"), col("doc_b"),
         round(col("n_common").cast("double") / (col("sa") + col("sb") - col("n_common")), 4).as("jaccard"))
