@@ -20,12 +20,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Fault every heap page BEFORE the SparkSession exists (see HeapWarmup
+    // scaladoc): the single-threaded pre-fault can stall minutes on this
+    // host, and doing it after startup starves executor heartbeats — a
+    // 256 s stall got the local executor deregistered mid-run.
+    HeapWarmup.cycle()
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // local mode: heartbeats are in-process bookkeeping, but a host
+      // fault-stall can still starve them past the 120 s default and get
+      // the only executor deregistered — give them a wide margin
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // events.parquet is TIMESTAMP(NANOS); without this the raw warmup scan
@@ -34,10 +46,6 @@ object Bench {
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-
-    // Fault every heap page before measuring (see HeapWarmup scaladoc —
-    // this host stalls first-touch page faults 10-50× in bursts).
-    HeapWarmup.cycle()
 
     // Warmup: force the FULL registry at the smallest scale factor — the
     // codegen/JIT cost of each distinct plan is paid once here instead of

@@ -102,10 +102,15 @@ object Analytic {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
+      // one percentile buffer per column, not per requested quantile (the
+      // exact agg buffers every value per group — at 100 TB the scale path
+      // is approx_percentile; kept exact here for the oracle)
       .agg(
         round(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 4).as("med_qty"),
-        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"), 4).as("p90_price"),
-        round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.1)"), 4).as("p10_price"))
+        expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.9, 0.1))").as("pp"))
+      .select(col("l_returnflag"), col("med_qty"),
+        round(element_at(col("pp"), 1), 4).as("p90_price"),
+        round(element_at(col("pp"), 2), 4).as("p10_price"))
   }
 
   /** Bivariate statistics: correlation, population covariance/variance. */

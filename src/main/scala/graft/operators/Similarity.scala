@@ -120,14 +120,23 @@ object Similarity {
       when(GraftFunctions.cosine(col("embedding"), lit(plane(b))) > 0,
         math.pow(2, b).toLong).otherwise(0L)
     }.reduce(_ + _)
-    val bucketed = emb.withColumn("bucket", sig)
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", GraftFunctions.cosine(col("emb_a"), col("emb_b")))
-      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+    // group-then-expand, not a bucket self-join: the signature pipeline
+    // (16 fused cosines per row) runs ONCE, and the shuffle carries one
+    // row per vector instead of a join build side; buckets are tiny by
+    // construction (16 sign bits over the corpus), so the nested explodes
+    // emit only genuine candidate pairs
+    emb.withColumn("bucket", sig)
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(col("vs"), explode(col("vs")).as("a"))
+      .select(col("a"), explode(col("vs")).as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .orderBy(col("sim").desc, col("a.vec_id"), col("b.vec_id"))
       .limit(20)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cosine"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("sim"), 4).as("cosine"))
   }
 
   val all: Seq[Q] = Seq(qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup)
