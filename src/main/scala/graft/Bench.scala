@@ -20,12 +20,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val bench0 = System.nanoTime()
+    def progress(msg: String): Unit =
+      System.err.println(f"[bench ${(System.nanoTime() - bench0) / 1e9}%.0fs] $msg")
+    progress(s"starting: sf=$sfDir cpus=$cpus")
 
-    // Fault every heap page BEFORE the SparkSession exists (see HeapWarmup
+    // Fault heap pages BEFORE the SparkSession exists (see HeapWarmup
     // scaladoc): the single-threaded pre-fault can stall minutes on this
     // host, and doing it after startup starves executor heartbeats — a
-    // 256 s stall got the local executor deregistered mid-run.
+    // 256 s stall got the local executor deregistered mid-run. The warmup
+    // is time-budgeted: BENCH_r02 proved an unbounded warmup can outlast
+    // the driver's patience and erase the whole benchmark.
     HeapWarmup.cycle()
+    progress("heap warmup done; creating SparkSession")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,15 +59,18 @@ object Bench {
     // being charged to the first measured run (observed: q1_agg 8.4 s cold
     // vs 1.2 s warm on identical data).
     val warmDir = "/root/testdata/sf0.001"
+    progress(s"registry warmup at $warmDir (${SparkEntry.registry.size} queries)")
     SparkEntry.registry.foreach { q =>
       try force(q.build(spark, warmDir)) catch { case _: Throwable => () }
     }
+    progress("streaming warmup")
     locally { // streaming-path warmup (incremental planner + stats codegen)
       val wq = streaming.StreamingStats.run(
         spark, "sequence = [ { type = fixed, value = 7, rate = 500, duration = 2 } ]",
         triggerMs = 100L, sink = (stats, _) => { stats.collect(); () })
       wq.processAllAvailable(); wq.stop()
     }
+    progress("warmup complete; measuring")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -80,7 +90,9 @@ object Bench {
           false
         }
       results(q.name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      progress(f"${q.name}: ${results(q.name)}%.2fs")
     }
+    progress("batch queries done; streaming headline")
 
     // Streaming headline: 50k rows/s for 20 s through the full pipeline.
     // Two runs, both reported (stream_ingest_50k_run{1,2}); the headline

