@@ -2,16 +2,33 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.plans.PlanParser
+import graft.plans.{BucketMath, PlanParser}
 import graft.sources.PlanGenerator
 import graft.streaming.StreamingStats
 
 /** Registry entries exercising the plan-driven generator and the per-batch
-  * stats pipeline in batch form. Rows-only checks (the generated data is
-  * not a DuckDB table); exactness is pinned by the golden generator specs
-  * and PlanSourceSpec.
+  * stats pipeline in batch form.
+  *
+  * The two generator-fidelity gates carry CLOSED-FORM oracles: the plan's
+  * per-second row counts have the telescoping identity
+  * `rowsPerSecond(rate) = floor(100 * rate/100)` (BucketMath.scala), so
+  * the expected table is derived arithmetically per phase — ramp rates
+  * interpolated with the same double expression the phase uses — and
+  * registered as a DuckDB VALUES literal, independent of the generator
+  * pipeline under test. q_stream_batch_stats stays rows-only (its
+  * exactness is pinned by StreamingStatsSpec golden cells).
   */
 object GeneratorQueries {
+
+  /** (absolute second, rows) for [[Scenario1Scaled]]: 2 s noop, 30 s ramp
+    * 100→5000 (inclusive endpoints, reference RampPhase.scala:9-31), 60 s
+    * fixed 5000. */
+  private val scenario1PerSecond: Seq[(Int, Int)] = {
+    val ramp = (0 until 30).map(s =>
+      (2 + s, BucketMath.rowsPerSecond(100 + (5000 - 100) / 29d * s)))
+    val fixed = (0 until 60).map(s => (32 + s, 5000))
+    ramp ++ fixed
+  }
 
   /** Scaled-down scenario-1 (reference test-runs-004): noop, ramp-up,
     * sustained fixed phase. */
@@ -31,8 +48,13 @@ object GeneratorQueries {
       |      { type = fixed, value = 6, rate = 50, duration = 3 } ] }
       |]""".stripMargin
 
-  /** Generator fidelity: per-value totals and event-time span. */
-  val qGenCounts: Q = Q.noOracle("q_gen_plan_counts") { (s, _) =>
+  /** Generator fidelity: per-value totals and event-time span. First event
+    * = ramp second 0's first occupied bucket (rate 100 → bucket 0); last =
+    * the final fixed second's bucket 99. */
+  val qGenCounts: Q = Q(
+    "q_gen_plan_counts",
+    s"""SELECT 7 AS value, CAST(${scenario1PerSecond.map(_._2.toLong).sum} AS BIGINT) AS "rows",
+       |  epoch_ms(2000) AS first_event, epoch_ms(91990) AS last_event""".stripMargin) { (s, _) =>
     PlanGenerator.generate(s, PlanParser.parse(Scenario1Scaled))
       .groupBy("value")
       .agg(
@@ -42,7 +64,10 @@ object GeneratorQueries {
   }
 
   /** Per-second generated rate (the reference's tick.log view). */
-  val qGenRate: Q = Q.noOracle("q_gen_rate_per_second") { (s, _) =>
+  val qGenRate: Q = Q(
+    "q_gen_rate_per_second",
+    s"""SELECT epoch_ms(CAST(s AS BIGINT) * 1000) AS second, CAST(n AS BIGINT) AS "rows"
+       |FROM (VALUES ${scenario1PerSecond.map { case (s, n) => s"($s,$n)" }.mkString(",")}) t(s, n)""".stripMargin) { (s, _) =>
     PlanGenerator.generate(s, PlanParser.parse(Scenario1Scaled))
       .groupBy(window(col("event_time"), "1 second"))
       .agg(count(lit(1)).as("rows"))

@@ -74,13 +74,19 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val cents = emb.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
-    // cell assignment: nearest centroid per vector (broadcast 16 cells)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))
+    // cell assignment: nearest centroid per vector (broadcast 16 cells).
+    // max_by over (sim, -cent_id) is an argmax AGGREGATE: it partial-
+    // aggregates map-side, so the exchange carries one row per vector and
+    // nothing sorts — the previous window rank-1 formulation shuffled all
+    // 16 candidate rows per vector and sorted every partition.
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(
+        any_value(col("embedding")).as("embedding"),
+        max_by(col("cent_id"),
+          struct(col("csim"), (-col("cent_id")).as("tie"))).as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
     // queries probe their 4 nearest cells
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
