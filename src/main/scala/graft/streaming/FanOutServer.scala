@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import graft.operators.LogAnalytics.formatters
+
+/** The reference testbed's demand-driven TCP fan-out delivery server —
+  * the PRODUCER egress with real per-client drop accounting
+  * (reference DataGeneratorActor.scala:241-284, SubscriberActor semantics):
+  *
+  *  - clients connect over TCP and extend credit with `REQ <n>` lines
+  *    (logged as the reference's "received request" events);
+  *  - each burst fans out to every client: delivered up to the client's
+  *    credit, remainder DROPPED and logged ("unable to deliver"), credit
+  *    zeroed on a partial delivery — exactly the reference's
+  *    `SendInts` branch structure;
+  *  - delivered values stream to the socket newline-joined, the
+  *    reference's wire format (ConnectionManagerActor.scala:209).
+  *
+  * Drop/request events emit through [[formatters]] so
+  * [[graft.operators.LogAnalytics.droppedValues]]/`requestedValues` close
+  * the loop: run → logs → tables → per-second sums equal live counters.
+  *
+  * This is deliberately a single-node service, like the reference's actor
+  * system: it models the testbed (load-generator) side, not a Spark
+  * operator. The Spark side connects via [[batchSink]], which streams each
+  * micro-batch through `toLocalIterator` — admission control bounds the
+  * per-trigger volume, so the driver never holds more than one trigger's
+  * data. Cluster-scale egress to MANY sinks is the per-partition fan-out
+  * covered by FanOutSpec (T10); a single TCP endpoint is a funnel by
+  * definition.
+  */
+final class FanOutServer(log: String => Unit) {
+
+  private val server = new ServerSocket(0)
+  def port: Int = server.getLocalPort
+
+  private final class Client(val id: Int, socket: Socket) {
+    val demand = new AtomicLong(0L)
+    val delivered = new AtomicLong(0L)
+    val dropped = new AtomicLong(0L)
+    private val out = socket.getOutputStream
+
+    private val reader = new Thread(() => {
+      try {
+        val in = new BufferedReader(new InputStreamReader(socket.getInputStream))
+        var line = in.readLine()
+        while (line != null) {
+          val n = line.trim.stripPrefix("REQ").trim
+          if (n.nonEmpty && n.forall(_.isDigit)) {
+            demand.addAndGet(n.toLong)
+            log(formatters.req(System.currentTimeMillis(), n.toLong, id))
+          }
+          line = in.readLine()
+        }
+      } catch { case _: Throwable => () } // client hung up
+    }, s"fanout-client-$id-demand")
+    reader.setDaemon(true)
+    reader.start()
+
+    /** One burst, reference semantics (DataGeneratorActor.scala:259-276). */
+    def send(values: Seq[Int], timeMs: Long): Unit = synchronized {
+      val credit = demand.get()
+      if (credit == 0L) {
+        dropped.addAndGet(values.size.toLong)
+        log(formatters.drop(timeMs, values.size.toLong, id))
+      } else if (values.size > credit) {
+        write(values.take(credit.toInt))
+        delivered.addAndGet(credit)
+        dropped.addAndGet(values.size - credit)
+        log(formatters.drop(timeMs, values.size - credit, id))
+        demand.set(0L)
+      } else {
+        write(values)
+        delivered.addAndGet(values.size.toLong)
+        demand.addAndGet(-values.size.toLong)
+      }
+    }
+
+    private def write(vs: Seq[Int]): Unit = {
+      out.write(vs.mkString("", "\n", "\n").getBytes)
+      out.flush()
+    }
+
+    def close(): Unit = try socket.close() catch { case _: Throwable => () }
+  }
+
+  private val clients = new ConcurrentHashMap[Int, Client]()
+  private val nextId = new AtomicInteger(0)
+  private val running = new AtomicBoolean(true)
+
+  private val acceptor = new Thread(() => {
+    try while (running.get()) {
+      val s = server.accept()
+      val c = new Client(nextId.getAndIncrement(), s)
+      clients.put(c.id, c)
+    } catch { case _: Throwable => () } // closed
+  }, "fanout-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  /** Fan one burst out to every connected client (stable id order). */
+  def send(values: Seq[Int], timeMs: Long = System.currentTimeMillis()): Unit =
+    clients.values.asScala.toSeq.sortBy(_.id).foreach(_.send(values, timeMs))
+
+  /** client id → (delivered, dropped) live counters. */
+  def stats: Map[Int, (Long, Long)] =
+    clients.asScala.map { case (id, c) => id -> (c.delivered.get, c.dropped.get) }.toMap
+
+  /** client id → outstanding credit (spec synchronization). */
+  def demands: Map[Int, Long] =
+    clients.asScala.map { case (id, c) => id -> c.demand.get }.toMap
+
+  def clientCount: Int = clients.size
+
+  /** foreachBatch adapter: deliver each micro-batch's `value` column as one
+    * burst. `toLocalIterator` keeps driver memory at one partition, and the
+    * source's admission control bounds the trigger volume. */
+  def batchSink: (DataFrame, Long) => Unit = (batch, _) => {
+    val values = batch
+      .select(org.apache.spark.sql.functions.col("value").cast("int"))
+      .toLocalIterator().asScala.map(_.getInt(0)).toSeq
+    if (values.nonEmpty) send(values)
+  }
+
+  def close(): Unit = {
+    running.set(false)
+    try server.close() catch { case _: Throwable => () }
+    clients.values.asScala.foreach(_.close())
+  }
+}

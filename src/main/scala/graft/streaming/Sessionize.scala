@@ -80,9 +80,28 @@ object Sessionize {
       }
   }
 
-  /** Batch-mode entry over the events table shape (`user_id`, `ts`). */
+  /** Batch-mode entry over the events table shape (`user_id`, `ts`).
+    *
+    * NOT the stateful operator: in batch execution
+    * `flatMapGroupsWithState` never fires timeouts, so each key's final
+    * open session would silently vanish. Batch mode has the whole history
+    * anyway, so the gap-flag window formulation (one shuffle + one
+    * in-partition sort) is both correct and cheaper; the spec pins it to
+    * the streaming operator's output on identical data. */
   def onBatch(df: DataFrame, gapMs: Long): DataFrame = {
-    import df.sparkSession.implicits._
-    apply(df.select(col("user_id"), col("ts")).as[Event], gapMs).toDF()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    df.select(col("user_id"), col("ts"))
+      .withColumn("_prev", lag("ts", 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        (unix_millis(col("ts")) - unix_millis(col("_prev"))) > gapMs, 1L).otherwise(0L))
+      .withColumn("_sid", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
   }
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.LogAnalytics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.Socket
+
+/** S7/T4 end-to-end: generator → [[FanOutServer]] TCP delivery with real
+  * demand-capped drops → DROP/REQ log lines → LogAnalytics tables →
+  * per-second sums, all reconciled against the server's live counters and
+  * the bytes actually received on the client sockets.
+  */
+class FanOutDropSpec extends SparkSpec {
+
+  private def readInts(s: Socket, n: Int): Seq[Int] = {
+    s.setSoTimeout(10000)
+    val r = new BufferedReader(new InputStreamReader(s.getInputStream))
+    (1 to n).map(_ => r.readLine().toInt)
+  }
+
+  test("producer drop accounting closes the loop: run → logs → tables → sums match") {
+    val logLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = new FanOutServer(l => logLines.synchronized { logLines += l; () })
+    val c0 = new Socket("localhost", server.port)
+    val c1 = new Socket("localhost", server.port)
+    try {
+      new PrintWriter(c0.getOutputStream, true).println("REQ 10000")
+      new PrintWriter(c1.getOutputStream, true).println("REQ 150")
+      val deadline = System.currentTimeMillis() + 10000
+      while ((server.clientCount < 2 || server.demands.values.sum < 10150L) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(server.demands.values.sum === 10150L, s"demand registration: ${server.demands}")
+
+      // 3 plan-seconds × 100 values of 7; one burst per trigger second
+      val q = spark.readStream.format("plan-gen")
+        .option("plan", "sequence = [ { type = fixed, value = 7, rate = 100, duration = 3 } ]")
+        .option("numPartitions", 2)
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) => server.batchSink(batch, id) }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+
+      // live counters: client 0 has credit for everything; client 1's 150
+      // credit caps delivery regardless of burst boundaries
+      val stats = server.stats
+      assert(stats(0) === ((300L, 0L)), s"client 0: $stats")
+      assert(stats(1) === ((150L, 150L)), s"client 1: $stats")
+
+      // the wire really carried the values (reference newline format)
+      assert(readInts(c0, 300).forall(_ == 7))
+      assert(readInts(c1, 150).forall(_ == 7))
+
+      // log → table loop (LogAnalytics droppedValues/requestedValues)
+      import spark.implicits._
+      val lines = logLines.synchronized { logLines.toSeq }.toDF("value")
+      val drops = LogAnalytics.droppedValues(lines)
+      val reqs = LogAnalytics.requestedValues(lines)
+      val dropByClient = drops.groupBy("clientId").agg(sum("count").as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(dropByClient === Map(1 -> 150L), s"drop table: $dropByClient")
+      assert(reqs.agg(sum("count")).head.getLong(0) === 10150L)
+      // per-second rollup preserves totals (reference TestData.scala:20-26)
+      assert(LogAnalytics.perSecond(drops).agg(sum("count")).head.getLong(0) === 150L)
+    } finally {
+      c0.close(); c1.close(); server.close()
+    }
+  }
+}

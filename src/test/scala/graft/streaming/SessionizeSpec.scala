@@ -76,4 +76,48 @@ class SessionizeSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS sessions_split")
     }
   }
+
+  test("onBatch (window formulation) matches the streaming operator, including each key's final open session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val events = Seq(
+      Event(1, ts(1000)), Event(1, ts(2000)), Event(1, ts(20000)),
+      Event(2, ts(1000)),
+      Event(7, ts(5000)), Event(7, ts(100)), Event(7, ts(600)), Event(7, ts(3000)))
+
+    val batch = Sessionize.onBatch(events.toDF(), gapMs = 1000L)
+      .as[Session].collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events))
+      .toSet
+
+    // streaming ground truth: feed everything, then push the watermark far
+    // past every timeout so all sessions close
+    val in = MemoryStream[Event]
+    val q = Sessionize(in.toDS().withWatermark("ts", "1 second"), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(Event(99, ts(500000)))
+      q.processAllAvailable()
+      in.addData(Event(98, ts(501000)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sessions_parity")
+        .as[Session].collect()
+        .filter(s => s.user_id != 99L && s.user_id != 98L)
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events))
+        .toSet
+      assert(batch === streamed, s"batch=$batch streamed=$streamed")
+      // the final open session per key must be present in batch mode (the
+      // old flatMapGroupsWithState delegation silently lost these)
+      assert(batch.contains((1L, 20000L, 20000L, 1L)))
+      assert(batch.contains((2L, 1000L, 1000L, 1L)))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sessions_parity")
+    }
+  }
 }
