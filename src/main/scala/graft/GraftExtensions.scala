@@ -5,14 +5,19 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.FloatCosine
 
-/** SparkSessionExtensions hook: install graft's native functions at session
-  * build time (`spark.sql.extensions=graft.GraftExtensions`), for users who
-  * want them available in plain SQL from the first query. */
+/** SparkSessionExtensions hook: install graft's native functions and
+  * optimizer rules at session build time
+  * (`spark.sql.extensions=graft.GraftExtensions`), for users who want them
+  * available in plain SQL from the first query. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(functions.GraftFunctions.CosineName),
       new ExpressionInfo(classOf[FloatCosine].getName, functions.GraftFunctions.CosineName),
       (exprs: Seq[Expression]) => FloatCosine(exprs.head, exprs(1))))
+    // binned range join (opt-in via spark.graft.rangeJoin.binWidth):
+    // rewrites point-in-interval joins to an equi-join on a bin key so
+    // they shuffle instead of nested-looping — see plans/BinnedRangeJoin
+    ext.injectOptimizerRule(plans.BinRangeJoinRule.apply)
   }
 }

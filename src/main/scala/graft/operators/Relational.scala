@@ -406,6 +406,30 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
   }
 
+  /** Binned range join — the fact-×-fact interval join that CANNOT
+    * broadcast: every lineitem price matched against a ±1 band around
+    * every order total. Plain Spark plans this as a nested loop /
+    * cartesian (O(|L|·|R|)); [[graft.plans.BinnedRangeJoin]] quantizes the
+    * range dimension into width-10 bins so it becomes an equi-join that
+    * shuffles on the bin key — the only shape that survives when both
+    * sides are 100 TB facts. Result is identical to the naive join (each
+    * pair survives exactly once); the oracle runs the naive SQL. */
+  val qRangeJoinBinned: Q = Q(
+    "q_range_join_binned",
+    """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice),2) AS total
+      |FROM lineitem JOIN orders
+      |  ON l_extendedprice >= o_totalprice - 1 AND l_extendedprice < o_totalprice + 1
+      |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val points = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+    val intervals = Tables.orders(s, d)
+      .select((col("o_totalprice") - 1).as("lo"), (col("o_totalprice") + 1).as("hi"))
+    graft.plans.BinnedRangeJoin
+      .join(points, intervals, col("l_extendedprice"), col("lo"), col("hi"),
+        binWidth = 10.0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+  }
+
   /** HyperLogLog sketch vs exact distinct — sketches are engine-specific,
     * so rows-only; the spec bounds the relative error. */
   val qApproxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
@@ -421,5 +445,5 @@ object Relational {
     qIntersect, qMinMax, qCumSum, qLagGaps, qTopPerGroup, qJoinDims,
     qJoinFact, qSemiJoin, qAntiJoin, qOuterJoin, qAsOfJoin, qTopK,
     qConditional, qRegexExtract, qTimeShift, qRollup, qCube, qRangeJoin,
-    qApproxDistinct)
+    qRangeJoinBinned, qApproxDistinct)
 }

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Binned range join: the library helper and the optimizer rule must both
+  * produce exactly the naive join's rows, and the rule must turn the
+  * nested-loop plan into an equi-join on the bin key.
+  *
+  * The rule is exercised through `spark.experimental.extraOptimizations`
+  * (the public per-session hook — the shared test session already exists,
+  * so the static `spark.sql.extensions` conf can't be applied here;
+  * GraftExtensions installs the same rule object for fresh sessions).
+  */
+class BinnedRangeJoinSpec extends SparkSpec {
+
+  private def fixtures(): Unit = {
+    import spark.implicits._
+    // points 0..999; intervals of assorted widths, including empty
+    // (lo > hi), degenerate (lo == hi), and bin-straddling ones
+    (0 until 1000).map(i => (i.toLong, i * 1.0)).toDF("pid", "pt")
+      .createOrReplaceTempView("pts")
+    Seq(
+      (1L, 10.0, 25.0), (2L, 17.5, 17.5), (3L, 40.0, 30.0),
+      (4L, 995.0, 2000.0), (5L, -50.0, 3.0), (6L, 333.3, 334.2),
+      (7L, 0.0, 999.0)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("ivs")
+  }
+
+  private val naiveSql =
+    """SELECT pid, iid FROM pts JOIN ivs ON pt >= lo AND pt <= hi"""
+
+  private def withRule[A](binWidth: String)(body: => A): A = {
+    spark.experimental.extraOptimizations = Seq(BinRangeJoinRule(spark))
+    spark.conf.set(BinnedRangeJoin.BinWidthKey, binWidth)
+    try body
+    finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.unset(BinnedRangeJoin.BinWidthKey)
+    }
+  }
+
+  test("library helper matches the naive join exactly") {
+    fixtures()
+    val expected = spark.sql(naiveSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = BinnedRangeJoin.join(
+        spark.table("pts"), spark.table("ivs"), col("pt"), col("lo"), col("hi"),
+        binWidth = 8.0, inclusiveHi = true)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+    // sanity on the fixture: the empty interval matches nothing, the
+    // degenerate one matches nothing (17.5 is not an integer point), the
+    // full-range one matches every point
+    assert(!expected.exists(_._2 == 3L) && !expected.exists(_._2 == 2L))
+    assert(expected.count(_._2 == 7L) === 1000)
+  }
+
+  test("optimizer rule rewrites a plain SQL range join to a bin equi-join") {
+    fixtures()
+    val expected = spark.sql(naiveSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule("8.0") {
+      val df = spark.sql(naiveSql)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastNestedLoopJoin"),
+        s"rule did not fire — plan still nested-loop:\n$physical")
+      assert(!physical.contains("CartesianProduct"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    }
+  }
+
+  test("rule leaves joins with an equi conjunct untouched") {
+    fixtures()
+    withRule("8.0") {
+      // equi conjunct present: Spark already hash-joins this; the rule
+      // must not add a bin stage (no sequence/explode in the plan)
+      val equi = spark.sql(
+        "SELECT pid, iid FROM pts JOIN ivs ON pid = iid AND pt >= lo AND pt <= hi")
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("sequence("))
+      // only iid 7 has pt(7)=7.0 inside its own interval [0, 999]
+      assert(equi.collect().map(r => r.getLong(1)).toSeq === Seq(7L))
+    }
+  }
+
+  test("rule is a no-op when the bin width conf is unset") {
+    fixtures()
+    spark.experimental.extraOptimizations = Seq(BinRangeJoinRule(spark))
+    try {
+      val physical = spark.sql(naiveSql).queryExecution.executedPlan.toString
+      assert(physical.contains("BroadcastNestedLoopJoin") ||
+        physical.contains("CartesianProduct"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}
