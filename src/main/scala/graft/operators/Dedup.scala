@@ -195,5 +195,73 @@ object Dedup {
       .select("doc_id")
   }
 
-  val all: Seq[Q] = Seq(qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash, qDedupNear)
+  /** Connected-component dedup clustering: every document labeled with the
+    * smallest doc_id reachable through the LSH candidate-pair graph — the
+    * step [[qDedupNear]]'s pair-loser prune approximates. Pair losers
+    * under-merge transitive chains (A~B, B~C but never A~C leaves C's fate
+    * depending on which pairs LSH surfaced); components merge the whole
+    * chain to one representative.
+    *
+    * Implementation: iterative min-label propagation on the edge list —
+    * per round, one equi-join of edges against current labels and one
+    * min-aggregate, both shuffling on doc_id. Rounds = component diameter;
+    * near-dup components are small cliques (diameter 1-2), so this
+    * converges in 2-3 rounds on real corpora — the O(log n) large-star /
+    * small-star variant only pays off on adversarial long chains.
+    * Convergence is detected via sum(label): labels only ever decrease, so
+    * an unchanged sum is a fixpoint. Each round is cut from the lineage
+    * with an eager localCheckpoint — without it round N re-executes the
+    * whole LSH pipeline N times over.
+    *
+    * Oracle: DuckDB recursive-CTE transitive closure (exact, viable at
+    * oracle scale only). */
+  val qDedupClusters: Q = Q(
+    "q_dedup_clusters", {
+      val pairsSql = qMinhashPairs.oracle.get
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, r) AS (SELECT u, v AS r FROM edges
+         |  UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |mins AS (SELECT u, min(r) AS mn FROM reach GROUP BY u)
+         |SELECT d.doc_id, least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN mins m ON m.u = d.doc_id""".stripMargin
+    }) { (s, d) =>
+    val pairs = qMinhashPairs.build(s, d).localCheckpoint()
+    connectedComponents(
+      Tables.documents(s, d).select(col("doc_id")), pairs)
+  }
+
+  /** Min-label propagation: label every node with the smallest `doc_id`
+    * reachable through `pairs` (columns doc_a, doc_b; undirected). Output:
+    * (doc_id, cluster_id), one row per node. See [[qDedupClusters]] for the
+    * scale shape and convergence argument. */
+  private[operators] def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = nodes
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    var prevSum = BigDecimal(Long.MaxValue)
+    var curSum = labels.agg(coalesce(sum("cluster_id"), lit(0)).cast("decimal(38,0)"))
+      .head.getDecimal(0)
+    while (BigDecimal(curSum) < prevSum) {
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
+      labels = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      prevSum = BigDecimal(curSum)
+      curSum = labels.agg(sum("cluster_id").cast("decimal(38,0)"))
+        .head.getDecimal(0)
+    }
+    labels
+  }
+
+  val all: Seq[Q] = Seq(
+    qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash, qDedupNear,
+    qDedupClusters)
 }

@@ -187,7 +187,73 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok").as("top_term"), round(col("tfidf6"), 4).as("tfidf"))
   }
 
+  // PII patterns, kept to the Java∩RE2 common regex subset (no
+  // backreferences / lookarounds) so Spark and the DuckDB oracle compile
+  // the identical pattern text
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhonePat = "\\+?[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{4}"
+
+  /** PII scrubbing: emails, IPv4 addresses, and phone-shaped numbers
+    * redacted to typed placeholders, with per-doc redaction counts — the
+    * compliance pass every training corpus runs. Narrow per-row codegen'd
+    * regexes, zero shuffle. The synthetic corpus contains no PII, so the
+    * test plants some: each doc is suffixed with a contact line derived
+    * from its doc_id IDENTICALLY in both engines, and the oracle checks
+    * the scrub output end-to-end. */
+  val qPiiScrub: Q = Q(
+    "q_pii_scrub",
+    s"""WITH seeded AS (SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or +1 555 ' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |      ' at 10.0.' || (doc_id % 256) || '.1' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailPat', '<EMAIL>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g'),
+       |    '$Ipv4Pat', '<IP>', 'g') AS scrubbed,
+       |  len(regexp_extract_all(text, '$EmailPat')) AS n_email,
+       |  len(regexp_extract_all(text, '$Ipv4Pat')) AS n_ip,
+       |  len(regexp_extract_all(text, '$PhonePat')) AS n_phone
+       |FROM seeded""".stripMargin) { (s, d) =>
+    val seeded = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555 "),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")).as("text"))
+    seeded.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(EmailPat), lit("<EMAIL>")),
+        lit(PhonePat), lit("<PHONE>")),
+        lit(Ipv4Pat), lit("<IP>")).as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_email"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("n_ip"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).as("n_phone"))
+  }
+
+  /** Text normalization: the canonical pre-dedup cleanup — lowercase,
+    * strip non-alphanumerics to spaces, collapse whitespace runs, trim —
+    * plus the resulting length delta. Narrow per-row map, zero shuffle. */
+  val qTextNormalize: Q = Q(
+    "q_text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm,
+      |  length(text) - length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS delta
+      |FROM documents""".stripMargin) { (s, d) =>
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9\\s]", " "), "\\s+", " "))
+    Tables.documents(s, d).select(
+      col("doc_id"), norm.as("norm"),
+      (length(col("text")) - length(norm)).as("delta"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
-    qHashSample, qTfidfTop)
+    qHashSample, qTfidfTop, qPiiScrub, qTextNormalize)
 }
