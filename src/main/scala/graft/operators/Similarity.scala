@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -145,5 +145,42 @@ object Similarity {
         round(col("sim"), 4).as("cosine"))
   }
 
-  val all: Seq[Q] = Seq(qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup)
+  /** Int8 scalar quantization of embeddings — the 4× compression pass a
+    * 100 TB vector corpus runs before ANN serving. Per vector: symmetric
+    * scale mx/127 from the max-abs component, code_i = floor(x_i/mx·127 +
+    * 0.5). `floor(v + 0.5)` (not `round`) so both engines share one
+    * explicit rounding rule. The gate emits scalar digests (code sum /
+    * extrema / max reconstruction error) rather than the code array —
+    * every per-element double op is written in the identical order in both
+    * engines, so the digests are bit-stable. Narrow per-row map, zero
+    * shuffle. */
+  val qEmbedQuantize: Q = Q(
+    "q_embed_quantize",
+    """WITH e AS (SELECT vec_id,
+      |    [CAST(x AS DOUBLE) for x in embedding] AS v,
+      |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx
+      |  FROM embeddings)
+      |SELECT vec_id, round(mx / 127, 6) AS scale,
+      |  CAST(list_sum([floor(x / mx * 127 + 0.5) for x in v]) AS BIGINT) AS code_sum,
+      |  CAST(list_min([floor(x / mx * 127 + 0.5) for x in v]) AS INT) AS code_min,
+      |  CAST(list_max([floor(x / mx * 127 + 0.5) for x in v]) AS INT) AS code_max,
+      |  round(list_max([abs(x - (floor(x / mx * 127 + 0.5) * mx) / 127) for x in v]), 6) AS max_err
+      |FROM e WHERE mx > 0""".stripMargin) { (s, d) =>
+    val v = transform(col("embedding"), _.cast("double"))
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    def code(x: Column): Column = floor(x / col("mx") * 127 + 0.5)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), v.as("v"), mx.as("mx"))
+      .filter(col("mx") > 0)
+      .select(
+        col("vec_id"),
+        round(col("mx") / 127, 6).as("scale"),
+        aggregate(transform(col("v"), code(_)), lit(0d), _ + _).cast("long").as("code_sum"),
+        array_min(transform(col("v"), code(_))).cast("int").as("code_min"),
+        array_max(transform(col("v"), code(_))).cast("int").as("code_max"),
+        round(array_max(transform(col("v"),
+          x => abs(x - (code(x) * col("mx")) / 127))), 6).as("max_err"))
+  }
+
+  val all: Seq[Q] = Seq(qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize)
 }

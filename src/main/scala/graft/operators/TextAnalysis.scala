@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.Portable
@@ -253,7 +254,55 @@ object TextAnalysis {
       (length(col("text")) - length(norm)).as("delta"))
   }
 
+  /** Repetition-based quality filter (the Gopher-rules shape): per doc,
+    * the fraction of tokens taken by the single most frequent token, and
+    * the fraction of duplicate bigrams. Highly repetitive docs are
+    * boilerplate/spam candidates a training corpus drops.
+    *
+    * Shape: explode tokens once; bigrams come from a lag window over
+    * (doc_id, pos) — both shuffle on doc_id (high cardinality, partition-
+    * parallel), never materializing per-doc arrays through interpreted
+    * lambdas. */
+  val qRepetition: Q = Q(
+    "q_repetition",
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(w) >= 2
+      |    THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+      |    ELSE [] END AS bg FROM t),
+      |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+      |cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+      |topc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  round(CAST(top_c AS DOUBLE) / n_tok, 4) AS top_token_frac,
+      |  CASE WHEN len(bg) = 0 THEN 0.0
+      |    ELSE round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+      |  END AS dup_bigram_frac
+      |FROM g JOIN topc ON g.doc_id = topc.doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks
+      .withColumn("prev", lag("tok", 1).over(w))
+      .withColumn("bigram",
+        when(col("prev").isNotNull, concat(col("prev"), lit(" "), col("tok"))))
+      .groupBy("doc_id")
+      .agg(count(col("bigram")).as("n_bi"),
+        countDistinct(col("bigram")).as("n_bi_d"))
+    val top = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_c"), sum("c").as("n_tok"))
+    bigrams.join(top, "doc_id").select(
+      col("doc_id"),
+      round(col("top_c").cast("double") / col("n_tok"), 4).as("top_token_frac"),
+      when(col("n_bi") === 0, lit(0.0))
+        .otherwise(round(lit(1) - col("n_bi_d").cast("double") / col("n_bi"), 4))
+        .as("dup_bigram_frac"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
-    qHashSample, qTfidfTop, qPiiScrub, qTextNormalize)
+    qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition)
 }
