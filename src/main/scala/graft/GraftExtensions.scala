@@ -19,5 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrites point-in-interval joins to an equi-join on a bin key so
     // they shuffle instead of nested-looping — see plans/BinnedRangeJoin
     ext.injectOptimizerRule(plans.BinRangeJoinRule.apply)
+    // native as-of join (logical node + merge exec) — see plans/AsOfJoin
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
   }
 }

@@ -406,6 +406,30 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
   }
 
+  /** The same as-of query through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]]: custom logical node + planner strategy +
+    * streamed-merge exec). Same oracle as [[qAsOfJoin]] — the two
+    * formulations must agree bit-for-bit; the struct time column gives the
+    * lexicographic (ts, event_id) tie-break the oracle specifies. */
+  val qAsOfNative: Q = Q(
+    "q_asof_native",
+    """SELECT event_id, user_id, ts,
+      |  (SELECT max(e2.ts) FROM events e2 WHERE e2.user_id = e.user_id
+      |     AND e2.event_type = 'click'
+      |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id)))
+      |    AS last_click_ts
+      |FROM events e WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        struct(col("ts"), col("event_id")).as("t"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(struct(col("ts"), col("event_id")).as("rt"),
+        col("user_id").as("r_user"), col("ts").as("last_click_ts"))
+    graft.plans.AsOfJoin.join(purchases, clicks, "user_id", "r_user", "t", "rt")
+      .select("event_id", "user_id", "ts", "last_click_ts")
+  }
+
   /** Binned range join — the fact-×-fact interval join that CANNOT
     * broadcast: every lineitem price matched against a ±1 band around
     * every order total. Plain Spark plans this as a nested loop /
@@ -445,5 +469,5 @@ object Relational {
     qIntersect, qMinMax, qCumSum, qLagGaps, qTopPerGroup, qJoinDims,
     qJoinFact, qSemiJoin, qAntiJoin, qOuterJoin, qAsOfJoin, qTopK,
     qConditional, qRegexExtract, qTimeShift, qRollup, qCube, qRangeJoin,
-    qRangeJoinBinned, qApproxDistinct)
+    qRangeJoinBinned, qAsOfNative, qApproxDistinct)
 }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` surface: building a DataFrame from a custom
+  * LogicalPlan (the documented pattern for libraries that add whole
+  * operators — a logical node + strategy pair has no public constructor
+  * path from the Dataset API). Kept to the single call the graft planner
+  * extensions need. */
+object GraftShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
