@@ -179,6 +179,46 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash candidate pairs: band the 32-bit signature into four 8-bit
+    * bands — any pair within Hamming distance 3 agrees on at least one
+    * band (pigeonhole), so banding finds all near-dups without an
+    * all-pairs scan. Same group-then-expand bucket shape as
+    * [[qMinhashPairs]] (one shuffle on (band_id, band value), signature
+    * pipeline runs once); the final Hamming distance is one codegen'd
+    * `bit_count(a XOR b)`. */
+  val qSimhashPairs: Q = Q(
+    "q_simhash_pairs", {
+      val simhashSql = qSimhash.oracle.get
+      val unpivot = (0 until 4)
+        .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash // ${1L << (8 * b)}) % 256 AS band FROM sh")
+        .mkString(" UNION ALL ")
+      s"""WITH sh AS ($simhashSql), long AS ($unpivot)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM long a JOIN long b
+         |  ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
+    }) { (s, d) =>
+    val sig = qSimhash.build(s, d)
+    val long = sig.selectExpr(
+      "doc_id", "simhash",
+      s"stack(4, ${(0 until 4).map(b => s"$b, shiftright(simhash, ${8 * b}) % 256").mkString(", ")}) AS (band_id, band)")
+    long.groupBy("band_id", "band")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(col("docs"), explode(col("docs")).as("a"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** Near-dedup applied: the surviving corpus after dropping the higher
     * doc_id of every MinHash candidate pair — the "keep one representative"
     * step, expressed as a left-anti join against the pair losers (pair
@@ -262,6 +302,6 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(
-    qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash, qDedupNear,
-    qDedupClusters)
+    qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash, qSimhashPairs,
+    qDedupNear, qDedupClusters)
 }

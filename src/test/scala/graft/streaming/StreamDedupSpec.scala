@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
+class StreamDedupSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("cross-batch duplicates inside the horizon are suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[Doc]
+    val q = StreamDedup(in.toDF(), horizon = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(
+        Doc(1, "hello  world", ts(1000)), // whitespace-normalized forms
+        Doc(2, "foo", ts(1000)))          // of the same text collide
+      q.processAllAvailable()
+      in.addData(
+        Doc(3, "Hello World", ts(2000)), // dup of doc 1 (case+spacing)
+        Doc(4, "bar", ts(2000)))
+      q.processAllAvailable()
+
+      val got = spark.table("dedup_out").as[Doc].collect()
+        .map(d => d.doc_id).toSet
+      assert(got === Set(1L, 2L, 4L), s"expected dup doc 3 suppressed, got $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS dedup_out")
+    }
+  }
+}
