@@ -67,9 +67,37 @@ object Similarity {
 
   /** IVF-style ANN: assign every vector to its nearest of 16 deterministic
     * coarse centroids (vectors with vec_id % 97 == 0), probe the query's 4
-    * nearest cells, brute-force only within them. Rows-only oracle; the
-    * spec asserts recall against [[qKnnBrute]]. */
-  val qKnnIvf: Q = Q.noOracle("q_knn_ivf") { (s, d) =>
+    * nearest cells, brute-force only within them. Everything is
+    * deterministic (argmax tie-break by smallest cent_id, bit-identical
+    * cosine), so the oracle mirrors the whole pipeline in SQL; the spec
+    * additionally asserts recall against [[qKnnBrute]]. */
+  val qKnnIvf: Q = Q(
+    "q_knn_ivf",
+    s"""WITH cents AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c
+       |    FROM embeddings WHERE vec_id % 97 = 0),
+       |sims AS (SELECT e.vec_id, c.cent_id,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) AS csim
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cent_id AS cell FROM
+       |  (SELECT vec_id, cent_id, row_number() OVER
+       |     (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
+       |  WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM
+       |  (SELECT vec_id, cent_id, row_number() OVER
+       |     (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+       |   FROM sims WHERE vec_id < $NumQueries)
+       |  WHERE rn <= 4),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(n.embedding AS DOUBLE[])) AS sim
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings n ON n.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |  (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM scored)
+       |WHERE rank <= $K""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val cents = emb.filter(col("vec_id") % 97 === 0)
@@ -109,9 +137,29 @@ object Similarity {
 
   /** Embedding near-dup via random-hyperplane LSH: 16 sign bits from
     * deterministic pseudo-random hyperplanes bucket the corpus; the top-20
-    * most-similar bucket-mate pairs come out. Rows-only oracle; spec plants
-    * duplicates and checks they surface. */
-  val qEmbedNearDup: Q = Q.noOracle("q_embed_neardup") { (s, d) =>
+    * most-similar bucket-mate pairs come out. The hyperplanes are md5
+    * math, so the oracle re-derives them in SQL (same float truncation,
+    * same sign rule); the spec additionally plants duplicates and checks
+    * they surface. */
+  val qEmbedNearDup: Q = Q(
+    "q_embed_neardup",
+    """WITH planes AS (SELECT b,
+      |    list(CAST(CAST(('0x' || substr(md5(b || ',' || k), 1, 15)) AS BIGINT)
+      |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
+      |  FROM range(16) t(b), range(64) u(k) GROUP BY b),
+      |sigs AS (SELECT e.vec_id,
+      |    CAST(sum(CASE WHEN list_cosine_similarity(
+      |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])) > 0
+      |      THEN CAST(pow(2, pl.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+      |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |      CAST(eb.embedding AS DOUBLE[])) AS sim
+      |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+      |SELECT vec_a, vec_b, round(sim, 4) AS cosine
+      |FROM pairs ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     // Hyperplane components r(b, k) in [-1, 1) are CONSTANTS (the same
