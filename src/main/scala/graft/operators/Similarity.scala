@@ -230,5 +230,70 @@ object Similarity {
           x => abs(x - (code(x) * col("mx")) / 127))), 6).as("max_err"))
   }
 
-  val all: Seq[Q] = Seq(qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize)
+  /** Product quantization: 64-d vectors compressed to 8 one-byte codes —
+    * the codebook trick that shrinks a 100 TB vector corpus ~32× for ANN
+    * serving. Each of 8 subspaces (8 dims) is quantized to the nearest of
+    * 16 deterministic codebook entries (the IVF coarse vectors, ranked by
+    * vec_id) by squared L2, ties to the lowest code. Emits the 8 codes
+    * plus the total reconstruction error. Deterministic end-to-end, so
+    * the oracle mirrors the full computation; a real system would train
+    * the codebook with k-means, which only changes the codebook rows. */
+  val qEmbedPq: Q = Q(
+    "q_embed_pq", {
+      val dists = (0 until 8).map(s =>
+        s"list_sum([(v[i]-c[i])*(v[i]-c[i]) for i in range(${s * 8 + 1}, ${s * 8 + 9})]) AS d$s")
+        .mkString(",\n       |   ")
+      // argmin with a smallest-rank tie-break, portably: per-subspace min
+      // distance, then the smallest rank achieving it (arg_min over a
+      // composite ordering is not available in this DuckDB build)
+      val minsSel = (0 until 8).map(s => s"min(d$s) AS m$s").mkString(", ")
+      val codes = (0 until 8).map(s =>
+        s"CAST(min(CASE WHEN d.d$s = m.m$s THEN d.cent_rank END) AS INT) AS c$s")
+        .mkString(",\n       |  ")
+      val err = (0 until 8).map(s => s"any_value(m.m$s)").mkString(" + ")
+      s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_rank,
+         |    CAST(embedding AS DOUBLE[]) AS c
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT vec_id, cent_rank,
+         |   $dists
+         |  FROM v CROSS JOIN cents),
+         |mins AS (SELECT vec_id, $minsSel FROM d GROUP BY vec_id)
+         |SELECT d.vec_id AS vec_id,
+         |  $codes,
+         |  round($err, 6) AS pq_err
+         |FROM d JOIN mins m ON d.vec_id = m.vec_id GROUP BY d.vec_id""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_vid"),
+        transform(col("embedding"), _.cast("double")).as("c"))
+      .withColumn("cent_rank",
+        row_number().over(Window.orderBy("cent_vid")) - 1)
+      .drop("cent_vid")
+    val vd = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    // per (vector, codebook entry): 8 subspace squared-L2 distances, each
+    // an ascending-index fold — the same op order as the oracle's
+    // list_sum comprehension
+    def dist(s0: Int): Column = aggregate(
+      zip_with(slice(col("v"), s0 * 8 + 1, 8), slice(col("c"), s0 * 8 + 1, 8),
+        (a, b) => (a - b) * (a - b)),
+      lit(0d), _ + _)
+    val withD = vd.crossJoin(broadcast(cents))
+      .select(col("vec_id") +: col("cent_rank") +:
+        (0 until 8).map(s0 => dist(s0).as(s"d$s0")): _*)
+    // argmin per subspace as a min_by AGGREGATE (map-side combined — the
+    // exchange carries one row per vector, nothing sorts)
+    val aggs = (0 until 8).flatMap(s0 => Seq(
+      min_by(col("cent_rank"), struct(col(s"d$s0"), col("cent_rank"))).as(s"cc$s0"),
+      min(col(s"d$s0")).as(s"m$s0")))
+    withD.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +:
+        (0 until 8).map(s0 => col(s"cc$s0").cast("int").as(s"c$s0")) :+
+        round((0 until 8).map(s0 => col(s"m$s0")).reduce(_ + _), 6).as("pq_err"): _*)
+  }
+
+  val all: Seq[Q] = Seq(
+    qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq)
 }
