@@ -454,6 +454,30 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
   }
 
+  /** Salted two-stage aggregation — the skew-mitigation shape for a
+    * group-by whose key distribution is pathological (one key taking most
+    * rows): stage 1 groups by (key, salt) so the hot key's rows spread
+    * over 16 reducers; stage 2 merges the 16 partials per key. The result
+    * is identical to the direct group-by (sums/counts are associative;
+    * exact decimal arithmetic, rounded once at the end), which is what
+    * the oracle runs. AQE's skew handling covers sort-merge JOINS, not
+    * aggregations — for aggregations, salting is the technique. Here
+    * l_returnflag (3 values over 6M rows/SF) IS a low-cardinality skewed
+    * key, making this the honest plan for it at 100 TB. */
+  val qSaltedAgg: Q = Q(
+    "q_salted_agg",
+    """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity),2) AS qty,
+      |  round(sum(l_extendedprice),2) AS revenue
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), pmod(hash(col("l_orderkey")), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("pc"), sum("l_quantity").as("pq"),
+        sum("l_extendedprice").as("pe"))
+      .groupBy("l_returnflag")
+      .agg(sum("pc").as("cnt"), round(sum("pq"), 2).as("qty"),
+        round(sum("pe"), 2).as("revenue"))
+  }
+
   /** HyperLogLog sketch vs exact distinct — sketches are engine-specific,
     * so rows-only; the spec bounds the relative error. */
   val qApproxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
@@ -469,5 +493,5 @@ object Relational {
     qIntersect, qMinMax, qCumSum, qLagGaps, qTopPerGroup, qJoinDims,
     qJoinFact, qSemiJoin, qAntiJoin, qOuterJoin, qAsOfJoin, qTopK,
     qConditional, qRegexExtract, qTimeShift, qRollup, qCube, qRangeJoin,
-    qRangeJoinBinned, qAsOfNative, qApproxDistinct)
+    qRangeJoinBinned, qAsOfNative, qSaltedAgg, qApproxDistinct)
 }
