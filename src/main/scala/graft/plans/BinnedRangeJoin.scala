@@ -168,7 +168,15 @@ case class BinRangeJoinRule(spark: org.apache.spark.sql.SparkSession)
       // without it is permanently unresolved.
       val seqExpr = new Sequence(bin(lo), bin(hi), Some(Literal(1L)),
         Some(conf.sessionLocalTimeZone))
-      val guarded = If(LessThanOrEqual(lo, hi), seqExpr,
+      // compare via explicit double casts: lo and hi were each coerced
+      // against pt, not against each other, so their types can differ
+      // (e.g. int lo, double hi) and a bare comparison would not resolve.
+      // Guard-edge rounding is harmless: if the cast doubles compare
+      // equal, the bins computed from those same doubles are equal too,
+      // so the sequence cannot descend.
+      val guarded = If(LessThanOrEqual(
+          Cast(lo, org.apache.spark.sql.types.DoubleType),
+          Cast(hi, org.apache.spark.sql.types.DoubleType)), seqExpr,
         Literal.create(Array.empty[Long],
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, containsNull = false)))

@@ -85,6 +85,25 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("rule handles mixed-type bounds (int lo, double hi)") {
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("pid", "pt")
+      .createOrReplaceTempView("mpts")
+    // lo is INT, hi is DOUBLE: the two bounds never get coerced to a
+    // common type by the analyzer (each is only coerced against pt)
+    Seq((1L, 10, 25.5), (2L, 90, 14.0)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("mivs")
+    val sql = "SELECT pid, iid FROM mpts JOIN mivs ON pt >= lo AND pt <= hi"
+    val expected = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withRule("8.0") {
+      val df = spark.sql(sql)
+      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+      assert(expected.size === 16) // 10..25 inclusive; empty interval drops
+    }
+  }
+
   test("rule is a no-op when the bin width conf is unset") {
     fixtures()
     spark.experimental.extraOptimizations = Seq(BinRangeJoinRule(spark))
