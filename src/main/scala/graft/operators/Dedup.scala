@@ -281,12 +281,18 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint()
-    var labels = nodes
+    // propagate only over nodes that appear in the pair graph — in a
+    // dedup workload that is the (small) duplicate population, so each
+    // round's join touches |graph| rows, not |corpus|; isolated docs get
+    // their identity label in one final left join
+    var labels = edges.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    def labelSum(): BigDecimal = BigDecimal(
+      labels.agg(coalesce(sum("cluster_id"), lit(0)).cast("decimal(38,0)"))
+        .head.getDecimal(0))
     var prevSum = BigDecimal(Long.MaxValue)
-    var curSum = labels.agg(coalesce(sum("cluster_id"), lit(0)).cast("decimal(38,0)"))
-      .head.getDecimal(0)
-    while (BigDecimal(curSum) < prevSum) {
+    var curSum = labelSum()
+    while (curSum < prevSum) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
       labels = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
@@ -294,11 +300,14 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      prevSum = BigDecimal(curSum)
-      curSum = labels.agg(sum("cluster_id").cast("decimal(38,0)"))
-        .head.getDecimal(0)
+      prevSum = curSum
+      curSum = labelSum()
     }
-    labels
+    nodes.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "g_id"),
+        col("doc_id") === col("g_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   val all: Seq[Q] = Seq(
