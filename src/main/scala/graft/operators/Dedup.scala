@@ -287,12 +287,16 @@ object Dedup {
     // their identity label in one final left join
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    // convergence metric: labels only ever decrease, so an unchanged sum
+    // is a fixpoint. Sum in decimal(38,0) — summing LongType would
+    // overflow for hash-derived 2^60-ish ids long before 38 digits do
     def labelSum(): BigDecimal = BigDecimal(
-      labels.agg(coalesce(sum("cluster_id"), lit(0)).cast("decimal(38,0)"))
+      labels.agg(
+        coalesce(sum(col("cluster_id").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
         .head.getDecimal(0))
-    var prevSum = BigDecimal(Long.MaxValue)
+    var prevSum: Option[BigDecimal] = None
     var curSum = labelSum()
-    while (curSum < prevSum) {
+    while (prevSum.forall(curSum < _)) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
       labels = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
@@ -300,7 +304,7 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      prevSum = curSum
+      prevSum = Some(curSum)
       curSum = labelSum()
     }
     nodes.select(col("doc_id"))

@@ -158,15 +158,22 @@ case class AsOfJoinExec(
           while (rHead != null && ordKT.compare(rKT(rHead), lkt) <= 0) {
             // rows ahead of the pointer with smaller keys are discards;
             // same-key rows advance the remembered match (time ascending,
-            // so the last one wins)
-            if (ordK.compare(rK(rHead), lK(l)) == 0) {
+            // so the last one wins). SQL semantics: a null key equals
+            // nothing and a null time is at-or-before nothing, so such
+            // right rows are consumed but never remembered (the natural
+            // row ordering would otherwise treat NULL == NULL as a match)
+            val rkt = rKT(rHead)
+            if (!rkt.isNullAt(0) && !rkt.isNullAt(1) &&
+                ordK.compare(rK(rHead), lK(l)) == 0) {
               lastMatch = rHead
               lastMatchKey = rK(rHead).copy()
             }
             rHead = nextRight()
           }
+          // a left row with a null key or null time matches nothing either
           val m =
-            if (lastMatch != null && ordK.compare(lastMatchKey, lK(l)) == 0) lastMatch
+            if (!lkt.isNullAt(0) && !lkt.isNullAt(1) &&
+                lastMatch != null && ordK.compare(lastMatchKey, lK(l)) == 0) lastMatch
             else nullRight
           outProj(joined(l, m))
         }

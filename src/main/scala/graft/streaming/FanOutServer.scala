@@ -62,22 +62,36 @@ final class FanOutServer(log: String => Unit) {
     reader.setDaemon(true)
     reader.start()
 
-    /** One burst, reference semantics (DataGeneratorActor.scala:259-276). */
-    def send(values: Seq[Int], timeMs: Long): Unit = synchronized {
+    /** One burst, reference semantics (DataGeneratorActor.scala:259-276).
+      * Returns false when the client's socket is gone (caller unregisters
+      * it — a dead peer must not fail the whole fan-out, and leaving it
+      * registered would inflate drop counters forever).
+      *
+      * Credit is consumed with `addAndGet(-credit)`, never `set(0)`: the
+      * reader thread registers new `REQ` credit concurrently, and a blind
+      * zero would erase (already-logged) credit that arrived between the
+      * read and the write — the counters↔log reconciliation
+      * FanOutDropSpec asserts would diverge permanently. */
+    def send(values: Seq[Int], timeMs: Long): Boolean = synchronized {
       val credit = demand.get()
-      if (credit == 0L) {
-        dropped.addAndGet(values.size.toLong)
-        log(formatters.drop(timeMs, values.size.toLong, id))
-      } else if (values.size > credit) {
-        write(values.take(credit.toInt))
-        delivered.addAndGet(credit)
-        dropped.addAndGet(values.size - credit)
-        log(formatters.drop(timeMs, values.size - credit, id))
-        demand.set(0L)
-      } else {
-        write(values)
-        delivered.addAndGet(values.size.toLong)
-        demand.addAndGet(-values.size.toLong)
+      try {
+        if (credit == 0L) {
+          dropped.addAndGet(values.size.toLong)
+          log(formatters.drop(timeMs, values.size.toLong, id))
+        } else if (values.size > credit) {
+          write(values.take(credit.toInt))
+          delivered.addAndGet(credit)
+          dropped.addAndGet(values.size - credit)
+          log(formatters.drop(timeMs, values.size - credit, id))
+          demand.addAndGet(-credit)
+        } else {
+          write(values)
+          delivered.addAndGet(values.size.toLong)
+          demand.addAndGet(-values.size.toLong)
+        }
+        true
+      } catch {
+        case _: java.io.IOException => close(); false
       }
     }
 
@@ -103,9 +117,12 @@ final class FanOutServer(log: String => Unit) {
   acceptor.setDaemon(true)
   acceptor.start()
 
-  /** Fan one burst out to every connected client (stable id order). */
+  /** Fan one burst out to every connected client (stable id order);
+    * clients whose sockets are gone are unregistered, not fatal. */
   def send(values: Seq[Int], timeMs: Long = System.currentTimeMillis()): Unit =
-    clients.values.asScala.toSeq.sortBy(_.id).foreach(_.send(values, timeMs))
+    clients.values.asScala.toSeq.sortBy(_.id).foreach { c =>
+      if (!c.send(values, timeMs)) clients.remove(c.id)
+    }
 
   /** client id → (delivered, dropped) live counters. */
   def stats: Map[Int, (Long, Long)] =

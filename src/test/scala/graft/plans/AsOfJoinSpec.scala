@@ -35,6 +35,23 @@ class AsOfJoinSpec extends SparkSpec {
       ("C", 4L, null, null)))  // key with no right rows at all
   }
 
+  test("null keys and null times never match (SQL semantics, not null==null)") {
+    import spark.implicits._
+    val right = Seq((Some("A"), Some(1L)), (None, Some(2L)), (Some("B"), None))
+      .toDF("rk", "rt")
+    val left = Seq(
+      (1L, Some("A"), Some(5L)), // normal match
+      (2L, None, Some(5L)),      // null key: no match even vs null-key right
+      (3L, Some("B"), Some(5L)), // only right row for B has null time: no match
+      (4L, Some("A"), None))     // null time: no match
+      .toDF("id", "lk", "lt")
+    val got = AsOfJoin.join(left, right, "lk", "rk", "lt", "rt")
+      .select("id", "rt")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(got === Map(1L -> 1L, 2L -> null, 3L -> null, 4L -> null))
+  }
+
   test("bit-parity with the union+window formulation at sf0.001") {
     val native = Relational.qAsOfNative.build(spark, sf)
     val window = Relational.qAsOfJoin.build(spark, sf)

@@ -20,6 +20,36 @@ class FanOutDropSpec extends SparkSpec {
     (1 to n).map(_ => r.readLine().toInt)
   }
 
+  test("a disconnected client is unregistered; the fan-out survives") {
+    val server = new FanOutServer(_ => ())
+    val alive = new Socket("localhost", server.port)
+    val dying = new Socket("localhost", server.port)
+    try {
+      new PrintWriter(alive.getOutputStream, true).println("REQ 100")
+      new PrintWriter(dying.getOutputStream, true).println("REQ 100")
+      val deadline = System.currentTimeMillis() + 10000
+      while (server.demands.values.sum < 200L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(server.clientCount === 2)
+
+      dying.close()
+      // the TCP stack may swallow the first write after a peer close —
+      // keep sending until the server notices the broken pipe
+      val gone = System.currentTimeMillis() + 10000
+      while (server.clientCount > 1 && System.currentTimeMillis() < gone) {
+        server.send(Seq(1, 2, 3)); Thread.sleep(20)
+      }
+      assert(server.clientCount === 1, "dead client still registered")
+      // the surviving client kept receiving
+      val (delivered, _) = server.stats.values.head
+      assert(delivered >= 3L)
+      val got = readInts(alive, 3)
+      assert(got === Seq(1, 2, 3))
+    } finally {
+      alive.close(); dying.close(); server.close()
+    }
+  }
+
   test("producer drop accounting closes the loop: run → logs → tables → sums match") {
     val logLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val server = new FanOutServer(l => logLines.synchronized { logLines += l; () })
