@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.plans.{PlanParser, TestPlan}
+
+/** S11 — the reference testbed's HTTP control plane (its Play app's
+  * `POST /plan` accepting HOCON plan text, reference
+  * `Application.postPlan`), re-expressed on the JDK's built-in HTTP
+  * server: no framework, no extra dependency, same contract.
+  *
+  *   - `POST /plan` with a plan body → parse; on success hand the
+  *     [[TestPlan]] to the supplied callback (typically: start a
+  *     [[StreamingStats]] query for it) and reply `202 <id>`;
+  *     a parse failure replies `400` with the error.
+  *   - `GET /plans` → the ids accepted so far, one per line.
+  *
+  * Control plane only — data never flows through HTTP. The callback runs
+  * on the serving thread; callers that start Spark queries should hand
+  * off to their own executor if submission must not block the endpoint.
+  */
+final class PlanEndpoint(onPlan: (Long, TestPlan) => Unit) {
+
+  private val ids = new AtomicLong(0L)
+  private val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  def port: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  server.createContext("/plan", (ex: HttpExchange) =>
+    if (ex.getRequestMethod != "POST") respond(ex, 405, "POST only\n")
+    else {
+      val text = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      scala.util.Try(PlanParser.parse(text)) match {
+        case scala.util.Success(plan) =>
+          val id = ids.incrementAndGet()
+          accepted.synchronized { accepted += id; () }
+          onPlan(id, plan)
+          respond(ex, 202, s"$id\n")
+        case scala.util.Failure(e) =>
+          respond(ex, 400, s"bad plan: ${e.getMessage}\n")
+      }
+    })
+
+  server.createContext("/plans", (ex: HttpExchange) =>
+    respond(ex, 200, accepted.synchronized(accepted.mkString("", "\n", "\n"))))
+
+  server.start()
+
+  def close(): Unit = server.stop(0)
+}
