@@ -12,8 +12,8 @@ import graft.plans.{PlanParser, TestPlan}
   * server: no framework, no extra dependency, same contract.
   *
   *   - `POST /plan` with a plan body → parse; on success hand the
-  *     [[TestPlan]] to the supplied callback (typically: start a
-  *     [[StreamingStats]] query for it) and reply `202 <id>`;
+  *     [[TestPlan]] (and the raw text, which [[StreamingStats.run]]
+  *     takes verbatim) to the supplied callback and reply `202 <id>`;
   *     a parse failure replies `400` with the error.
   *   - `GET /plans` → the ids accepted so far, one per line.
   *
@@ -21,7 +21,7 @@ import graft.plans.{PlanParser, TestPlan}
   * on the serving thread; callers that start Spark queries should hand
   * off to their own executor if submission must not block the endpoint.
   */
-final class PlanEndpoint(onPlan: (Long, TestPlan) => Unit) {
+final class PlanEndpoint(onPlan: (Long, TestPlan, String) => Unit) {
 
   private val ids = new AtomicLong(0L)
   private val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -44,7 +44,7 @@ final class PlanEndpoint(onPlan: (Long, TestPlan) => Unit) {
         case scala.util.Success(plan) =>
           val id = ids.incrementAndGet()
           accepted.synchronized { accepted += id; () }
-          onPlan(id, plan)
+          onPlan(id, plan, text)
           respond(ex, 202, s"$id\n")
         case scala.util.Failure(e) =>
           respond(ex, 400, s"bad plan: ${e.getMessage}\n")

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{HttpURLConnection, Socket, URL}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import graft.SparkSpec
+import graft.operators.LogAnalytics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The reference testbed's WHOLE lifecycle in one run (SURVEY §3.2):
+  * plan arrives over HTTP → plan-driven generator streams it → each
+  * micro-batch fans out over TCP with demand-capped delivery → DROP/REQ
+  * events land in logs → the log-analytics tables reconcile with the
+  * server's live counters and the bytes on the wire.
+  */
+class FullSystemSpec extends SparkSpec {
+
+  test("HTTP plan → streaming query → TCP delivery → drop accounting") {
+    val logLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = new FanOutServer(l => logLines.synchronized { logLines += l; () })
+    val started = new CountDownLatch(1)
+    @volatile var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    val endpoint = new PlanEndpoint((_, _, planText) => {
+      query = spark.readStream.format("plan-gen")
+        .option("plan", planText)
+        .option("numPartitions", 2)
+        .load()
+        .writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime(200L))
+        .foreachBatch(server.batchSink)
+        .start()
+      started.countDown()
+    })
+    val client = new Socket("localhost", server.port)
+    try {
+      new PrintWriter(client.getOutputStream, true).println("REQ 120")
+      val deadline = System.currentTimeMillis() + 10000
+      while (server.demands.values.sum < 120L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+
+      // 2 plan-seconds × 100 values/s of value 7 — total 200 > credit 120
+      val conn = new URL(s"http://localhost:${endpoint.port}/plan")
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        "sequence = [ { type = fixed, value = 7, rate = 100, duration = 2 } ]"
+          .getBytes(StandardCharsets.UTF_8))
+      assert(conn.getResponseCode === 202)
+      assert(started.await(30, TimeUnit.SECONDS), "query never started")
+      query.processAllAvailable()
+
+      // regardless of how triggers batched the 200 values, credit caps
+      // delivery at exactly 120 and drops the other 80
+      val (delivered, dropped) = server.stats.values.head
+      assert(delivered === 120L, server.stats.toString)
+      assert(dropped === 80L)
+      // the wire saw exactly the delivered values (all 7s)
+      client.setSoTimeout(10000)
+      val r = new BufferedReader(new InputStreamReader(client.getInputStream))
+      val onWire = (1 to 120).map(_ => r.readLine().toInt)
+      assert(onWire.forall(_ === 7))
+      // DROP log lines → analytics table → sum == live counter
+      import spark.implicits._
+      val drops = LogAnalytics.droppedValues(
+        logLines.synchronized(logLines.toSeq).toDF("value"))
+      assert(drops.agg(sum("count")).head.getLong(0) === 80L)
+    } finally {
+      endpoint.close()
+      if (query != null) query.stop()
+      client.close()
+      server.close()
+    }
+  }
+}

@@ -20,7 +20,7 @@ class PlanEndpointSpec extends AnyFunSuite {
 
   test("POST /plan parses, assigns ids, hands the plan to the callback; bad plans 400") {
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, TestPlan)]
-    val ep = new PlanEndpoint((id, p) => got.synchronized { got += ((id, p)); () })
+    val ep = new PlanEndpoint((id, p, _) => got.synchronized { got += ((id, p)); () })
     try {
       val (c1, b1) = post(ep.port, "/plan",
         "sequence = [ { type = fixed, value = 7, rate = 100, duration = 2 } ]")
