@@ -21,20 +21,21 @@ object Dedup {
   private val NumHashes = 8
   private val Bands = 4 // 2 minhashes per band
 
-  /** doc_id + shingle array (3-word shingles, lowercased). */
+  /** doc_id + source + shingle array (3-word shingles, lowercased). */
   private def withShingles(s: SparkSession, d: String): DataFrame = {
     val ws = Portable.words(col("text"))
     Tables.documents(s, d)
-      .select(col("doc_id"), Portable.shingles(ws, col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("source"),
+        Portable.shingles(ws, col("text"), 3).as("sh"))
   }
 
   private def duckShingles: String =
-    """SELECT doc_id,
+    """SELECT doc_id, source,
       |    CASE WHEN len(words) >= 3
       |      THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
       |            for i in range(1, len(words)-1)]
       |      ELSE [lower(trim(text))] END AS sh
-      |  FROM (SELECT doc_id, text,
+      |  FROM (SELECT doc_id, source, text,
       |      string_split_regex(lower(trim(text)), '\s+') AS words
       |    FROM documents)""".stripMargin
 
@@ -314,7 +315,47 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Benchmark-contamination check — the decontamination pass every
+    * training corpus runs before evaluation: treating one source
+    * (`src0`) as the held-out benchmark, score each of its documents by
+    * the fraction of its distinct 3-word shingles that appear ANYWHERE
+    * in the training split (all other sources).
+    *
+    * Shape: the training side collapses to a distinct-shingle set (one
+    * shuffle), the eval side semi-joins against it on the shingle key
+    * (second shuffle) — never a doc×doc comparison, so it scales with
+    * corpus size like the LSH queries do. */
+  val qContamination: Q = Q(
+    "q_contamination",
+    s"""WITH sh AS ($duckShingles),
+       |ds AS (SELECT doc_id, source, list_distinct(sh) AS sh FROM sh),
+       |eval AS (SELECT doc_id, unnest(sh) AS shingle FROM ds WHERE source = 'src0'),
+       |train AS (SELECT DISTINCT shingle FROM
+       |  (SELECT unnest(sh) AS shingle FROM ds WHERE source <> 'src0')),
+       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM eval GROUP BY doc_id),
+       |hit AS (SELECT e.doc_id, count(*) AS n_hit
+       |  FROM eval e JOIN train t ON e.shingle = t.shingle GROUP BY e.doc_id)
+       |SELECT tot.doc_id AS doc_id, n_shingles,
+       |  coalesce(n_hit, 0) AS n_hit,
+       |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_shingles, 4) AS contaminated_frac
+       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin) { (s, d) =>
+    val ds = withShingles(s, d)
+      .select(col("doc_id"), col("source"), array_distinct(col("sh")).as("sh"))
+    val eval = ds.filter(col("source") === "src0")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val train = ds.filter(col("source") =!= "src0")
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val tot = eval.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hit = eval.join(train, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("contaminated_frac"))
+  }
+
   val all: Seq[Q] = Seq(
     qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash, qSimhashPairs,
-    qDedupNear, qDedupClusters)
+    qDedupNear, qDedupClusters, qContamination)
 }

@@ -302,7 +302,50 @@ object TextAnalysis {
         .as("dup_bigram_frac"))
   }
 
+  /** Document chunking: split each document into fixed-size character
+    * chunks with overlap (size 200, stride 150) — the context-window
+    * packing step of a training pipeline. One `posexplode` of a computed
+    * start-offset sequence per row: narrow, shuffle-free, and the output
+    * row count scales with corpus bytes / stride regardless of document
+    * count. 1-indexed substring in both engines. */
+  val qChunkDocs: Q = Q(
+    "q_chunk_docs",
+    """SELECT doc_id, CAST((start - 1) // 150 AS INT) AS chunk_idx,
+      |  substring(text, start, 200) AS chunk,
+      |  length(substring(text, start, 200)) AS chunk_len
+      |FROM (SELECT doc_id, text,
+      |    unnest(generate_series(1, greatest(length(text), 1), 150)) AS start
+      |  FROM documents)""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("substring(text, start, 200)").as("chunk"),
+        length(expr("substring(text, start, 200)")).as("chunk_len"))
+  }
+
+  /** Corpus mixing: deterministic per-source sampling rates (the
+    * "2× this source, 0.1× that one" recipe of a training mix),
+    * reproducible under reruns and repartitioning because membership is
+    * a pure function of doc_id. Zero shuffle. */
+  val qSourceSample: Q = Q(
+    "q_source_sample",
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+      |  % (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 5
+      |      WHEN 'src2' THEN 10 ELSE 20 END) = 0""".stripMargin) { (s, d) =>
+    val rate = when(col("source") === "src0", 2)
+      .when(col("source") === "src1", 5)
+      .when(col("source") === "src2", 10)
+      .otherwise(20)
+    Tables.documents(s, d)
+      .filter(Portable.hash60(col("doc_id").cast("string")) % rate === 0)
+      .select("doc_id", "source")
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
-    qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition)
+    qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
+    qChunkDocs, qSourceSample)
 }
