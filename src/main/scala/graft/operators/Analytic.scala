@@ -265,8 +265,32 @@ object Analytic {
         round(col("stats.stddevPop"), 4).as("stddev_value"))
   }
 
+  /** RANGE-frame window: per user, the rolling 10-minute event count and
+    * value sum — a TIME-bounded frame (peers by event-time seconds), not
+    * a row-bounded one, which is the frame kind every rolling-metric
+    * query needs and the only frame family the other window gates don't
+    * exercise. Partitioned by user (high cardinality), epoch-second
+    * ordering shared with the oracle. */
+  val qRollingWindow: Q = Q(
+    "q_rolling_window",
+    """SELECT event_id, user_id, secs,
+      |  count(*) OVER w AS rolling_cnt,
+      |  round(sum(value) OVER w, 2) AS rolling_sum
+      |FROM (SELECT event_id, user_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY secs
+      |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("secs").rangeBetween(-600, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("secs"))
+      .select(col("event_id"), col("user_id"), col("secs"),
+        count(lit(1)).over(w).as("rolling_cnt"),
+        round(sum("value").over(w), 2).as("rolling_sum"))
+  }
+
   val all: Seq[Q] = Seq(
     qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
-    qAsOfForward, qTypedStats)
+    qAsOfForward, qTypedStats, qRollingWindow)
 }
