@@ -238,7 +238,10 @@ object Analytic {
     // stddev_pop uses a compensated stream that differs in the 4th rounded
     // decimal for some groups (CORRECTNESS_r02: hash_match=false) — two
     // correct algorithms, different last-ulp; bit-parity needs one formula.
-    """SELECT event_type, n AS cnt, s AS sum_value,
+    // CAST(s AS BIGINT): DuckDB's sum(BIGINT) widens to HUGEINT, which the
+    // driver's pandas bridge surfaces as double — same digits, different
+    // type hash vs Spark's BIGINT (CORRECTNESS_r03: values matched by hand).
+    """SELECT event_type, n AS cnt, CAST(s AS BIGINT) AS sum_value,
       |  round(CAST(s AS DOUBLE) / n, 4) AS mean_value,
       |  round(sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
       |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n, 4) AS stddev_value
