@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatCosine
+import graft.functions.{CollectCapped, FloatCosine}
 
 /** SparkSessionExtensions hook: install graft's native functions and
   * optimizer rules at session build time
@@ -15,6 +15,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(functions.GraftFunctions.CosineName),
       new ExpressionInfo(classOf[FloatCosine].getName, functions.GraftFunctions.CosineName),
       (exprs: Seq[Expression]) => FloatCosine(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(functions.GraftFunctions.CollectCappedName),
+      new ExpressionInfo(classOf[CollectCapped].getName, functions.GraftFunctions.CollectCappedName),
+      (exprs: Seq[Expression]) =>
+        CollectCapped(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)))
     // binned range join (opt-in via spark.graft.rangeJoin.binWidth):
     // rewrites point-in-interval joins to an equi-join on a bin key so
     // they shuffle instead of nested-looping — see plans/BinnedRangeJoin

@@ -85,13 +85,24 @@ case class FloatCosine(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val CollectCappedName = "graft_collect_capped"
+
+  /** Build a [[CollectCapped]] from SQL arguments: the cap must be a
+    * foldable integer (it sizes aggregation buffers at plan time). */
+  private def mkCollectCapped(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$CollectCappedName takes exactly 2 arguments (expr, cap), got ${exprs.length}")
+    require(exprs(1).foldable,
+      s"$CollectCappedName cap must be a literal integer")
+    CollectCapped(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(CosineName)
-    if (!registry.functionExists(id)) {
+    val cosId = FunctionIdentifier(CosineName)
+    if (!registry.functionExists(cosId)) {
       registry.registerFunction(
-        id,
+        cosId,
         new ExpressionInfo(classOf[FloatCosine].getName, CosineName),
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2,
@@ -99,8 +110,21 @@ object GraftFunctions {
           FloatCosine(exprs.head, exprs(1))
         })
     }
+    val ccId = FunctionIdentifier(CollectCappedName)
+    if (!registry.functionExists(ccId)) {
+      registry.registerFunction(
+        ccId,
+        new ExpressionInfo(classOf[CollectCapped].getName, CollectCappedName),
+        (exprs: Seq[Expression]) => mkCollectCapped(exprs))
+    }
   }
 
   /** Column API for the native cosine (after [[register]]). */
   def cosine(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Column API for the bounded collect (after [[register]]): at most
+    * `cap + 1` elements retained per group — size `cap + 1` flags an
+    * overflowing group (see [[CollectCapped]]). */
+  def collectCapped(e: Column, cap: Int): Column =
+    call_function(CollectCappedName, e, org.apache.spark.sql.functions.lit(cap))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.functions.Portable
+import graft.functions.{GraftFunctions, Portable}
 
 /** Approximate-dedup operators: MinHash+LSH banding, n-gram Jaccard, and
   * SimHash, built entirely from native Catalyst functions over the
@@ -15,11 +15,29 @@ import graft.functions.Portable
   * whose buckets stay tiny by construction — this is the standard way
   * near-dedup survives 100 TB, versus the O(n²) all-pairs join that
   * doesn't.
+  *
+  * Skew safety: every bucket is collected with the bounded
+  * [[graft.functions.CollectCapped]] aggregate and oversized buckets are
+  * DROPPED before pair expansion — a hot key (a stopword-ish shingle, a
+  * degenerate all-identical corpus collapsing into one band bucket) costs
+  * O(cap) memory and O(cap²) pairs instead of OOMing one task. Identical
+  * documents are the exact-dedup pass's job ([[TextAnalysis]] fingerprint
+  * groupBy), so LSH skipping a mega-bucket of exact copies loses nothing.
+  * Every oracle mirrors the cap with a COUNT() OVER (PARTITION BY bucket)
+  * filter, so the gates stay value-exact with the cap on.
   */
 object Dedup {
 
   private val NumHashes = 8
   private val Bands = 4 // 2 minhashes per band
+
+  /** Max docs per LSH band bucket before the bucket is skipped. */
+  private[operators] val MaxBucket = 1024
+
+  /** Max document frequency for a shingle to join the inverted index —
+    * shingles in more docs than this are too common to signal
+    * near-duplication and would expand quadratically. */
+  private[operators] val MaxShingleDf = 256
 
   /** doc_id + source + shingle array (3-word shingles, lowercased). */
   private def withShingles(s: SparkSession, d: String): DataFrame = {
@@ -87,11 +105,15 @@ object Dedup {
       s"""WITH sh AS ($duckShingles),
          |mh AS (SELECT doc_id, ${(0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(", ")} FROM sh),
          |bands AS (SELECT doc_id, ${(0 until Bands).map(b => s"md5(CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR)) AS band$b").mkString(", ")} FROM mh),
-         |long AS ($unpivot)
+         |long AS ($unpivot),
+         |longc AS (SELECT doc_id, band_id, bhash FROM
+         |  (SELECT *, count(*) OVER (PARTITION BY band_id, bhash) AS bsz FROM long)
+         |  WHERE bsz <= $MaxBucket)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM long a JOIN long b
+         |FROM longc a JOIN longc b
          |  ON a.band_id = b.band_id AND a.bhash = b.bhash AND a.doc_id < b.doc_id""".stripMargin
     }) { (s, d) =>
+    GraftFunctions.register(s)
     val bands = qMinhashBands.build(s, d)
     val long = bands.selectExpr(
       "doc_id",
@@ -102,9 +124,11 @@ object Dedup {
     // join build side. Pairs come from two nested explodes (codegen'd
     // Generate) — the array-lambda formulation (flatten∘transform∘slice)
     // walks interpreted HigherOrderFunctions and allocates per element.
+    // collectCapped bounds per-bucket state at MaxBucket+1 elements;
+    // size MaxBucket+1 = overflow → the between() drops the bucket.
     long.groupBy("band_id", "bhash")
-      .agg(collect_list("doc_id").as("docs"))
-      .filter(size(col("docs")) > 1)
+      .agg(GraftFunctions.collectCapped(col("doc_id"), MaxBucket).as("docs"))
+      .filter(size(col("docs")).between(2, MaxBucket))
       .select(col("docs"), explode(col("docs")).as("doc_a"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
@@ -119,24 +143,33 @@ object Dedup {
        |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh),
        |sizes AS (SELECT doc_id, len(sh) AS sz FROM ds),
        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM ds),
+       |invc AS (SELECT doc_id, shingle FROM
+       |  (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM inv)
+       |  WHERE df <= $MaxShingleDf),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-       |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM invc a JOIN invc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY doc_a, doc_b)
        |SELECT doc_a, doc_b,
        |  round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
     val ds = withShingles(s, d).select(col("doc_id"), array_distinct(col("sh")).as("sh"))
     // Carry each doc's shingle-set size INTO the inverted index, so the
     // bucket expansion emits (doc_a, sa, doc_b, sb) directly — no size
     // lookup joins, and the shingle pipeline runs exactly once. Two
-    // shuffles total (shingle, pair); at petabyte scale additionally cap
-    // shingle document frequency here (kept exact for oracle parity).
+    // shuffles total (shingle, pair). Shingles with document frequency
+    // above MaxShingleDf are dropped BEFORE expansion (collectCapped keeps
+    // the bucket O(cap); the between() filter drops the overflow) — the
+    // jaccard denominator still uses the FULL per-doc shingle-set size, so
+    // surviving pairs score exactly as uncapped. Note this makes reported
+    // jaccard a lower bound for docs sharing ultra-common shingles — the
+    // standard trade (common shingles carry no near-dup signal).
     val inv = ds.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     inv.groupBy("shingle")
-      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .agg(GraftFunctions.collectCapped(struct(col("doc_id"), col("sz")), MaxShingleDf).as("docs"))
+      .filter(size(col("docs")).between(2, MaxShingleDf))
       // two nested explodes (codegen'd Generate) + a < filter — faster than
       // the interpreted flatten∘transform∘slice pair expansion
       .select(col("docs"), explode(col("docs")).as("a"))
@@ -193,21 +226,25 @@ object Dedup {
       val unpivot = (0 until 4)
         .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash // ${1L << (8 * b)}) % 256 AS band FROM sh")
         .mkString(" UNION ALL ")
-      s"""WITH sh AS ($simhashSql), long AS ($unpivot)
+      s"""WITH sh AS ($simhashSql), long AS ($unpivot),
+         |longc AS (SELECT doc_id, simhash, band_id, band FROM
+         |  (SELECT *, count(*) OVER (PARTITION BY band_id, band) AS bsz FROM long)
+         |  WHERE bsz <= $MaxBucket)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM long a JOIN long b
+         |FROM longc a JOIN longc b
          |  ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
     }) { (s, d) =>
+    GraftFunctions.register(s)
     val sig = qSimhash.build(s, d)
     val long = sig.selectExpr(
       "doc_id", "simhash",
       s"stack(4, ${(0 until 4).map(b => s"$b, shiftright(simhash, ${8 * b}) % 256").mkString(", ")}) AS (band_id, band)")
     long.groupBy("band_id", "band")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .agg(GraftFunctions.collectCapped(struct(col("doc_id"), col("simhash")), MaxBucket).as("docs"))
+      .filter(size(col("docs")).between(2, MaxBucket))
       .select(col("docs"), explode(col("docs")).as("a"))
       .select(col("a"), explode(col("docs")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -152,10 +152,13 @@ object Similarity {
       |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])) > 0
       |      THEN CAST(pow(2, pl.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+      |sigsc AS (SELECT vec_id, bucket FROM
+      |  (SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM sigs)
+      |  WHERE bsz <= 1024),
       |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
       |      CAST(eb.embedding AS DOUBLE[])) AS sim
-      |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  FROM sigsc a JOIN sigsc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
       |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
       |SELECT vec_a, vec_b, round(sim, 4) AS cosine
@@ -178,11 +181,14 @@ object Similarity {
     // (16 fused cosines per row) runs ONCE, and the shuffle carries one
     // row per vector instead of a join build side; buckets are tiny by
     // construction (16 sign bits over the corpus), so the nested explodes
-    // emit only genuine candidate pairs
+    // emit only genuine candidate pairs. collectCapped bounds per-bucket
+    // state (a degenerate corpus collapsing into one bucket would
+    // otherwise build it as a single task-local array); size 1025 =
+    // overflow → dropped, mirrored by the oracle's bsz filter.
     emb.withColumn("bucket", sig)
       .groupBy("bucket")
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
-      .filter(size(col("vs")) > 1)
+      .agg(GraftFunctions.collectCapped(struct(col("vec_id"), col("embedding")), 1024).as("vs"))
+      .filter(size(col("vs")).between(2, 1024))
       .select(col("vs"), explode(col("vs")).as("a"))
       .select(col("a"), explode(col("vs")).as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))

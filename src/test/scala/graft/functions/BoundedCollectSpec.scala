@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The bounded collect aggregate ([[CollectCapped]]) and the hot-bucket
+  * behavior it buys the dedup/LSH family: oversized groups are retained at
+  * exactly cap+1 elements (the overflow sentinel) through both the partial
+  * and merge paths, and the pair-generation queries drop them instead of
+  * materializing one unbounded array in one task. */
+class BoundedCollectSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def registered = { GraftFunctions.register(spark); spark }
+
+  test("groups at or under the cap are collected in full") {
+    val s = registered
+    val df = s.range(0, 100)
+      .select((col("id") % 10).as("k"), col("id").as("v"))
+      .groupBy("k")
+      .agg(GraftFunctions.collectCapped(col("v"), 10).as("vs"))
+      .select(col("k"), size(col("vs")).as("n"), col("vs"))
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getInt(1) == 10))
+    // full contents, not a sample: k=3 holds exactly {3, 13, ..., 93}
+    val k3 = rows.find(_.getLong(0) == 3L).get.getSeq[Long](2).toSet
+    assert(k3 == (0 until 10).map(i => 3L + 10 * i).toSet)
+  }
+
+  test("an overflowing group is bounded at cap+1, never the true size") {
+    val s = registered
+    // one hot key with 100k values across many partitions — the unbounded
+    // collect_list would materialize all 100k; the cap keeps 33
+    val n = s.range(0, 100000, 1, 16)
+      .select(lit("hot").as("k"), col("id").as("v"))
+      .groupBy("k")
+      .agg(GraftFunctions.collectCapped(col("v"), 32).as("vs"))
+      .select(size(col("vs")))
+      .head.getInt(0)
+    assert(n == 33, s"overflow sentinel must be cap+1, got $n")
+  }
+
+  test("nulls are skipped like collect_list") {
+    val s = registered
+    val n = s.range(0, 10)
+      .select(lit(1).as("k"), when(col("id") % 2 === 0, col("id")).as("v"))
+      .groupBy("k")
+      .agg(GraftFunctions.collectCapped(col("v"), 100).as("vs"))
+      .select(size(col("vs")))
+      .head.getInt(0)
+    assert(n == 5)
+  }
+
+  test("SQL surface: graft_collect_capped via GraftExtensions registry") {
+    val s = registered
+    s.range(0, 50).createOrReplaceTempView("bc_sql_in")
+    val n = s.sql(
+      "SELECT size(graft_collect_capped(id, 7)) AS n FROM bc_sql_in")
+      .head.getInt(0)
+    assert(n == 8)
+  }
+
+  test("degenerate corpus: 1500 identical docs complete with buckets dropped, exact dedup still catches them") {
+    val s = registered
+    import s.implicits._
+    // 1500 byte-identical docs + 2 genuine near-dups. All 1500 collapse
+    // into the SAME MinHash band buckets (bucket size 1500 > MaxBucket =
+    // 1024 if uncapped ⇒ ~1.1M pairs from one task). With the cap the
+    // bucket is dropped: the pipeline completes, emits only the near-dup
+    // pair, and the identical docs remain the exact-dedup pass's job.
+    val docs = (0 until 1500).map(i => (i.toLong, "srcA", "the quick brown fox jumps over the lazy dog again and again")) ++
+      Seq((900L, "srcB", "completely unique text alpha beta gamma delta epsilon zeta eta theta"),
+          (901L, "srcB", "completely unique text alpha beta gamma delta epsilon zeta eta theta iota"))
+    val df = docs.toDF("doc_id", "source", "text")
+    df.createOrReplaceTempView("bc_documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bc_docs").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val pairs = graft.operators.Dedup.qMinhashPairs.build(s, tmp).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((900L, 901L)),
+      s"only the genuine near-dup pair should survive the bucket cap, got ${pairSet.size} pairs")
+
+    // the identical docs ARE caught by the exact path (hash groupBy)
+    val exactGroups = df.groupBy(md5(col("text").cast("binary")))
+      .count().filter(col("count") > 1).count()
+    assert(exactGroups == 1L)
+  }
+
+  test("hot shingle across 1k docs: jaccard pipeline stays bounded and exact for uncommon shingles") {
+    val s = registered
+    import s.implicits._
+    // every doc contains one shared hot 3-gram ("common filler words") —
+    // df=1000 > MaxShingleDf, so it is excluded from the inverted index;
+    // two docs also share three rare shingles and must still pair up.
+    val hot = "common filler words"
+    val docs = (0 until 1000).map { i =>
+      val rare = if (i < 2) "rare shared shingle text here" else s"doc$i unique body text $i"
+      (i.toLong, "srcA", s"$hot $rare")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("bc_hot").toString
+    docs.toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val top = graft.operators.Dedup.qNgramJaccard.build(s, tmp).collect()
+    assert(top.nonEmpty, "the rare-shingle pair must survive the DF cap")
+    val best = top.head
+    assert((best.getLong(0), best.getLong(1)) == (0L, 1L),
+      s"docs 0 and 1 share rare shingles and must rank first, got $best")
+    // jaccard uses FULL set sizes: both docs have 7 distinct shingles
+    // (9 words -> 7 shingles), sharing 5 of the rare ones; the hot shingle
+    // and its df>cap bridge shingles are excluded from the intersection
+    // counts but stay in the denominators — value must be < 1.0
+    assert(best.getDouble(2) < 1.0 && best.getDouble(2) > 0.0)
+  }
+}
