@@ -19,6 +19,22 @@ import org.apache.spark.sql.DataFrame
   */
 object GnuplotSink {
 
+  /** Escape a value interpolated inside a double-quoted gnuplot string:
+    * backslashes and double quotes would otherwise terminate or mangle the
+    * script (column names and artifact names are caller-controlled). */
+  private[operators] def q(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** One .dat cell: whitespace-separated format, so embedded whitespace in
+    * a string cell (x is often a label) would shift every later column —
+    * replace runs of whitespace with `_` (gnuplot has no cell quoting that
+    * all versions honor; collapsing is the conventional fix). */
+  private[operators] def cell(v: Any): String =
+    if (v == null) "-" else {
+      val s = v.toString
+      if (s.isEmpty) "-" else s.replaceAll("\\s+", "_")
+    }
+
   /** Write `<dir>/<name>.dat` (whitespace-separated, header comment) and
     * `<dir>/<name>.plt` (png terminal, one `plot` with all series).
     * Returns (datPath, pltPath). */
@@ -27,20 +43,17 @@ object GnuplotSink {
     require(cols.length >= 2, s"need x + at least one series, got ${cols.toSeq}")
     val rows = df.collect() // small by contract: post-aggregation output
     val dat = new StringBuilder
-    dat ++= cols.mkString("# ", " ", "\n")
+    dat ++= cols.map(cell).mkString("# ", " ", "\n")
     rows.foreach { r =>
-      dat ++= cols.indices.map { i =>
-        val v = r.get(i)
-        if (v == null) "-" else v.toString
-      }.mkString("", " ", "\n")
+      dat ++= cols.indices.map(i => cell(r.get(i))).mkString("", " ", "\n")
     }
     val series = cols.tail.zipWithIndex.map { case (c, i) =>
-      s""""$name.dat" using 1:${i + 2} with lines title "$c""""
+      s""""${q(name)}.dat" using 1:${i + 2} with lines title "${q(c)}""""
     }.mkString(", \\\n  ")
     val plt =
       s"""set terminal png size 1200,600
-         |set output "$name.png"
-         |set xlabel "${cols.head}"
+         |set output "${q(name)}.png"
+         |set xlabel "${q(cols.head)}"
          |set key outside
          |set grid
          |plot $series

@@ -45,10 +45,26 @@ import org.apache.spark.sql.functions._
 object BinnedRangeJoin {
 
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBins"
+
+  /** Max bins one interval may expand to before it is routed to the
+    * nested-loop fallback branch instead. Without a cap, one outlier
+    * interval (very wide, or hi = +Infinity, which floor-casts to
+    * Long.MaxValue) makes `sequence()` throw or explode the row count. */
+  val DefaultMaxBins = 4096L
 
   /** Explicit binned range join: rows of `points` matched to rows of
     * `intervals` where `point ∈ [lo, hi)` (or `[lo, hi]` when
-    * `inclusiveHi`). Output columns = points ++ intervals. */
+    * `inclusiveHi`). Output columns = points ++ intervals.
+    *
+    * Intervals spanning more than `maxBins` bins — including non-finite
+    * bounds, whose double span is Inf/NaN and fails the guard naturally —
+    * take a nested-loop fallback branch (correct for ANY bounds, viable
+    * because outliers are few by definition); everything else takes the
+    * binned equi-join. The union of the two branches is exact: each
+    * interval row goes to exactly one branch. When no outliers exist the
+    * fallback's build side is empty and AQE's empty-relation propagation
+    * elides the branch at runtime, so the common case pays nothing. */
   def join(
       points: DataFrame,
       intervals: DataFrame,
@@ -56,20 +72,29 @@ object BinnedRangeJoin {
       lo: Column,
       hi: Column,
       binWidth: Double,
-      inclusiveHi: Boolean = false): DataFrame = {
+      inclusiveHi: Boolean = false,
+      maxBins: Long = DefaultMaxBins): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val w = lit(binWidth)
-    val p = points.withColumn("__graft_bin", floor(point / w))
-    // lo > hi would make sequence() count DOWN and emit phantom bins;
-    // such intervals match nothing, so emit no bins at all
-    val i = intervals.withColumn(
-      "__graft_bin",
-      explode(when(lo <= hi, sequence(floor(lo / w), floor(hi / w)))
-        .otherwise(array().cast("array<bigint>"))))
     val range = if (inclusiveHi) point >= lo && point <= hi
                 else point >= lo && point < hi
-    p.join(i, p("__graft_bin") === i("__graft_bin") && range)
+    // span in DOUBLE: (hi-lo)/w ≤ maxBins bounds covered bins at maxBins+1;
+    // Inf yields Inf, Inf-Inf yields NaN, and both compare false — so
+    // non-finite bounds route to the fallback with no special-casing.
+    // lo > hi would make sequence() count DOWN and emit phantom bins;
+    // such intervals match nothing, so emit no bins at all.
+    val narrow = lo.cast("double") <= hi.cast("double") &&
+      (hi.cast("double") - lo.cast("double")) / w <= lit(maxBins.toDouble)
+    val p = points.withColumn("__graft_bin", floor(point / w))
+    val i = intervals.withColumn(
+      "__graft_bin",
+      explode(when(narrow, sequence(floor(lo / w), floor(hi / w)))
+        .otherwise(array().cast("array<bigint>"))))
+    val binned = p.join(i, p("__graft_bin") === i("__graft_bin") && range)
       .drop("__graft_bin")
+    val fallback = points.join(
+      intervals.filter(!coalesce(narrow, lit(false))), range)
+    binned.unionByName(fallback)
   }
 }
 
@@ -88,6 +113,16 @@ object BinnedRangeJoin {
   * The rewrite preserves the original output exactly: the synthetic bin
   * columns live only inside the new join, under a restoring Project.
   */
+object BinRangeJoinRule {
+  /** Marks the nested-loop fallback Join for outlier intervals: it matches
+    * the rule's own pattern (inner, no equi conjunct, range condition), and
+    * the rule runs in a fixed-point optimizer batch — without the marker it
+    * would re-rewrite its own fallback every iteration. withNewChildren
+    * preserves tags, so the marker survives sibling rules. */
+  private[plans] val NoRebin =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.rangeJoin.noRebin")
+}
+
 case class BinRangeJoinRule(spark: org.apache.spark.sql.SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -115,7 +150,8 @@ case class BinRangeJoinRule(spark: org.apache.spark.sql.SparkSession)
     case None => plan
     case Some(width) => plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && !hasEquiConjunct(cond, left, right) =>
+          if j.resolved && j.getTagValue(BinRangeJoinRule.NoRebin).isEmpty &&
+            !hasEquiConjunct(cond, left, right) =>
         rewrite(j, left, right, cond, hint, width).getOrElse(j)
     }
   }
@@ -151,15 +187,14 @@ case class BinRangeJoinRule(spark: org.apache.spark.sql.SparkSession)
     } yield (pt1, lo, hi, ptOnLeft)
 
     candidates.headOption.map { case (pt, lo, hi, ptOnLeft) =>
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
       val (ptPlan, ivPlan) = if (ptOnLeft) (left, right) else (right, left)
       val w = Literal(width)
       def bin(e: Expression): Expression =
-        Floor(Cast(Divide(Cast(e, org.apache.spark.sql.types.DoubleType),
-          w, evalMode = EvalMode.LEGACY), org.apache.spark.sql.types.DoubleType))
-      val ptBin = AttributeReference("__graft_pt_bin",
-        org.apache.spark.sql.types.LongType)()
-      val ivBin = AttributeReference("__graft_iv_bin",
-        org.apache.spark.sql.types.LongType)()
+        Floor(Cast(Divide(Cast(e, DoubleType),
+          w, evalMode = EvalMode.LEGACY), DoubleType))
+      val ptBin = AttributeReference("__graft_pt_bin", LongType)()
+      val ivBin = AttributeReference("__graft_iv_bin", LongType)()
       val ptSide = Project(ptPlan.output :+ Alias(bin(pt), ptBin.name)(
         exprId = ptBin.exprId), ptPlan)
       // one row per covered bin; descending guard: lo > hi emits nothing.
@@ -168,26 +203,48 @@ case class BinRangeJoinRule(spark: org.apache.spark.sql.SparkSession)
       // without it is permanently unresolved.
       val seqExpr = new Sequence(bin(lo), bin(hi), Some(Literal(1L)),
         Some(conf.sessionLocalTimeZone))
-      // compare via explicit double casts: lo and hi were each coerced
-      // against pt, not against each other, so their types can differ
-      // (e.g. int lo, double hi) and a bare comparison would not resolve.
-      // Guard-edge rounding is harmless: if the cast doubles compare
-      // equal, the bins computed from those same doubles are equal too,
-      // so the sequence cannot descend.
-      val guarded = If(LessThanOrEqual(
-          Cast(lo, org.apache.spark.sql.types.DoubleType),
-          Cast(hi, org.apache.spark.sql.types.DoubleType)), seqExpr,
+      // narrow = in-order AND spans ≤ maxBins bins, computed in DOUBLE:
+      // an outlier interval (very wide, or hi = +Infinity which would
+      // floor-cast to Long.MaxValue and make sequence() throw) has an
+      // Inf/NaN span, compares false, and is routed to the nested-loop
+      // fallback branch below instead of the bin expansion.
+      // Explicit double casts: lo and hi were each coerced against pt,
+      // not against each other, so their types can differ (e.g. int lo,
+      // double hi) and a bare comparison would not resolve. Guard-edge
+      // rounding is harmless: if the cast doubles compare equal, the
+      // bins computed from those same doubles are equal too, so the
+      // sequence cannot descend.
+      val maxBins = spark.conf.getOption(BinnedRangeJoin.MaxBinsKey)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(BinnedRangeJoin.DefaultMaxBins)
+      val narrow = And(
+        LessThanOrEqual(Cast(lo, DoubleType), Cast(hi, DoubleType)),
+        LessThanOrEqual(
+          Divide(Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType)),
+            w, evalMode = EvalMode.LEGACY),
+          Literal(maxBins.toDouble)))
+      val guarded = If(narrow, seqExpr,
         Literal.create(Array.empty[Long],
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.LongType, containsNull = false)))
+          ArrayType(LongType, containsNull = false)))
       val ivSide = org.apache.spark.sql.catalyst.plans.logical.Generate(
         Explode(guarded), unrequiredChildIndex = Nil, outer = false,
         qualifier = None, generatorOutput = Seq(ivBin), child = ivPlan)
       val (newLeft, newRight) =
         if (ptOnLeft) (ptSide, ivSide) else (ivSide, ptSide)
       val newCond = And(EqualTo(ptBin, ivBin), cond)
-      Project(j.output,
+      val binned = Project(j.output,
         Join(newLeft, newRight, Inner, Some(newCond), hint))
+      // outlier intervals (narrow = false, but NOT null/descending rows,
+      // which match nothing anyway) keep the original nested-loop join —
+      // correct for any bounds, viable because outliers are few
+      val ivOutliers = org.apache.spark.sql.catalyst.plans.logical.Filter(
+        Not(Coalesce(Seq(narrow, Literal(false)))), ivPlan)
+      val (fbLeft, fbRight) =
+        if (ptOnLeft) (ptPlan, ivOutliers) else (ivOutliers, ptPlan)
+      val fbJoin = Join(fbLeft, fbRight, Inner, Some(cond), hint)
+      fbJoin.setTagValue(BinRangeJoinRule.NoRebin, true)
+      val fallback = Project(j.output, fbJoin)
+      org.apache.spark.sql.catalyst.plans.logical.Union(Seq(binned, fallback))
     }
   }
 }

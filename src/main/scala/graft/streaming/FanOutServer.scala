@@ -45,6 +45,12 @@ final class FanOutServer(log: String => Unit) {
     val dropped = new AtomicLong(0L)
     private val out = socket.getOutputStream
 
+    // set when the demand reader sees EOF or an error: the peer is gone
+    // even if it never extended credit, so the next burst unregisters it
+    // instead of inflating its dropped counter forever (the write path
+    // alone never notices a zero-credit disconnect — it never writes)
+    @volatile private var dead = false
+
     private val reader = new Thread(() => {
       try {
         val in = new BufferedReader(new InputStreamReader(socket.getInputStream))
@@ -58,6 +64,7 @@ final class FanOutServer(log: String => Unit) {
           line = in.readLine()
         }
       } catch { case _: Throwable => () } // client hung up
+      finally dead = true
     }, s"fanout-client-$id-demand")
     reader.setDaemon(true)
     reader.start()
@@ -73,6 +80,7 @@ final class FanOutServer(log: String => Unit) {
       * read and the write — the counters↔log reconciliation
       * FanOutDropSpec asserts would diverge permanently. */
     def send(values: Seq[Int], timeMs: Long): Boolean = synchronized {
+      if (dead) { close(); return false }
       val credit = demand.get()
       try {
         if (credit == 0L) {

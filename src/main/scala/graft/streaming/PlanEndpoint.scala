@@ -43,9 +43,16 @@ final class PlanEndpoint(onPlan: (Long, TestPlan, String) => Unit) {
       scala.util.Try(PlanParser.parse(text)) match {
         case scala.util.Success(plan) =>
           val id = ids.incrementAndGet()
-          accepted.synchronized { accepted += id; () }
-          onPlan(id, plan, text)
-          respond(ex, 202, s"$id\n")
+          // the callback runs on the serving thread: a throw (e.g. query
+          // start failure) must still produce an HTTP response, and the id
+          // is only listed once the hand-off succeeded
+          scala.util.Try(onPlan(id, plan, text)) match {
+            case scala.util.Success(_) =>
+              accepted.synchronized { accepted += id; () }
+              respond(ex, 202, s"$id\n")
+            case scala.util.Failure(e) =>
+              respond(ex, 500, s"plan rejected: ${e.getMessage}\n")
+          }
         case scala.util.Failure(e) =>
           respond(ex, 400, s"bad plan: ${e.getMessage}\n")
       }

@@ -37,4 +37,30 @@ class GnuplotSinkSpec extends SparkSpec {
       assert(Files.readString(Paths.get(dat)).contains("\n1 -\n"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("quotes in titles are escaped; whitespace in label cells keeps columns aligned") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gnuplot3").toFile.getAbsolutePath
+    try {
+      // x is a string label WITH whitespace; the series name carries a
+      // double quote — unescaped, either would break the .dat column
+      // alignment or terminate the .plt string early
+      val df = Seq(("north region", 10L), ("south region", 20L))
+        .toDF("sales \"zone\"", "total")
+      val (dat, plt) = GnuplotSink.write(df, dir, "q\"x")
+
+      val datLines = Files.readString(Paths.get(dat)).linesIterator.toSeq
+      assert(datLines.tail.forall(_.split(" ").length == 2),
+        s"whitespace cell broke column alignment: $datLines")
+      assert(datLines(1).startsWith("north_region "))
+
+      val pltTxt = Files.readString(Paths.get(plt))
+      assert(pltTxt.contains("""set output "q\"x.png""""))
+      // quoted strings keep their whitespace — only .dat cells collapse it
+      assert(pltTxt.contains("""set xlabel "sales \"zone\"""" + "\""))
+      // unescaped interior quotes would leave an odd quote count
+      val plotLine = pltTxt.linesIterator.find(_.startsWith("plot ")).get
+      assert(plotLine.replace("\\\"", "").count(_ == '"') % 2 === 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -63,10 +63,15 @@ class BinnedRangeJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     withRule("8.0") {
       val df = spark.sql(naiveSql)
+      // the binned branch must be an equi-join on the bin key; the plan
+      // ALSO contains the outlier fallback (nested-loop over the
+      // narrow=false residue — empty here, and elided at runtime by AQE's
+      // empty-relation propagation), so assert the hash join EXISTS
+      // rather than that nested-loop is absent
       val physical = df.queryExecution.executedPlan.toString
-      assert(!physical.contains("BroadcastNestedLoopJoin"),
-        s"rule did not fire — plan still nested-loop:\n$physical")
-      assert(!physical.contains("CartesianProduct"))
+      assert(physical.contains("HashJoin") || physical.contains("SortMergeJoin"),
+        s"rule did not fire — no equi-join in plan:\n$physical")
+      assert(physical.contains("__graft_pt_bin"))
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === expected)
     }
@@ -97,10 +102,57 @@ class BinnedRangeJoinSpec extends SparkSpec {
     val expected = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     withRule("8.0") {
       val df = spark.sql(sql)
-      assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("HashJoin") || physical.contains("SortMergeJoin"))
+      assert(physical.contains("__graft_pt_bin"))
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === expected)
       assert(expected.size === 16) // 10..25 inclusive; empty interval drops
+    }
+  }
+
+  test("library helper routes non-finite and ultra-wide intervals to the fallback") {
+    import spark.implicits._
+    val pts = (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("pid", "pt")
+    // hi = +Infinity would floor-cast to Long.MaxValue and make sequence()
+    // throw; the 1e9-wide interval would emit ~1e8 bins at width 8. Both
+    // must take the nested-loop branch and still match correctly.
+    val ivs = Seq(
+      (1L, 10.0, 12.0),                       // narrow: binned branch
+      (2L, 50.0, Double.PositiveInfinity),    // non-finite hi
+      (3L, Double.NegativeInfinity, 3.0),     // non-finite lo
+      (4L, 0.0, 1e9),                         // finite but ultra-wide
+      (5L, Double.NaN, 20.0)                  // NaN matches nothing
+    ).toDF("iid", "lo", "hi")
+    val got = BinnedRangeJoin.join(pts, ivs, col("pt"), col("lo"), col("hi"),
+        binWidth = 8.0, inclusiveHi = true)
+      .groupBy("iid").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.get(1L).contains(3L))    // 10, 11, 12
+    assert(got.get(2L).contains(50L))   // 50..99
+    assert(got.get(3L).contains(4L))    // 0..3
+    assert(got.get(4L).contains(100L))  // all
+    assert(!got.contains(5L))           // NaN lo: matches nothing
+  }
+
+  test("optimizer rule routes outlier intervals to a tagged fallback join") {
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("pid", "pt")
+      .createOrReplaceTempView("opts")
+    Seq((1L, 10.0, 12.0), (2L, 50.0, Double.PositiveInfinity), (3L, 0.0, 1e9))
+      .toDF("iid", "lo", "hi").createOrReplaceTempView("oivs")
+    val sql = "SELECT pid, iid FROM opts JOIN oivs ON pt >= lo AND pt <= hi"
+    val expected = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.size === 3 + 50 + 100)
+    withRule("8.0") {
+      val df = spark.sql(sql)
+      // both branches present: the bin equi-join AND one nested-loop
+      // fallback (which the NoRebin tag must keep from re-expanding —
+      // unbounded re-rewrites would blow the fixed-point iteration limit)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("Union"))
+      assert(physical.contains("BroadcastNestedLoopJoin") ||
+        physical.contains("CartesianProduct"))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
     }
   }
 

@@ -50,6 +50,33 @@ class FanOutDropSpec extends SparkSpec {
     }
   }
 
+  test("a zero-credit disconnect is unregistered too (reader-EOF path)") {
+    val server = new FanOutServer(_ => ())
+    val alive = new Socket("localhost", server.port)
+    // never sends REQ: zero credit means the write path never touches its
+    // socket, so only the demand reader's EOF can notice the disconnect —
+    // without the dead flag this client would sit registered forever,
+    // inflating its dropped counter on every burst
+    val silent = new Socket("localhost", server.port)
+    try {
+      new PrintWriter(alive.getOutputStream, true).println("REQ 100")
+      val deadline = System.currentTimeMillis() + 10000
+      while (server.demands.values.sum < 100L &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(server.clientCount === 2)
+
+      silent.close()
+      val gone = System.currentTimeMillis() + 10000
+      while (server.clientCount > 1 && System.currentTimeMillis() < gone) {
+        server.send(Seq(7)); Thread.sleep(20)
+      }
+      assert(server.clientCount === 1, "zero-credit dead client still registered")
+      assert(readInts(alive, 1) === Seq(7))
+    } finally {
+      alive.close(); silent.close(); server.close()
+    }
+  }
+
   test("producer drop accounting closes the loop: run → logs → tables → sums match") {
     val logLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val server = new FanOutServer(l => logLines.synchronized { logLines += l; () })

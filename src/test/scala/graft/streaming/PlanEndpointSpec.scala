@@ -39,4 +39,16 @@ class PlanEndpointSpec extends AnyFunSuite {
       assert(new String(list.readAllBytes(), StandardCharsets.UTF_8).trim === "1\n2")
     } finally ep.close()
   }
+
+  test("a throwing callback yields 500, not a hung client, and the id is not listed") {
+    val ep = new PlanEndpoint((_, _, _) => throw new IllegalStateException("query start failed"))
+    try {
+      val (code, body) = post(ep.port, "/plan",
+        "sequence = [ { type = noop, duration = 1 } ]")
+      assert(code === 500 && body.contains("query start failed"))
+      val list = new URL(s"http://localhost:${ep.port}/plans").openStream()
+      assert(new String(list.readAllBytes(), StandardCharsets.UTF_8).trim.isEmpty,
+        "a rejected plan must not appear in /plans")
+    } finally ep.close()
+  }
 }
