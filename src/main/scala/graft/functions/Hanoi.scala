@@ -42,4 +42,14 @@ object Hanoi {
   }.asNondeterministic()
 
   def hanoiTime(value: Column): Column = hanoiTimeMs(value)
+
+  /** UDF: run the solver, emit its MOVE COUNT (2^n - 1) — the same Θ(2^n)
+    * CPU work as [[hanoiTimeMs]] but a deterministic output, so pipelines
+    * over it are value-exact against a closed-form oracle
+    * (reference SimpleStreamingApp.scala:71-80 aggregates per-value stats
+    * of the measured cost; the move count is the machine-independent
+    * stand-in for that cost). */
+  val hanoiMovesUdf: UserDefinedFunction = udf { n: Int => solve(n) }
+
+  def hanoiMoves(value: Column): Column = hanoiMovesUdf(value)
 }

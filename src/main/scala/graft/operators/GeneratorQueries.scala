@@ -82,5 +82,35 @@ object GeneratorQueries {
     StreamingStats.batchStats(gen)
   }
 
-  val all: Seq[Q] = Seq(qGenCounts, qGenRate, qStreamStats)
+  /** Fixed/loop-only plan: per-value row counts are trivially closed-form
+    * (duration × rate, rates multiple of 100's bucket math identity), with
+    * no cycle-distribution arithmetic to re-derive. */
+  private val DetPlan: String =
+    """sequence = [
+      |  { type = fixed, value = 4, rate = 1000, duration = 10 }
+      |  { type = fixed, value = 7, rate = 50, duration = 3 }
+      |  { type = loop, times = 3, phases = [
+      |      { type = fixed, value = 5, rate = 100, duration = 2 } ] }
+      |]""".stripMargin
+
+  /** The flagship streaming aggregation, value-exact: the REAL Hanoi solver
+    * runs per element (same Θ(2^value) CPU work the reference measures),
+    * but the aggregated metric is its deterministic MOVE COUNT (2^v - 1),
+    * so every stat has a closed form — cnt = Σ duration×rate per value,
+    * sum = cnt·(2^v-1), mean = 2^v-1 exactly (a constant per group), and
+    * stddev_pop = 0 exactly (Welford's m2 accumulates zero deltas).
+    * Column names keep [[StreamingStats.batchStats]]'s *_ms contract. */
+  val qStreamStatsDet: Q = Q(
+    "q_stream_batch_stats_det",
+    """SELECT * FROM (VALUES
+      |  (CAST(4 AS INT), CAST(0 AS INT), CAST(10000 AS BIGINT), CAST(150000 AS BIGINT), CAST(15.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      |  (CAST(5 AS INT), CAST(0 AS INT), CAST(600 AS BIGINT), CAST(18600 AS BIGINT), CAST(31.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+      |  (CAST(7 AS INT), CAST(0 AS INT), CAST(150 AS BIGINT), CAST(19050 AS BIGINT), CAST(127.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
+      |) t(value, stream_id, cnt, sum_ms, mean_ms, stddev_ms)""".stripMargin) { (s, _) =>
+    val gen = PlanGenerator.generate(s, PlanParser.parse(DetPlan))
+      .withColumn("hanoi_ms", graft.functions.Hanoi.hanoiMoves(col("value")))
+    StreamingStats.batchStats(gen)
+  }
+
+  val all: Seq[Q] = Seq(qGenCounts, qGenRate, qStreamStats, qStreamStatsDet)
 }
