@@ -133,12 +133,17 @@ object LogAnalytics {
   /** Horizontal running sum across pivoted value columns, null-preserving:
     * a null cell renders as null but does not advance the accumulator.
     * (reference: TestData.scala:155-168) */
-  def cumulativeAcrossValues(pivoted: DataFrame, values: Seq[Int]): DataFrame = {
+  def cumulativeAcrossValues(pivoted: DataFrame, values: Seq[Int]): DataFrame =
+    cumulativeAcrossValues(pivoted, values, Seq("batchTime"))
+
+  /** As above, keeping arbitrary leading id columns. */
+  def cumulativeAcrossValues(
+      pivoted: DataFrame, values: Seq[Int], idCols: Seq[String]): DataFrame = {
     val acc = values.scanLeft(lit(0L): org.apache.spark.sql.Column) {
       case (a, v) => a + coalesce(col(v.toString).cast("long"), lit(0L))
     }.tail
     pivoted.select(
-      col("batchTime") +: values.zip(acc).map { case (v, a) =>
+      idCols.map(col) ++ values.zip(acc).map { case (v, a) =>
         when(col(v.toString).isNotNull, a).as(s"acc_$v")
       }: _*)
   }
