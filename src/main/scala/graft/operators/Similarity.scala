@@ -65,19 +65,50 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
   }
 
-  /** IVF-style ANN: assign every vector to its nearest of 16 deterministic
-    * coarse centroids (vectors with vec_id % 97 == 0), probe the query's 4
-    * nearest cells, brute-force only within them. Everything is
-    * deterministic (argmax tie-break by smallest cent_id, bit-identical
-    * cosine), so the oracle mirrors the whole pipeline in SQL; the spec
-    * additionally asserts recall against [[qKnnBrute]]. */
+  /** IVF ANN, the scale path: ≈√n coarse cells (stride-seeded, then 2
+    * deterministic Lloyd iterations train the codebook), assign every
+    * vector to its nearest cell, probe the query's 4 nearest cells,
+    * brute-force only within them — the standard inverted-file layout
+    * where scan cost drops by ≈ cells/nprobe.
+    *
+    * Determinism for the oracle: a FIXED iteration count (no convergence
+    * test), argmax tie-break by smallest cent_id, per-dimension means
+    * rounded to 6 decimals then truncated to FLOAT before the next
+    * assignment (both engines sum doubles in different orders — the
+    * round+truncate re-synchronizes the codebooks bit-for-bit, the same
+    * trick [[qEmbedNearDup]]'s hyperplanes use), and the bit-identical
+    * fused float cosine. The whole pipeline mirrors in SQL; the spec
+    * additionally asserts recall against [[qKnnBrute]].
+    *
+    * Scale shape: centroids are O(√n) — broadcast; assignment is a narrow
+    * broadcast pass with a map-side-combined argmax (`max_by`), one
+    * exchange row per vector; Lloyd means are hash aggregates on
+    * (cell, dim). Nothing all-pairs, nothing driver-side but the √n
+    * codebook. */
   val qKnnIvf: Q = Q(
     "q_knn_ivf",
-    s"""WITH cents AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c
-       |    FROM embeddings WHERE vec_id % 97 = 0),
+    s"""WITH stride AS (SELECT GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c
+       |    FROM embeddings WHERE vec_id % (SELECT v FROM stride) = 0),
+       |a1 AS (SELECT vec_id, cell FROM
+       |  (SELECT e.vec_id, c.cent_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cent_id) AS rn
+       |   FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+       |c1 AS (SELECT cell AS cent_id, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY pos) AS c FROM
+       |  (SELECT a.cell, t.i AS pos, round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS m
+       |   FROM a1 a JOIN embeddings e ON e.vec_id = a.vec_id, range(1, 65) t(i)
+       |   GROUP BY a.cell, t.i) GROUP BY cell),
+       |a2 AS (SELECT vec_id, cell FROM
+       |  (SELECT e.vec_id, c.cent_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) DESC, c.cent_id) AS rn
+       |   FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+       |c2 AS (SELECT cell AS cent_id, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY pos) AS c FROM
+       |  (SELECT a.cell, t.i AS pos, round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS m
+       |   FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id, range(1, 65) t(i)
+       |   GROUP BY a.cell, t.i) GROUP BY cell),
        |sims AS (SELECT e.vec_id, c.cent_id,
        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) AS csim
-       |  FROM embeddings e CROSS JOIN cents c),
+       |  FROM embeddings e CROSS JOIN c2 c),
        |assigned AS (SELECT vec_id, cent_id AS cell FROM
        |  (SELECT vec_id, cent_id, row_number() OVER
        |     (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM sims)
@@ -100,21 +131,43 @@ object Similarity {
        |WHERE rank <= $K""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val cents = emb.filter(col("vec_id") % 97 === 0)
+    // ≈√n cells: the codebook is a plan parameter (like AQE statistics),
+    // so the one driver-side count here sizes it — everything downstream
+    // stays distributed
+    val stride = math.max(1L, math.sqrt(emb.count().toDouble).toLong)
+
+    // cell assignment against a broadcast codebook: max_by over
+    // (sim, -cent_id) is an argmax AGGREGATE — it partial-aggregates
+    // map-side, so the exchange carries one row per vector and nothing
+    // sorts (a window rank-1 formulation would shuffle every candidate
+    // row and sort each partition)
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
+        .groupBy("vec_id")
+        .agg(
+          any_value(col("embedding")).as("embedding"),
+          max_by(col("cent_id"),
+            struct(col("csim"), (-col("cent_id")).as("tie"))).as("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+
+    // one Lloyd step: per-(cell, dim) mean, rounded+float-truncated for
+    // cross-engine bit parity, reassembled into an ordered float vector
+    def lloyd(cents: DataFrame): DataFrame =
+      assign(cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("c_embedding"))
+
+    val seeds = emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
-    // cell assignment: nearest centroid per vector (broadcast 16 cells).
-    // max_by over (sim, -cent_id) is an argmax AGGREGATE: it partial-
-    // aggregates map-side, so the exchange carries one row per vector and
-    // nothing sorts — the previous window rank-1 formulation shuffled all
-    // 16 candidate rows per vector and sorted every partition.
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
-      .groupBy("vec_id")
-      .agg(
-        any_value(col("embedding")).as("embedding"),
-        max_by(col("cent_id"),
-          struct(col("csim"), (-col("cent_id")).as("tie"))).as("cell"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val cents = lloyd(lloyd(seeds)).localCheckpoint()
+
+    val assigned = assign(cents)
     // queries probe their 4 nearest cells
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))

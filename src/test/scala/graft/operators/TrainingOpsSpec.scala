@@ -15,7 +15,9 @@ class TrainingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty)
     val recall = (brute intersect ivf).size.toDouble / brute.size
-    assert(recall >= 0.4, s"IVF recall $recall too low (ivf=${ivf.size}, brute=${brute.size})")
+    // 0.67 with the √n-cell Lloyd-trained codebook (0.47 with the round-3
+    // fixed stride seeds) — floor at 0.5 to lock the training gain in
+    assert(recall >= 0.5, s"IVF recall $recall too low (ivf=${ivf.size}, brute=${brute.size})")
   }
 
   test("q_embed_neardup returns pairs sorted by cosine desc") {
