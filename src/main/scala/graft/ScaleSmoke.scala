@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the dedup/LSH family: time the bucketed candidate
+  * generation at sf0.1 and at a 10× synthetic corpus (≈sf1), and print the
+  * ratio table committed in SCALE.md. Near-linear ratios (≪ the quadratic
+  * 100×) are the evidence that the group-then-expand plans scale with
+  * corpus size, not pairs.
+  *
+  * The 10× corpus is derived from sf0.1 by unioning ten perturbed copies:
+  * each copy tags EVERY word with a copy marker (so every shingle is
+  * unique to its copy — copies must NOT near-collide across replicas, or
+  * the measurement reflects quadratic pair OUTPUT growth instead of plan
+  * scaling; a first attempt that prefixed only one token per doc produced
+  * a legitimate 45× pair blow-up, not a plan regression) and nudges
+  * `embedding` by a copy-specific epsilon for the same reason. Run on
+  * demand:
+  * `sbt "runMain graft.ScaleSmoke [workDir]"` (not part of the driver
+  * bench or the test suite — it takes minutes by design).
+  */
+object ScaleSmoke {
+
+  private val Copies = 10
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val nDocs = docs.count()
+    (0 until Copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"c$k$$1").as("text"),
+        col("lang"), col("source"),
+        length(regexp_replace(col("text"), "(\\S+)", s"c$k$$1")).as("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val nVec = emb.count()
+    (0 until Copies).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k * nVec)).as("vec_id"),
+        transform(col("embedding"), x => (x + lit(k * 1e-3f)).cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse("/tmp/graft_scale_sf1")
+    val baseDir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$workDir/documents.parquet").exists()) {
+      System.err.println(s"[scale] synthesizing ${Copies}x corpus at $workDir")
+      synthesize(spark, baseDir, workDir)
+    }
+
+    // by-name: the timer must cover build() too — q_dedup_clusters runs
+    // eager localCheckpoints during plan construction
+    def force(df: => DataFrame): Long = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1000000L
+    }
+
+    val family: Seq[Q] = Seq(
+      operators.Dedup.qMinhashBands, operators.Dedup.qMinhashPairs,
+      operators.Dedup.qSimhash, operators.Dedup.qSimhashPairs,
+      operators.Dedup.qNgramJaccard, operators.Dedup.qDedupClusters,
+      operators.Dedup.qContamination, operators.Similarity.qEmbedNearDup)
+
+    // warmup both dirs so codegen/JIT is paid before measurement
+    family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))
+
+    println(f"${"query"}%-22s ${"sf0.1_ms"}%10s ${"sf1_ms"}%10s ${"ratio"}%7s")
+    family.foreach { q =>
+      val small = force(q.build(spark, baseDir))
+      val big = force(q.build(spark, workDir))
+      println(f"${q.name}%-22s $small%10d $big%10d ${big.toDouble / small}%7.1f")
+    }
+    spark.stop()
+  }
+}

@@ -61,6 +61,23 @@ final class PlanEndpoint(onPlan: (Long, TestPlan, String) => Unit) {
   server.createContext("/plans", (ex: HttpExchange) =>
     respond(ex, 200, accepted.synchronized(accepted.mkString("", "\n", "\n"))))
 
+  // the Play app's index page (reference testbed Application.index /
+  // ApplicationSpec.scala:14-30): a minimal HTML surface naming the app
+  // and linking the plan listing
+  server.createContext("/", (ex: HttpExchange) =>
+    if (ex.getRequestURI.getPath != "/") respond(ex, 404, "not found\n")
+    else {
+      val ids = accepted.synchronized(accepted.toList)
+      val items = ids.map(id => s"<li>plan $id</li>").mkString
+      respond(ex, 200,
+        s"""<!DOCTYPE html><html><head><title>graft testbed</title></head>
+           |<body><h1>graft streaming testbed</h1>
+           |<p>POST a plan to <code>/plan</code>; accepted plans: ${ids.size}</p>
+           |<ul>$items</ul>
+           |<p><a href="/plans">plain-text plan list</a></p></body></html>
+           |""".stripMargin)
+    })
+
   server.start()
 
   def close(): Unit = server.stop(0)

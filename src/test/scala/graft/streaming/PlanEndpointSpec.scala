@@ -40,6 +40,22 @@ class PlanEndpointSpec extends AnyFunSuite {
     } finally ep.close()
   }
 
+  test("index page serves HTML naming the app and the accepted plan count") {
+    val ep = new PlanEndpoint((_, _, _) => ())
+    try {
+      post(ep.port, "/plan", "sequence = [ { type = noop, duration = 1 } ]")
+      val html = new String(
+        new URL(s"http://localhost:${ep.port}/").openStream().readAllBytes(),
+        StandardCharsets.UTF_8)
+      assert(html.contains("<title>graft testbed</title>"))
+      assert(html.contains("accepted plans: 1"))
+      assert(html.contains("<li>plan 1</li>"))
+      val c = new URL(s"http://localhost:${ep.port}/nope").openConnection()
+        .asInstanceOf[HttpURLConnection]
+      assert(c.getResponseCode === 404)
+    } finally ep.close()
+  }
+
   test("a throwing callback yields 500, not a hung client, and the id is not listed") {
     val ep = new PlanEndpoint((_, _, _) => throw new IllegalStateException("query start failed"))
     try {
