@@ -152,6 +152,9 @@ object LogAnalytics {
     * exceeds 10× the previous interval (the reference inserts a blank line
     * there for gnuplot). (reference: TestData.scala:241-260) */
   def withGapMarkers(table: DataFrame): DataFrame = {
+    // unpartitioned window is safe HERE only: gap markers decorate dump
+    // FILES — post-aggregation per-second/per-batch tables, small by
+    // contract (the raw-log tables never pass through this)
     val w = Window.orderBy("time")
     table
       .withColumn("_prev", lag("time", 1).over(w))

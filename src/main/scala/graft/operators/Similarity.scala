@@ -327,6 +327,8 @@ object Similarity {
     val cents = emb.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("cent_vid"),
         transform(col("embedding"), _.cast("double")).as("c"))
+      // unpartitioned window is safe HERE only: it ranks the codebook
+      // (n/97 rows — O(√n)-ish, broadcast below), never the corpus
       .withColumn("cent_rank",
         row_number().over(Window.orderBy("cent_vid")) - 1)
       .drop("cent_vid")

@@ -1,0 +1,72 @@
+package graft
+
+/** Registry-wide physical-plan lint: the scale tripwire.
+  *
+  * Every `SparkEntry` query is planned (not executed) at sf0.001 and its
+  * physical plan checked for the operators that do NOT survive 100 TB —
+  * CartesianProduct and BroadcastNestedLoopJoin — except where a query is
+  * WHITELISTED because its nested-loop side is broadcast-tiny by
+  * construction. A new query (or a regression in an existing one) that
+  * plans an unlisted nested loop fails this suite instead of surfacing as
+  * a mystery 100× in the next benchmark round.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain BroadcastNestedLoopJoin —
+    * in every case the broadcast side is O(1) or O(√n) rows by
+    * construction, so the "nested loop" is a constant-width probe:
+    *  - q_time_shift: 1-row min-time anchor (W3);
+    *  - q_range_join: small dimension side, non-equi by design;
+    *  - q_range_join_binned: the outlier fallback branch (empty unless an
+    *    interval exceeds maxBins; AQE elides it at runtime);
+    *  - q_scalar_subquery: scalar (1-row) subquery anchor;
+    *  - q_tfidf_top: broadcast 1-row corpus size;
+    *  - q_knn_brute: broadcast query set (5 rows) — the baseline is a
+    *    deliberate full scan;
+    *  - q_knn_ivf: broadcast √n codebook (assignment + probes);
+    *  - q_embed_pq: broadcast 16-entry-per-subspace codebook.
+    */
+  private val bnljByDesign = Set(
+    "q_time_shift", "q_range_join", "q_range_join_binned",
+    "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_ivf",
+    "q_embed_pq")
+
+  /** SortAggregate appears where an aggregate's buffer is not
+    * hash-agg-supported (struct-ordered max_by/min_by argmins in the
+    * IVF/PQ codebook paths, collect_list of the q_string_funcs digest
+    * rows). All post-reduction small-side aggregates — acceptable; listed
+    * so a NEW sort aggregate in a hot path still trips the lint. */
+  private val sortAggByDesign = Set(
+    "q_string_funcs", "q_knn_ivf", "q_embed_pq")
+
+  test("no query plans an unlisted cartesian product or nested-loop join") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+      val bad = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "BroadcastNestedLoopJoin" ->
+          (plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(q.name)),
+        "SortAggregate" ->
+          (plan.contains("SortAggregate") && !sortAggByDesign(q.name))
+      ).collect { case (flag, true) => flag }
+      if (bad.isEmpty) None else Some(s"${q.name}: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"plans regressed to non-scalable operators:\n${offenders.mkString("\n")}")
+  }
+
+  test("whitelists stay minimal: every whitelisted query still plans its nested loop") {
+    // a query dropping off the whitelist should shrink the whitelist, not
+    // silently keep a stale entry
+    val stale = (bnljByDesign ++ sortAggByDesign).toSeq.sorted.flatMap { name =>
+      val q = SparkEntry.registry.find(_.name == name)
+        .getOrElse(fail(s"whitelisted query $name not in registry"))
+      val plan = q.build(spark, sf).queryExecution.executedPlan.toString
+      val used =
+        (bnljByDesign(name) && plan.contains("BroadcastNestedLoopJoin")) ||
+        (sortAggByDesign(name) && plan.contains("SortAggregate"))
+      if (used) None else Some(name)
+    }
+    assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+  }
+}
