@@ -325,6 +325,41 @@ object TextAnalysis {
         length(expr("substring(text, start, 200)")).as("chunk_len"))
   }
 
+  /** Boilerplate detection — the paragraph-level cross-document dedup
+    * stage (CCNet/RefinedWeb-style): chunks whose text recurs in multiple
+    * DISTINCT documents are headers/footers/templates, not content, and
+    * get stripped before training. Reuses [[qChunkDocs]]'s chunk
+    * arithmetic, then one hash aggregate.
+    *
+    * Scale shape: the groupBy key is md5(chunk) — the shuffle carries a
+    * 32-byte hash instead of 200 chars of text, and the aggregate is a
+    * plain hash groupBy (count-distinct expands to the standard two-phase
+    * plan). Output scales with the number of REPEATED chunks, never the
+    * corpus. */
+  val qBoilerplate: Q = Q(
+    "q_boilerplate",
+    """WITH chunks AS (SELECT doc_id, substring(text, start, 200) AS chunk
+      |  FROM (SELECT doc_id, text,
+      |      unnest(generate_series(1, greatest(length(text), 1), 150)) AS start
+      |    FROM documents))
+      |SELECT md5(chunk) AS chunk_hash, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_occurrences, min(doc_id) AS first_doc
+      |FROM chunks WHERE length(chunk) >= 50
+      |GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) >= 2""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), greatest(length(col("text")), lit(1)), lit(150)))
+          .as(Seq("ci", "start")))
+      .select(col("doc_id"), expr("substring(text, start, 200)").as("chunk"))
+      .filter(length(col("chunk")) >= 50)
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_hash"))
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Corpus mixing: deterministic per-source sampling rates (the
     * "2× this source, 0.1× that one" recipe of a training mix),
     * reproducible under reruns and repartitioning because membership is
@@ -347,5 +382,5 @@ object TextAnalysis {
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
-    qChunkDocs, qSourceSample)
+    qChunkDocs, qBoilerplate, qSourceSample)
 }
