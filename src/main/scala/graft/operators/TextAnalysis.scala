@@ -379,8 +379,46 @@ object TextAnalysis {
       .select("doc_id", "source")
   }
 
+  /** The curation pipeline END-TO-END — the composition a real corpus run
+    * executes, as ONE plan: quality gate (length window + stopword-ratio
+    * floor, [[qQuality]]'s formulas) → exact dedup keep-first on the
+    * normalized fingerprint ([[qDedupExact]]'s key) → deterministic
+    * 1-in-2 hash sample ([[qHashSample]]'s idiom). Proves the operators
+    * compose without materialization barriers: Catalyst fuses the quality
+    * predicates into the scan, the dedup is the only shuffle, and the
+    * sample is a residue filter on the dedup output. */
+  val qCorpusPipeline: Q = Q(
+    "q_corpus_pipeline",
+    s"""WITH kept AS (SELECT doc_id, source, text,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS h
+       |  FROM documents
+       |  WHERE length(text) BETWEEN 50 AND 10000
+       |    AND CAST(len(regexp_extract_all(lower(text), '\\b$Stop\\b')) AS DOUBLE)
+       |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) >= 0.05),
+       |dedup AS (SELECT doc_id, source, text FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM kept)
+       |  WHERE rn = 1)
+       |SELECT doc_id, source,
+       |  len(regexp_extract_all(text, '$TokenPatSql')) AS n_tokens
+       |FROM dedup
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0""".stripMargin) { (s, d) =>
+    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val nStop = size(regexp_extract_all(lower(col("text")), lit("\\b" + Stop + "\\b"), lit(0)))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    Tables.documents(s, d)
+      .filter(length(col("text")).between(50, 10000) &&
+        nStop.cast("double") / nWords >= 0.05)
+      .withColumn("h",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(Portable.hash60(col("doc_id").cast("string")) % 2 === 0)
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
-    qChunkDocs, qBoilerplate, qSourceSample)
+    qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline)
 }
