@@ -40,6 +40,17 @@ for name in sorted(os.listdir(outdir)):
         continue
     # dtype-tolerant compare (int32 vs int64 etc.), NaN == NaN
     import pandas as pd
+    # DATE vs TIMESTAMP: Spark writes DateType as date objects, DuckDB
+    # returns datetime64 — normalize both to datetime64[ns] so the value
+    # compare (not the string fallback, which renders them differently)
+    # decides
+    for c in gcols:
+        if str(g[c].dtype).startswith("datetime64") or str(e[c].dtype).startswith("datetime64"):
+            try:
+                g[c] = pd.to_datetime(g[c]).astype("datetime64[ns]")
+                e[c] = pd.to_datetime(e[c]).astype("datetime64[ns]")
+            except Exception:
+                pass
     bad = None
     for c in gcols:
         gs, es = g[c], e[c]
