@@ -159,6 +159,8 @@ object Similarity {
         .groupBy("cell", "pos")
         .agg(round(avg(col("v").cast("double")), 6).as("m"))
         .groupBy("cell")
+        // collect_list is bounded HERE by construction: one element per
+        // dimension (64) per cell — never corpus-sized
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"),
           transform(col("pm"), p => p.getField("m").cast("float")).as("c_embedding"))
@@ -297,6 +299,12 @@ object Similarity {
     * plus the total reconstruction error. Deterministic end-to-end, so
     * the oracle mirrors the full computation; a real system would train
     * the codebook with k-means, which only changes the codebook rows. */
+  // Codebook realism note: the coarse IVF quantizer ([[qKnnIvf]]) carries
+  // the trained-codebook story (√n cells, Lloyd iterations); PQ keeps
+  // static stride seeds because its oracle already mirrors 8 subspace
+  // argmins — adding per-subspace k-means would triple an already large
+  // SQL mirror for no new plan shape (the training pass would be the same
+  // broadcast assign + hash-aggregate means qKnnIvf demonstrates).
   val qEmbedPq: Q = Q(
     "q_embed_pq", {
       val dists = (0 until 8).map(s =>
