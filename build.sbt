@@ -15,6 +15,10 @@ run / fork := true
 // line from stdout, and sbt's default logger prefixes every line with
 // "[info] ", which breaks that parse (BENCH_r01.json "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop sbt's "[success] Total time: …" epilogue: it lands AFTER Bench's
+// JSON line inside the driver's 2000-char stdout tail and shrinks the
+// budget for the line itself (BENCH_r04.json "parsed": null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

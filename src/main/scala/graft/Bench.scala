@@ -78,19 +78,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Two measured passes per query, min reported: at sub-second scale a
+    // single run is dominated by GC/JIT/page-fault jitter (r04 vs r03
+    // showed 2-3× swings on identical code — q_sessionize 0.54↔1.29 s,
+    // q_asof_forward 0.39↔1.24 s), and the min is the cost the plan
+    // actually has. ~60 s extra at sf0.1, far inside the driver budget.
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.registry.foreach { q =>
-      // timing and success tracked separately — a -1.0 failure marker must
-      // not be overwritten by the elapsed time of the failed attempt
-      val t0 = System.nanoTime()
-      val ok =
-        try { force(q.build(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
+    (1 to 2).foreach { pass =>
+      SparkEntry.registry.foreach { q =>
+        // timing and success tracked separately — a -1.0 failure marker
+        // must not be overwritten by the elapsed time of the failed attempt
+        val t0 = System.nanoTime()
+        val ok =
+          try { force(q.build(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        results(q.name) = results.get(q.name) match {
+          case Some(p) if p >= 0 => if (t >= 0) math.min(p, t) else p
+          case _ => t
         }
-      results(q.name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      progress(f"${q.name}: ${results(q.name)}%.2fs")
+        progress(f"[pass $pass] ${q.name}: $t%.2fs")
+      }
     }
     progress("batch queries done; streaming headline")
 
@@ -145,6 +156,10 @@ object Bench {
           triggerMs = 1000L,
           rateLimitKey = Some(key),
           sink = (stats, _) => { stats.collect(); () })
+        // Pin the listener to THIS query immediately: a late async progress
+        // event from the just-stopped headline runs would otherwise
+        // self-attach it to a dead query id and leave the spike unsteered.
+        listener.attach(q)
         q.processAllAvailable()
         q.stop()
       } finally {
@@ -154,13 +169,40 @@ object Bench {
     }
     progress(f"spike recovery: $spikeSec%.2fs for 30 s of spiked data")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     // total = sum of per-query timings (streaming counted once, via the
     // headline key; the individual runs are informational extras)
     val total = results.values.filter(_ >= 0).sum
     val runsJson = streamRuns.map(v => f"$v%.3f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_runs":$runsJson,"stream_spike_recovery_s":$spikeSec%.3f,"sf":"$sfDir"}""")
+
+    // Full per-query detail goes to a FILE: the driver keeps only the last
+    // 2000 chars of stdout, and the full map (84 keys, ~2100 chars) no
+    // longer fits next to sbt's epilogue — BENCH_r04.json came back
+    // "parsed": null because the tail cut the line mid-JSON.
+    val qsAll = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val detail =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_spike_recovery_s":$spikeSec%.3f,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+
+    // The stdout line carries the headline families (dedup/LSH, embeddings,
+    // heavy relational, streaming) plus ANY failed query — failures must
+    // never be hidden by the compaction.
+    val headline = Set(
+      "q1_agg", "q_join_fact", "q_sessionize", "q_rolling_window",
+      "q_percentiles", "q_tfidf_top", "q_repetition",
+      "q_minhash_bands", "q_minhash_pairs", "q_ngram_jaccard",
+      "q_simhash_pairs", "q_dedup_near", "q_dedup_clusters",
+      "q_contamination", "q_corpus_pipeline",
+      "q_knn_brute", "q_knn_ivf", "q_embed_neardup", "q_embed_pq",
+      "q_stream_batch_stats", "stream_ingest_50k")
+    val qsLine = results
+      .filter { case (k, v) => headline.contains(k) || v < 0 }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val failed = results.valuesIterator.count(_ < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_spike_recovery_s":$spikeSec%.3f,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
