@@ -11,15 +11,17 @@ import graft.functions.{CollectCapped, FloatCosine}
   * available in plain SQL from the first query. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Builders shared with GraftFunctions.register so both registration
+    // paths validate identically (arity; foldable cap — a non-literal cap
+    // must fail with a clear message, not an opaque NPE at eval()).
     ext.injectFunction((
       FunctionIdentifier(functions.GraftFunctions.CosineName),
       new ExpressionInfo(classOf[FloatCosine].getName, functions.GraftFunctions.CosineName),
-      (exprs: Seq[Expression]) => FloatCosine(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkCosine(exprs)))
     ext.injectFunction((
       FunctionIdentifier(functions.GraftFunctions.CollectCappedName),
       new ExpressionInfo(classOf[CollectCapped].getName, functions.GraftFunctions.CollectCappedName),
-      (exprs: Seq[Expression]) =>
-        CollectCapped(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)))
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkCollectCapped(exprs)))
     // binned range join (opt-in via spark.graft.rangeJoin.binWidth):
     // rewrites point-in-interval joins to an equi-join on a bin key so
     // they shuffle instead of nested-looping — see plans/BinnedRangeJoin

@@ -102,12 +102,19 @@ object Main {
           .collect().foreach(r => println(r.getString(0)))
         ()
       })
-      val deliver = spark.readStream.format("plan-gen")
-        .option("plan", planText)
-        .load()
-        .writeStream
-        .foreachBatch(fanOut.batchSink)
-        .start()
+      val deliver =
+        try spark.readStream.format("plan-gen")
+          .option("plan", planText)
+          .load()
+          .writeStream
+          .foreachBatch(fanOut.batchSink)
+          .start()
+        catch { case e: Throwable =>
+          // the endpoint rejects the plan (500, id unlisted) on rethrow —
+          // the already-running stats query must not outlive the rejection
+          try stats.stop() catch { case _: Throwable => () }
+          throw e
+        }
       queries.put(2 * id, stats)
       queries.put(2 * id + 1, deliver)
       ()

@@ -88,13 +88,22 @@ object GraftFunctions {
   val CollectCappedName = "graft_collect_capped"
 
   /** Build a [[CollectCapped]] from SQL arguments: the cap must be a
-    * foldable integer (it sizes aggregation buffers at plan time). */
-  private def mkCollectCapped(exprs: Seq[Expression]): Expression = {
+    * foldable integer (it sizes aggregation buffers at plan time).
+    * Shared by [[register]] and [[graft.GraftExtensions]] so both
+    * registration paths validate arity/foldability identically. */
+  private[graft] def mkCollectCapped(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"$CollectCappedName takes exactly 2 arguments (expr, cap), got ${exprs.length}")
     require(exprs(1).foldable,
       s"$CollectCappedName cap must be a literal integer")
     CollectCapped(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+  }
+
+  /** Build a [[FloatCosine]] from SQL arguments, with arity validation. */
+  private[graft] def mkCosine(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$CosineName takes exactly 2 arguments, got ${exprs.length}")
+    FloatCosine(exprs.head, exprs(1))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -104,11 +113,7 @@ object GraftFunctions {
       registry.registerFunction(
         cosId,
         new ExpressionInfo(classOf[FloatCosine].getName, CosineName),
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == 2,
-            s"$CosineName takes exactly 2 arguments, got ${exprs.length}")
-          FloatCosine(exprs.head, exprs(1))
-        })
+        (exprs: Seq[Expression]) => mkCosine(exprs))
     }
     val ccId = FunctionIdentifier(CollectCappedName)
     if (!registry.functionExists(ccId)) {

@@ -54,7 +54,12 @@ object GnuplotGraph {
     * TestData.scala:83 takes the first parsed line; logs append in time
     * order, so the min-time row is that line, order-independently). */
   def baseTime(execution: DataFrame): Long =
-    execution.orderBy("time", "batch_time").select("batch_time").head.getLong(0)
+    execution.orderBy("time", "batch_time").select("batch_time").head(1) match {
+      case Array(row) => row.getLong(0)
+      case _ => throw new IllegalArgumentException(
+        "execution table is empty — no parsed execution log line to anchor the time axis " +
+          "(check the run dir contains a non-empty app log)")
+    }
 
   /** Everything the script generator needs, via small aggregates over the
     * shifted tables. */
@@ -165,7 +170,7 @@ unset y2tics
 unset y2range
 
 
-set yrange [ 0 : ${(l.maxTick * 1.2).toInt} ]
+set yrange [ 0 : ${math.max(1L, (l.maxTick * 1.2).toLong)} ]
 
 set boxwidth 1000
 

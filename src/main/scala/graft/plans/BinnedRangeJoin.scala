@@ -146,11 +146,32 @@ case class BinRangeJoinRule(spark: org.apache.spark.sql.SparkSession)
     else None
   }
 
+  /** Structural re-rewrite guard, complementing the [[BinRangeJoinRule.NoRebin]]
+    * tag: true when a join child is (possibly under a Project) the
+    * outlier Filter this rule itself emits — `Not(Coalesce(narrow, false))`.
+    * The tag is the primary guard, but sibling rules in the same
+    * fixed-point batch (e.g. PushPredicateThroughJoin) rebuild Join nodes
+    * via constructor/copy, which drops tags; without the structural check
+    * the rule would then re-rewrite its own fallback every iteration,
+    * bloating the plan until the fixed-point iteration limit. */
+  private def isOwnFallbackSide(p: LogicalPlan): Boolean = {
+    val filterCond = p match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => Some(f.condition)
+      case Project(_, f: org.apache.spark.sql.catalyst.plans.logical.Filter) => Some(f.condition)
+      case _ => None
+    }
+    filterCond.exists(_.exists {
+      case Not(Coalesce(Seq(_, Literal(false, _)))) => true
+      case _ => false
+    })
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = binWidth match {
     case None => plan
     case Some(width) => plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && j.getTagValue(BinRangeJoinRule.NoRebin).isEmpty &&
+            !isOwnFallbackSide(left) && !isOwnFallbackSide(right) &&
             !hasEquiConjunct(cond, left, right) =>
         rewrite(j, left, right, cond, hint, width).getOrElse(j)
     }
