@@ -77,7 +77,8 @@ object ScaleSmoke {
       operators.Dedup.qMinhashBands, operators.Dedup.qMinhashPairs,
       operators.Dedup.qSimhash, operators.Dedup.qSimhashPairs,
       operators.Dedup.qNgramJaccard, operators.Dedup.qDedupClusters,
-      operators.Dedup.qContamination, operators.Similarity.qEmbedNearDup)
+      operators.Dedup.qContamination, operators.Similarity.qEmbedNearDup,
+      operators.Dedup.qDedupKeepBest, operators.TextAnalysis.qLmScore)
 
     // warmup both dirs so codegen/JIT is paid before measurement
     family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))

@@ -392,7 +392,60 @@ object Dedup {
           .as("contaminated_frac"))
   }
 
+  /** Curation keep-best: each near-dup cluster keeps its HIGHEST-quality
+    * member (quality = stopword ratio, the cheap naturalness heuristic;
+    * ties break to the smaller doc_id) — the policy real curation uses in
+    * place of [[qDedupNear]]'s keep-smallest-id. One row per cluster with
+    * the survivor and the member count.
+    *
+    * Shape: cluster labels come from [[connectedComponents]] (bucketed LSH
+    * pairs + min-label propagation — no all-pairs anywhere); the quality
+    * score is a narrow per-row map; the argmax is a window over
+    * cluster_id, which shuffles once and whose partitions are near-dup
+    * clusters — small by construction at any corpus size. Quality is
+    * rounded to 6 decimals on BOTH engines before ordering so the argmax
+    * never hinges on a fp ulp. */
+  val qDedupKeepBest: Q = Q(
+    "q_dedup_keep_best", {
+      val pairsSql = qMinhashPairs.oracle.get
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, r) AS (SELECT u, v AS r FROM edges
+         |  UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+         |mins AS (SELECT u, min(r) AS mn FROM reach GROUP BY u),
+         |labels AS (SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN mins m ON m.u = d.doc_id),
+         |qual AS (SELECT doc_id,
+         |    round(CAST(len(regexp_extract_all(lower(text), '\\b${TextAnalysis.Stop}\\b')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) AS q
+         |  FROM documents)
+         |SELECT cluster_id, doc_id AS kept_doc, members FROM
+         |  (SELECT l.cluster_id, l.doc_id, q,
+         |    count(*) OVER (PARTITION BY cluster_id) AS members,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, l.doc_id) AS rn
+         |  FROM labels l JOIN qual USING (doc_id))
+         |WHERE rn = 1""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = qMinhashPairs.build(s, d).localCheckpoint()
+    val labels = connectedComponents(
+      Tables.documents(s, d).select(col("doc_id")), pairs)
+    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val nStop = size(regexp_extract_all(
+      lower(col("text")), lit("\\b" + TextAnalysis.Stop + "\\b"), lit(0)))
+    val qual = Tables.documents(s, d).select(
+      col("doc_id"), round(nStop.cast("double") / nWords, 6).as("q"))
+    labels.join(qual, "doc_id")
+      .withColumn("members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"), col("members"))
+  }
+
   val all: Seq[Q] = Seq(
     qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash, qSimhashPairs,
-    qDedupNear, qDedupClusters, qContamination)
+    qDedupNear, qDedupClusters, qContamination, qDedupKeepBest)
 }

@@ -48,7 +48,7 @@ object TextAnalysis {
         size(split(trim(col("text")), "\\s+")).as("n_words"))
   }
 
-  private val Stop = "(?:the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)"
+  private[operators] val Stop = "(?:the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)"
 
   /** Quality scoring: stopword ratio, punctuation ratio, length gate —
     * the usual cheap pre-training heuristics. */
@@ -417,8 +417,90 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"))
   }
 
+  /** Stratified (per-language) hash sampling: each language stratum keeps
+    * a different deterministic fraction of its documents — the training-mix
+    * rebalancing step (downsample the over-represented language, keep more
+    * of the rare ones). Same reproducible residue-class idiom as
+    * [[qHashSample]]; a narrow filter, zero shuffles at any scale. */
+  val qStratifiedSample: Q = Q(
+    "q_stratified_sample",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 <
+      |  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 80 ELSE 50 END""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(Portable.hash60(col("doc_id").cast("string")) % 100 <
+        when(col("lang") === "en", 25).when(col("lang") === "zh", 80).otherwise(50))
+      .select("doc_id", "lang")
+  }
+
+  /** Consecutive word bigrams as `"w1 w2"` strings; empty array below two
+    * words. Enumerated via an index sequence so Spark and DuckDB build
+    * byte-identical lists. */
+  private def bigramsCol(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  private val DuckBigrams =
+    """SELECT doc_id,
+      |    CASE WHEN len(words) >= 2
+      |      THEN [words[i] || ' ' || words[i+1] for i in range(1, len(words))]
+      |      ELSE CAST([] AS VARCHAR[]) END AS bgs
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+      |    FROM documents)""".stripMargin
+
+  /** Corpus bigram language-model table (top 50 by frequency): the n-gram
+    * count step of a KenLM-style quality filter. Explode is narrow; the
+    * count is ONE shuffle with map-side partial aggregation — the same
+    * shape as a word count, linear at any corpus size. */
+  val qBigramLm: Q = Q(
+    "q_bigram_lm",
+    s"""WITH bg AS (SELECT doc_id, unnest(bgs) AS bigram FROM ($DuckBigrams))
+       |SELECT bigram, count(*) AS freq FROM bg GROUP BY bigram
+       |ORDER BY freq DESC, bigram LIMIT 50""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(bigramsCol(Portable.words(col("text")))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(50)
+  }
+
+  /** Per-document LM quality score: mean conditional bigram log-probability
+    * ln(c(w1 w2) / c(w1·)) under the corpus's own bigram counts — the
+    * self-trained perplexity filter (CCNet-style, simplified to 2-grams).
+    *
+    * Scale shape: the LM table is corpus-derived and corpus-sized, so the
+    * occurrence↔count joins stay partitioned big-big equi-joins on the
+    * bigram / context keys (never a broadcast), followed by one per-doc
+    * aggregate — four shuffles total, all on high-cardinality keys. */
+  val qLmScore: Q = Q(
+    "q_lm_score",
+    s"""WITH bg AS (SELECT doc_id, unnest(bgs) AS bigram FROM ($DuckBigrams)),
+       |bc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+       |uc AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1
+       |  FROM bc GROUP BY w1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 4) AS lm_score
+       |FROM bg JOIN bc USING (bigram)
+       |JOIN uc ON string_split(bg.bigram, ' ')[1] = uc.w1
+       |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), explode(bigramsCol(Portable.words(col("text")))).as("bigram"))
+    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val uc = bc.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum("c2").as("c1"))
+    bg.join(bc, "bigram")
+      .join(uc, split(col("bigram"), " ").getItem(0) === uc("w1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2").cast("double") / col("c1"))), 4).as("lm_score"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
-    qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline)
+    qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
+    qStratifiedSample, qBigramLm, qLmScore)
 }

@@ -83,4 +83,61 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de"))
   }
+
+  /** Write a synthetic documents table to a temp scale-factor dir so the
+    * real registered queries (which read `dir/documents.parquet`) run on
+    * controlled content. */
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.map { case (id, text) => (id, text, "en", "srcA", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bigram LM table counts hand-checkable bigrams") {
+    val dir = writeDocs(Seq(
+      (1L, "a b a b"), // bigrams: "a b" ×2, "b a"
+      (2L, "a c"),     // "a c"
+      (3L, "x")))      // below two words: contributes nothing
+    val top = TextAnalysis.qBigramLm.build(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == (("a b", 2L)), s"got ${top.toSeq}")
+    assert(top.toSet == Set(("a b", 2L), ("a c", 1L), ("b a", 1L)))
+  }
+
+  test("per-doc LM score matches the closed-form bigram log-probs") {
+    val dir = writeDocs(Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")))
+    // counts: "a b"=2, "b a"=1, "a c"=1; contexts: a·=3, b·=1
+    val out = TextAnalysis.qLmScore.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val d1 = BigDecimal((2 * math.log(2.0 / 3) + math.log(1.0)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, d1)), s"got $out")
+    val d2 = BigDecimal(math.log(1.0 / 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L) == ((1L, d2)), s"got $out")
+    assert(!out.contains(3L)) // no bigrams → no score row
+  }
+
+  test("q_dedup_keep_best keeps the higher-quality member of a near-dup cluster") {
+    // docs 1/2: planted near-dup pair (one word differs — same corpus shape
+    // that surfaces via minhash LSH above); doc 2's variant word is a
+    // stopword, so its quality (stopword ratio) is strictly higher and
+    // keep-best must pick it over the smaller id.
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda the"),
+      (3L, "totally different content streaming backpressure rates quantiles"),
+      (4L, "yet more unrelated words mentioning parquet shuffles broadcast")))
+    val rows = Dedup.qDedupKeepBest.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = rows.map(t => t._1 -> t).toMap
+    assert(byCluster(1L) == ((1L, 2L, 2L)),
+      s"cluster {1,2} should keep doc 2 (higher quality); got ${rows.toSeq}")
+    assert(byCluster(3L) == ((3L, 3L, 1L)))
+    assert(byCluster(4L) == ((4L, 4L, 1L)))
+    assert(rows.length == 3)
+  }
 }
