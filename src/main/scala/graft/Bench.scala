@@ -194,8 +194,10 @@ object Bench {
       "q_percentiles", "q_tfidf_top", "q_repetition",
       "q_minhash_bands", "q_minhash_pairs", "q_ngram_jaccard",
       "q_simhash_pairs", "q_dedup_near", "q_dedup_clusters",
-      "q_contamination", "q_corpus_pipeline",
+      "q_contamination", "q_corpus_pipeline", "q_dedup_keep_best",
+      "q_lm_score", "q_bigram_lm",
       "q_knn_brute", "q_knn_ivf", "q_embed_neardup", "q_embed_pq",
+      "q_embed_clusters",
       "q_stream_batch_stats", "stream_ingest_50k")
     val qsLine = results
       .filter { case (k, v) => headline.contains(k) || v < 0 }

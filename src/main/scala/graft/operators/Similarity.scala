@@ -190,15 +190,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cosine"), col("rank"))
   }
 
-  /** Embedding near-dup via random-hyperplane LSH: 16 sign bits from
-    * deterministic pseudo-random hyperplanes bucket the corpus; the top-20
-    * most-similar bucket-mate pairs come out. The hyperplanes are md5
-    * math, so the oracle re-derives them in SQL (same float truncation,
-    * same sign rule); the spec additionally plants duplicates and checks
-    * they surface. */
-  val qEmbedNearDup: Q = Q(
-    "q_embed_neardup",
-    """WITH planes AS (SELECT b,
+  /** Shared CTE chain (through `pairs`) for the LSH near-dup family:
+    * hyperplanes → 16-bit sign buckets → capped buckets → same-bucket
+    * candidate pairs with exact cosine. */
+  private val DuckEmbedPairCtes =
+    """planes AS (SELECT b,
       |    list(CAST(CAST(('0x' || substr(md5(b || ',' || k), 1, 15)) AS BIGINT)
       |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
       |  FROM range(16) t(b), range(64) u(k) GROUP BY b),
@@ -215,9 +211,29 @@ object Similarity {
       |      CAST(eb.embedding AS DOUBLE[])) AS sim
       |  FROM sigsc a JOIN sigsc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
-      |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
-      |SELECT vec_a, vec_b, round(sim, 4) AS cosine
-      |FROM pairs ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin) { (s, d) =>
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id)""".stripMargin
+
+  /** Embedding near-dup via random-hyperplane LSH: 16 sign bits from
+    * deterministic pseudo-random hyperplanes bucket the corpus; the top-20
+    * most-similar bucket-mate pairs come out. The hyperplanes are md5
+    * math, so the oracle re-derives them in SQL (same float truncation,
+    * same sign rule); the spec additionally plants duplicates and checks
+    * they surface. */
+  val qEmbedNearDup: Q = Q(
+    "q_embed_neardup",
+    s"""WITH $DuckEmbedPairCtes
+       |SELECT vec_a, vec_b, round(sim, 4) AS cosine
+       |FROM pairs ORDER BY sim DESC, vec_a, vec_b LIMIT 20""".stripMargin) { (s, d) =>
+    embedPairs(s, d)
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("cosine"))
+  }
+
+  /** All same-bucket candidate pairs with their exact cosine — the shared
+    * stage behind [[qEmbedNearDup]] (ranked top-k) and [[qEmbedClusters]]
+    * (component labeling). */
+  private def embedPairs(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     // Hyperplane components r(b, k) in [-1, 1) are CONSTANTS (the same
@@ -248,10 +264,33 @@ object Similarity {
       .select(col("a"), explode(col("vs")).as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
-      .orderBy(col("sim").desc, col("a.vec_id"), col("b.vec_id"))
-      .limit(20)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("sim"), 4).as("cosine"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+  }
+
+  /** Embedding-level dedup clustering: connected components over the LSH
+    * bucket-collision pair graph — every vector labeled with the smallest
+    * vec_id reachable through candidate pairs, the semantic twin of
+    * `q_dedup_clusters` (which clusters documents by MinHash pairs).
+    * Reuses [[graft.operators.Dedup.connectedComponents]]: min-label
+    * propagation over pair-graph nodes only, O(diameter) rounds,
+    * localCheckpoint lineage cuts. The oracle runs the exact recursive-CTE
+    * transitive closure over the same pair CTEs. */
+  val qEmbedClusters: Q = Q(
+    "q_embed_clusters",
+    s"""WITH RECURSIVE $DuckEmbedPairCtes,
+       |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(u, r) AS (SELECT u, v AS r FROM edges
+       |  UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |mins AS (SELECT u, min(r) AS mn FROM reach GROUP BY u)
+       |SELECT e.vec_id, least(e.vec_id, coalesce(m.mn, e.vec_id)) AS cluster_id
+       |FROM embeddings e LEFT JOIN mins m ON m.u = e.vec_id""".stripMargin) { (s, d) =>
+    val pairs = embedPairs(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    Dedup.connectedComponents(
+      Tables.embeddings(s, d).select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
 
   /** Int8 scalar quantization of embeddings — the 4× compression pass a
@@ -364,5 +403,6 @@ object Similarity {
   }
 
   val all: Seq[Q] = Seq(
-    qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq)
+    qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
+    qEmbedClusters)
 }

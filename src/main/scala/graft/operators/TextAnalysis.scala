@@ -477,25 +477,33 @@ object TextAnalysis {
   val qLmScore: Q = Q(
     "q_lm_score",
     s"""WITH bg AS (SELECT doc_id, unnest(bgs) AS bigram FROM ($DuckBigrams)),
-       |bc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+       |occ AS (SELECT doc_id, bigram, count(*) AS occ FROM bg GROUP BY doc_id, bigram),
+       |bc AS (SELECT bigram, sum(occ) AS c2 FROM occ GROUP BY bigram),
        |uc AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1
        |  FROM bc GROUP BY w1)
-       |SELECT doc_id, count(*) AS n_bigrams,
-       |  round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 4) AS lm_score
-       |FROM bg JOIN bc USING (bigram)
-       |JOIN uc ON string_split(bg.bigram, ' ')[1] = uc.w1
+       |SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |  round(sum(occ * ln(CAST(c2 AS DOUBLE) / c1)) / sum(occ), 4) AS lm_score
+       |FROM occ JOIN bc USING (bigram)
+       |JOIN uc ON string_split(occ.bigram, ' ')[1] = uc.w1
        |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    // Join (doc, bigram, occ) COUNTS, not raw occurrences: within-doc
+    // repetition is collapsed before the two LM joins, which cuts their
+    // probe sides ~n_words/n_distinct-fold (measured 12.3 s → see bench);
+    // the per-doc mean is then the occ-weighted sum — the oracle mirrors
+    // the exact same weighted expression so the gate stays value-exact.
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), explode(bigramsCol(Portable.words(col("text")))).as("bigram"))
-    val bc = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val occ = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))
+    val bc = occ.groupBy("bigram").agg(sum("occ").as("c2"))
     val uc = bc.groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
       .agg(sum("c2").as("c1"))
-    bg.join(bc, "bigram")
+    occ.join(bc, "bigram")
       .join(uc, split(col("bigram"), " ").getItem(0) === uc("w1"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("c2").cast("double") / col("c1"))), 4).as("lm_score"))
+        sum("occ").as("n_bigrams"),
+        round(sum(col("occ") * log(col("c2").cast("double") / col("c1"))) / sum("occ"), 4)
+          .as("lm_score"))
   }
 
   val all: Seq[Q] = Seq(

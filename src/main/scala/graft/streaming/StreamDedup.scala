@@ -25,4 +25,22 @@ object StreamDedup {
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Signature-level streaming NEAR-dedup: the key is the 32-bit SimHash
+    * over the document's distinct word set (same signature as the batch
+    * `q_simhash`), so any rewording that preserves the majority bit vote —
+    * word reorder, duplication, punctuation-only edits — collapses to one
+    * survivor within the horizon. This is the Hamming-distance-0 prefilter;
+    * the banded Hamming≤3 match stays a batch op (`Dedup.qSimhashPairs`) —
+    * per-band voting would need a second stateful stage and give
+    * per-band, not per-doc, drop decisions. State = one 32-bit key per
+    * distinct signature inside the horizon: rate × horizon bounded. */
+  def nearBySimhash(docs: DataFrame, horizon: String = "10 seconds"): DataFrame = {
+    import graft.functions.Portable
+    docs
+      .withColumn("simhash", Portable.simhash32(
+        transform(array_distinct(Portable.words(col("text"))), t => Portable.hash60(t))))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
 }

@@ -156,6 +156,34 @@ class BinnedRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("structural guard blocks fallback re-rewrite even when tags are lost") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    fixtures()
+    withRule("8.0") {
+      val rule = BinRangeJoinRule(spark)
+      val analyzed = spark.sql(naiveSql).queryExecution.analyzed
+      val once = rule(analyzed)
+      def joins(p: LogicalPlan): Int = p.collect { case j: Join => j }.size
+      assert(joins(once) === 2, "expected the binned join + one fallback join")
+      // Strip the tag from every Join — the state a sibling optimizer rule
+      // leaves behind when it reconstructs a Join via bare constructor or
+      // case-class copy() (transform*/makeCopy re-copy tags, but direct
+      // construction does not). The structural guard must still recognize
+      // the rule's own outlier-filter shape and leave the fallback alone.
+      val stripped = once
+      stripped.foreach {
+        case j: Join => j.unsetTagValue(BinRangeJoinRule.NoRebin)
+        case _ => ()
+      }
+      assert(stripped.collect { case j: Join => j }
+        .forall(_.getTagValue(BinRangeJoinRule.NoRebin).isEmpty),
+        "tags should be stripped (precondition of this test)")
+      val twice = rule(stripped)
+      assert(joins(twice) === joins(once),
+        s"rule re-rewrote its own fallback after tag loss:\n$twice")
+    }
+  }
+
   test("rule is a no-op when the bin width conf is unset") {
     fixtures()
     spark.experimental.extraOptimizations = Seq(BinRangeJoinRule(spark))

@@ -39,4 +39,32 @@ class StreamDedupSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS dedup_out")
     }
   }
+
+  test("simhash near-dedup suppresses a reworded (signature-equal) document") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.nearBySimhash(in.toDF(), horizon = "10 seconds")
+      .writeStream.format("memory").queryName("neardedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(Doc(1, "alpha beta gamma delta epsilon", ts(1000)))
+      q.processAllAvailable()
+      in.addData(
+        // same word SET (reordered + one word duplicated): identical
+        // distinct-token simhash → suppressed
+        Doc(2, "epsilon delta gamma beta alpha alpha", ts(2000)),
+        // genuinely different content: survives
+        Doc(3, "totally unrelated streaming content here", ts(2000)))
+      q.processAllAvailable()
+
+      val got = spark.table("neardedup_out").as[Doc].collect().map(_.doc_id).toSet
+      assert(got === Set(1L, 3L), s"expected reworded doc 2 suppressed, got $got")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS neardedup_out")
+    }
+  }
 }
