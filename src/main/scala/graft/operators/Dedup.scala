@@ -331,7 +331,7 @@ object Dedup {
     def labelSum(): BigDecimal = BigDecimal(
       labels.agg(
         coalesce(sum(col("cluster_id").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
-        .head.getDecimal(0))
+        .head().getDecimal(0))
     var prevSum: Option[BigDecimal] = None
     var curSum = labelSum()
     while (prevSum.forall(curSum < _)) {

@@ -68,7 +68,7 @@ object GnuplotGraph {
     // tables (reference TestData.scala:119-140 — pid and requestedValues
     // excluded there too); empty tables contribute nothing
     val spans = Seq("memory", "execution", "tick", "droppedValues", "feedback", "ratio")
-      .map(n => t(n).agg(min("time").as("mn"), max("time").as("mx")).head)
+      .map(n => t(n).agg(min("time").as("mn"), max("time").as("mx")).head())
       .filter(!_.isNullAt(0))
     require(spans.nonEmpty, "no plottable data in any table")
     val minTime = spans.map(_.getLong(0)).min
@@ -95,7 +95,7 @@ object GnuplotGraph {
 
     val tickValues = t("tick").select("value").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val maxTick = t("tick").agg(coalesce(max("count"), lit(0))).head.getInt(0).toLong
+    val maxTick = t("tick").agg(coalesce(max("count"), lit(0))).head().getInt(0).toLong
 
     GraphLayout(minTime, maxTime, streams, clients, tickValues, maxTick)
   }

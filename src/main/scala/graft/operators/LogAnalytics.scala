@@ -112,7 +112,7 @@ object LogAnalytics {
 
   /** The anchor: minimum execution batchTime. (reference: TestData.scala:83) */
   def baseTime(execution: DataFrame): Long =
-    execution.agg(min("batchTime")).head.getLong(0)
+    execution.agg(min("batchTime")).head().getLong(0)
 
   /** Per-batchTime pivot of counts by value — missing combos stay null
     * (the reference's `?` cells). (reference: RunLogData.scala:40-54) */

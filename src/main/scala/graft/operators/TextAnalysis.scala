@@ -506,9 +506,83 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Token budget per source for [[qTokenBudgetMix]] — sized so that at
+    * sf0.01 some sources are capped and some pass whole (non-trivial gate
+    * at the driver's verification scale). */
+  private val MixBudget = 1200.0
+
+  /** Token-budgeted corpus mixing: each source contributes at most ~B
+    * tokens, enforced as a deterministic per-source keep-fraction
+    * f = min(1, B / source_tokens) applied through the portable doc-id
+    * hash — the curriculum-mix step that caps over-represented sources by
+    * TOKEN volume, not doc count. Output is the per-source audit row
+    * (source total, kept docs, kept tokens).
+    *
+    * Scale shape: one token-count aggregate per source (map-side
+    * combined), a broadcast join of the per-source totals (#sources rows)
+    * back onto docs, a narrow hash filter, one final aggregate. The
+    * fraction threshold is computed as `cast(f * 10000 as long)` in BOTH
+    * engines — double division of the same integers, so the truncation is
+    * bit-identical. */
+  val qTokenBudgetMix: Q = Q(
+    "q_token_budget_mix",
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    len(regexp_extract_all(text, '$TokenPatSql')) AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM toks GROUP BY source),
+       |kept AS (SELECT t.source, t.n_tokens, tot.src_tokens
+       |  FROM toks t JOIN tot USING (source)
+       |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000
+       |    < CAST(least(1.0, $MixBudget / src_tokens) * 10000 AS BIGINT))
+       |SELECT source, any_value(src_tokens) AS src_tokens,
+       |  count(*) AS docs_kept, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+       |FROM kept GROUP BY source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"))
+    val totals = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    toks.join(broadcast(totals), "source")
+      .filter(Portable.hash60(col("doc_id").cast("string")) % 10000 <
+        (least(lit(1.0), lit(MixBudget) / col("src_tokens")) * 10000).cast("long"))
+      .groupBy("source")
+      .agg(
+        first("src_tokens").as("src_tokens"),
+        count(lit(1)).as("docs_kept"),
+        sum("n_tokens").as("tokens_kept"))
+  }
+
+  /** Dataset-card statistics: the one-row corpus summary every training
+    * dataset publishes — volume, token count, language/source breadth,
+    * quality-gate pass rate, exact-duplicate rate. One pass over the
+    * corpus (all aggregates map-side combined), plus a distinct-count on
+    * the 128-bit content hash. */
+  val qCorpusStats: Q = Q(
+    "q_corpus_stats",
+    s"""SELECT count(*) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(text, '$TokenPatSql'))) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT lang) AS n_langs,
+       |  count(DISTINCT source) AS n_sources,
+       |  round(CAST(sum(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS pct_length_ok,
+       |  round(1.0 - CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' '))))) AS DOUBLE)
+       |    / count(*), 4) AS exact_dup_rate
+       |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(regexp_extract_all(col("text"), lit(TokenPat), lit(0)))).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(sum(when(length(col("text")).between(50, 10000), 1).otherwise(0)).cast("double")
+        / count(lit(1)), 4).as("pct_length_ok"),
+      round(lit(1.0) - countDistinct(
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))).cast("double")
+        / count(lit(1)), 4).as("exact_dup_rate"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
-    qStratifiedSample, qBigramLm, qLmScore)
+    qStratifiedSample, qBigramLm, qLmScore, qTokenBudgetMix, qCorpusStats)
 }
