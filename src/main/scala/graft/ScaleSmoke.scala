@@ -78,7 +78,8 @@ object ScaleSmoke {
       operators.Dedup.qSimhash, operators.Dedup.qSimhashPairs,
       operators.Dedup.qNgramJaccard, operators.Dedup.qDedupClusters,
       operators.Dedup.qContamination, operators.Similarity.qEmbedNearDup,
-      operators.Dedup.qDedupKeepBest, operators.TextAnalysis.qLmScore)
+      operators.Dedup.qDedupKeepBest, operators.TextAnalysis.qLmScore,
+      operators.Similarity.qEmbedClusters)
 
     // warmup both dirs so codegen/JIT is paid before measurement
     family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))

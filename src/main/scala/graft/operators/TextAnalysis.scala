@@ -434,12 +434,17 @@ object TextAnalysis {
   }
 
   /** Consecutive word bigrams as `"w1 w2"` strings; empty array below two
-    * words. Enumerated via an index sequence so Spark and DuckDB build
-    * byte-identical lists. */
+    * words. Built at ARRAY level (zip_with over shifted slices, the
+    * [[Portable.shingles]] idiom) — an index-sequence + element_at
+    * formulation re-resolves the captured array per lambda element and
+    * measured ~4× slower at sf0.1. The list is byte-identical to DuckDB's
+    * comprehension enumeration. */
   private def bigramsCol(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      zip_with(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
 
   private val DuckBigrams =
@@ -471,9 +476,10 @@ object TextAnalysis {
     * self-trained perplexity filter (CCNet-style, simplified to 2-grams).
     *
     * Scale shape: the LM table is corpus-derived and corpus-sized, so the
-    * occurrence↔count joins stay partitioned big-big equi-joins on the
-    * bigram / context keys (never a broadcast), followed by one per-doc
-    * aggregate — four shuffles total, all on high-cardinality keys. */
+    * count joins are plain equi-joins on the bigram / context keys with
+    * nothing forcing a broadcast — Catalyst broadcasts the count tables at
+    * toy scale and shuffles them at corpus scale, both correct — followed
+    * by one per-doc aggregate; every shuffle key is high-cardinality. */
   val qLmScore: Q = Q(
     "q_lm_score",
     s"""WITH bg AS (SELECT doc_id, unnest(bgs) AS bigram FROM ($DuckBigrams)),
@@ -488,9 +494,10 @@ object TextAnalysis {
        |GROUP BY doc_id""".stripMargin) { (s, d) =>
     // Join (doc, bigram, occ) COUNTS, not raw occurrences: within-doc
     // repetition is collapsed before the two LM joins, which cuts their
-    // probe sides ~n_words/n_distinct-fold (measured 12.3 s → see bench);
-    // the per-doc mean is then the occ-weighted sum — the oracle mirrors
-    // the exact same weighted expression so the gate stays value-exact.
+    // probe sides ~n_words/n_distinct-fold (measured 12.3 s → 7.5 s at
+    // sf0.1); the per-doc mean is then the occ-weighted sum — the oracle
+    // mirrors the exact same weighted expression so the gate stays
+    // value-exact.
     val bg = Tables.documents(s, d)
       .select(col("doc_id"), explode(bigramsCol(Portable.words(col("text")))).as("bigram"))
     val occ = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("occ"))
