@@ -587,9 +587,46 @@ object TextAnalysis {
         / count(lit(1)), 4).as("exact_dup_rate"))
   }
 
+  /** Sequence packing: assign documents to fixed 2048-token training
+    * windows — the pretraining batcher's packing step, made deterministic
+    * (and oracle-able) by hash-sharding docs and packing each shard in
+    * doc_id order: a document lands in the window its cumulative token
+    * START falls in, so windows fill greedily and only a doc straddling
+    * the boundary overflows its window. Output is the per-window audit
+    * (docs, tokens).
+    *
+    * Scale shape: the running cumsum is a window over the SHARD key, so
+    * parallelism = shard count — the knob a real deployment sets to
+    * ~cores×k (16 here, sized to the test corpus). Everything else is one
+    * narrow token count + one aggregate. */
+  val qPackSequences: Q = Q(
+    "q_pack_sequences",
+    s"""WITH toks AS (SELECT doc_id,
+       |    len(regexp_extract_all(text, '$TokenPatSql')) AS n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS shard
+       |  FROM documents),
+       |packed AS (SELECT shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       |  FROM toks)
+       |SELECT shard, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS window_id,
+       |  count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |FROM packed GROUP BY shard, window_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"),
+        (Portable.hash60(col("doc_id").cast("string")) % 16).as("shard"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("window_id", floor((col("cum") - col("n_tokens")) / lit(2048)))
+      .groupBy("shard", "window_id")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
-    qStratifiedSample, qBigramLm, qLmScore, qTokenBudgetMix, qCorpusStats)
+    qStratifiedSample, qBigramLm, qLmScore, qTokenBudgetMix, qCorpusStats,
+    qPackSequences)
 }
