@@ -121,6 +121,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!out.contains(3L)) // no bigrams → no score row
   }
 
+  test("q_pack_sequences rolls to a new window when a shard's cumsum crosses 2048") {
+    import graft.functions.Portable
+    // Three docs of ~1100 tokens each, all in the SAME shard (ids picked by
+    // the same portable hash the query shards with): cumulative starts are
+    // 0, 1100, 2200 → windows 0, 0, 1.
+    val sameShard = Iterator.from(1).map(_.toLong)
+      .filter(id => Portable.hash60Local(id.toString) % 16 == 0)
+      .take(3).toSeq
+    val text = Array.fill(1100)("tok").mkString(" ")
+    val dir = writeDocs(sameShard.map(id => (id, text)))
+    val rows = TextAnalysis.qPackSequences.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == Map(
+      (0L, 0L) -> ((2L, 2200L)),  // docs 1+2: starts 0 and 1100, both window 0
+      (0L, 1L) -> ((1L, 1100L))), // doc 3: start 2200 → window 1
+      s"got $rows (ids=$sameShard)")
+  }
+
   test("q_dedup_keep_best keeps the higher-quality member of a near-dup cluster") {
     // docs 1/2: planted near-dup pair (one word differs — same corpus shape
     // that surfaces via minhash LSH above); doc 2's variant word is a
