@@ -125,6 +125,28 @@ object Bench {
       }
     }
     results("stream_ingest_50k") = streamRuns.min
+    progress("ramp scenario")
+
+    // Ramp scenario (BASELINE.md row "scenario 4": 1,000 → 50-60,000 msg/s
+    // ramp; the reference also reports a ~100 s TCP tail-drain after plan
+    // end, vs 10-20 s on newer hardware). Here the ramp is time-compressed
+    // to 30 s; admission control means there is no receiver-buffer bloat to
+    // drain, so wall-clock ≈ plan duration IS the tail-drain parity
+    // evidence. Reported outside the per-query total like the spike.
+    val rampSec = {
+      System.gc()
+      time {
+        val q = streaming.StreamingStats.run(
+          spark,
+          "sequence = [ { type = ramp, startRate = 1000, endRate = 50000, value = 7, duration = 30 } ]",
+          triggerMs = 5000L,
+          secondsPerTrigger = 5,
+          sink = (stats, _) => { stats.collect(); () })
+        q.processAllAvailable()
+        q.stop()
+      }
+    }
+    progress(f"ramp 1k->50k over 30 s of data: $rampSec%.2fs")
     progress("spike recovery scenario")
 
     // Spike recovery (BASELINE.md rows 7-9: the reference's scenario-2
@@ -181,7 +203,7 @@ object Bench {
     val qsAll = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_spike_recovery_s":$spikeSec%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -204,7 +226,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.valuesIterator.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_spike_recovery_s":$spikeSec%.3f,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
