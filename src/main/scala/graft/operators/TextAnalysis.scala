@@ -623,10 +623,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * distributions — the mixture-tuning diagnostic that flags a source
+    * whose vocabulary diverges from the corpus (spam pockets, format
+    * shifts). KL is computed over the source's own support (p > 0; q > 0
+    * on that support by construction since the corpus includes the
+    * source), so no smoothing is needed.
+    *
+    * Scale shape: one (source, token) count (map-side combined), two
+    * roll-ups of that count, one token-key join of counts with corpus
+    * counts, one scalar total joined as a literal-sized side — every
+    * shuffle on high-cardinality or tiny keys; nothing all-pairs. The sum
+    * of p·ln(p/q) terms is rounded to 4 decimals on both engines (order
+    * differences are ~1e-14 relative). */
+  val qSourceDivergence: Q = Q(
+    "q_source_divergence",
+    """WITH toks AS (SELECT source,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |st AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok),
+      |stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_s FROM st GROUP BY source),
+      |ct AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ccnt FROM st GROUP BY tok),
+      |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM st)
+      |SELECT st.source, any_value(n_s) AS n_tokens,
+      |  round(sum((CAST(cnt AS DOUBLE) / n_s)
+      |    * ln((CAST(cnt AS DOUBLE) / n_s) / (CAST(ccnt AS DOUBLE) / total))), 4) AS kl
+      |FROM st JOIN stot USING (source) JOIN ct USING (tok) CROSS JOIN n
+      |GROUP BY st.source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(Portable.words(col("text"))).as("tok"))
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val stot = st.groupBy("source").agg(sum("cnt").as("n_s"))
+    val ct = st.groupBy("tok").agg(sum("cnt").as("ccnt"))
+    val n = st.agg(sum("cnt").as("total"))
+    val p = col("cnt").cast("double") / col("n_s")
+    val q = col("ccnt").cast("double") / col("total")
+    st.join(broadcast(stot), "source")
+      .join(ct, "tok")
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(
+        first("n_s").as("n_tokens"),
+        round(sum(p * log(p / q)), 4).as("kl"))
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qTokenBudgetMix, qCorpusStats,
-    qPackSequences)
+    qPackSequences, qSourceDivergence)
 }

@@ -24,12 +24,13 @@ class PlanLintSpec extends SparkSpec {
     *  - q_knn_brute: broadcast query set (5 rows) — the baseline is a
     *    deliberate full scan;
     *  - q_knn_ivf: broadcast √n codebook (assignment + probes);
-    *  - q_embed_pq: broadcast 16-entry-per-subspace codebook.
+    *  - q_embed_pq: broadcast 16-entry-per-subspace codebook;
+    *  - q_source_divergence: broadcast 1-row corpus token total.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
     "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_ivf",
-    "q_embed_pq")
+    "q_embed_pq", "q_source_divergence")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the
