@@ -344,65 +344,163 @@ object Similarity {
   // argmins — adding per-subspace k-means would triple an already large
   // SQL mirror for no new plan shape (the training pass would be the same
   // broadcast assign + hash-aggregate means qKnnIvf demonstrates).
+  /** PQ codebook: the stride-seeded entries (vec_id % 97), ranked by vec_id.
+    * O(n/97) rows — always broadcast. The unpartitioned window is safe HERE
+    * only: it ranks the codebook, never the corpus. */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cent_vid"),
+        transform(col("embedding"), _.cast("double")).as("c"))
+      .withColumn("cent_rank",
+        row_number().over(Window.orderBy("cent_vid")) - 1)
+      .drop("cent_vid")
+
+  /** Squared L2 between 8-dim subspace `s0` of vectors `v` and `c` — an
+    * ascending-index fold over zip_with'd slices, the same op order as the
+    * oracle's list_sum comprehension (bit-stable across engines). */
+  private def pqSubDist(s0: Int, v: Column, c: Column): Column = aggregate(
+    zip_with(slice(v, s0 * 8 + 1, 8), slice(c, s0 * 8 + 1, 8),
+      (a, b) => (a - b) * (a - b)),
+    lit(0d), _ + _)
+
+  /** Per-vector PQ assignment: nearest codebook entry per subspace (ties to
+    * the lowest rank) as `cc0..cc7`, plus the per-subspace min distances
+    * `m0..m7`. Argmin is a min_by AGGREGATE (map-side combined — the
+    * exchange carries one row per vector, nothing sorts). */
+  private def pqAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val vd = emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val withD = vd.crossJoin(broadcast(cents))
+      .select(col("vec_id") +: col("cent_rank") +:
+        (0 until 8).map(s0 => pqSubDist(s0, col("v"), col("c")).as(s"d$s0")): _*)
+    val aggs = (0 until 8).flatMap(s0 => Seq(
+      min_by(col("cent_rank"), struct(col(s"d$s0"), col("cent_rank"))).as(s"cc$s0"),
+      min(col(s"d$s0")).as(s"m$s0")))
+    withD.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared oracle CTE chain (through `codes`) for the PQ family: ranked
+    * codebook → per-(vector, entry) subspace distances → per-subspace
+    * argmin codes, with the smallest-rank tie-break (arg_min over a
+    * composite ordering is not available in this DuckDB build). */
+  private val DuckPqCodesCtes: String = {
+    val dists = (0 until 8).map(s =>
+      s"list_sum([(v[i]-c[i])*(v[i]-c[i]) for i in range(${s * 8 + 1}, ${s * 8 + 9})]) AS d$s")
+      .mkString(",\n      |   ")
+    val minsSel = (0 until 8).map(s => s"min(d$s) AS m$s").mkString(", ")
+    val codesSel = (0 until 8).map(s =>
+      s"CAST(min(CASE WHEN d.d$s = m.m$s THEN d.cent_rank END) AS INT) AS c$s")
+      .mkString(",\n      |  ")
+    s"""cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_rank,
+      |    CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id % 97 = 0),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT vec_id, cent_rank,
+      |   $dists
+      |  FROM v CROSS JOIN cents),
+      |mins AS (SELECT vec_id, $minsSel FROM d GROUP BY vec_id),
+      |codes AS (SELECT d.vec_id,
+      |  $codesSel
+      | FROM d JOIN mins m ON d.vec_id = m.vec_id GROUP BY d.vec_id)""".stripMargin
+  }
+
   val qEmbedPq: Q = Q(
     "q_embed_pq", {
-      val dists = (0 until 8).map(s =>
-        s"list_sum([(v[i]-c[i])*(v[i]-c[i]) for i in range(${s * 8 + 1}, ${s * 8 + 9})]) AS d$s")
-        .mkString(",\n       |   ")
-      // argmin with a smallest-rank tie-break, portably: per-subspace min
-      // distance, then the smallest rank achieving it (arg_min over a
-      // composite ordering is not available in this DuckDB build)
-      val minsSel = (0 until 8).map(s => s"min(d$s) AS m$s").mkString(", ")
+      val err = (0 until 8).map(s => s"any_value(m.m$s)").mkString(" + ")
       val codes = (0 until 8).map(s =>
         s"CAST(min(CASE WHEN d.d$s = m.m$s THEN d.cent_rank END) AS INT) AS c$s")
         .mkString(",\n       |  ")
-      val err = (0 until 8).map(s => s"any_value(m.m$s)").mkString(" + ")
-      s"""WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_rank,
-         |    CAST(embedding AS DOUBLE[]) AS c
-         |  FROM embeddings WHERE vec_id % 97 = 0),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |d AS (SELECT vec_id, cent_rank,
-         |   $dists
-         |  FROM v CROSS JOIN cents),
-         |mins AS (SELECT vec_id, $minsSel FROM d GROUP BY vec_id)
+      s"""WITH $DuckPqCodesCtes
          |SELECT d.vec_id AS vec_id,
          |  $codes,
          |  round($err, 6) AS pq_err
          |FROM d JOIN mins m ON d.vec_id = m.vec_id GROUP BY d.vec_id""".stripMargin
     }) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val cents = emb.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("cent_vid"),
-        transform(col("embedding"), _.cast("double")).as("c"))
-      // unpartitioned window is safe HERE only: it ranks the codebook
-      // (n/97 rows — O(√n)-ish, broadcast below), never the corpus
-      .withColumn("cent_rank",
-        row_number().over(Window.orderBy("cent_vid")) - 1)
-      .drop("cent_vid")
-    val vd = emb.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
-    // per (vector, codebook entry): 8 subspace squared-L2 distances, each
-    // an ascending-index fold — the same op order as the oracle's
-    // list_sum comprehension
-    def dist(s0: Int): Column = aggregate(
-      zip_with(slice(col("v"), s0 * 8 + 1, 8), slice(col("c"), s0 * 8 + 1, 8),
-        (a, b) => (a - b) * (a - b)),
-      lit(0d), _ + _)
-    val withD = vd.crossJoin(broadcast(cents))
-      .select(col("vec_id") +: col("cent_rank") +:
-        (0 until 8).map(s0 => dist(s0).as(s"d$s0")): _*)
-    // argmin per subspace as a min_by AGGREGATE (map-side combined — the
-    // exchange carries one row per vector, nothing sorts)
-    val aggs = (0 until 8).flatMap(s0 => Seq(
-      min_by(col("cent_rank"), struct(col(s"d$s0"), col("cent_rank"))).as(s"cc$s0"),
-      min(col(s"d$s0")).as(s"m$s0")))
-    withD.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    pqAssign(emb, pqCodebook(emb))
       .select(col("vec_id") +:
         (0 until 8).map(s0 => col(s"cc$s0").cast("int").as(s"c$s0")) :+
         round((0 until 8).map(s0 => col(s"m$s0")).reduce(_ + _), 6).as("pq_err"): _*)
   }
 
+  /** PQ ANN search by asymmetric distance computation (ADC) — how a
+    * PQ-compressed corpus is actually served. The query stays full
+    * precision; each corpus vector is read as its 8 one-byte codes; the
+    * query's distance to every codebook entry per subspace is a tiny
+    * lookup table (queries × entries × 8 = O(100) rows), and a vector's
+    * approximate distance is the sum of 8 LUT lookups — no corpus-side
+    * float math at all.
+    *
+    * Plan shape: the corpus side is a narrow scan of the code table
+    * exploded to (vector, subspace, code) rows, one broadcast join against
+    * the LUT, then a map-side-combined pivot aggregate back to one row per
+    * (query, vector) with the 8 partials summed in fixed subspace order
+    * (bit-stable across engines — each partial is the [[pqSubDist]] fold).
+    * At 100 TB the code table is precomputed and persisted (32× smaller
+    * than the vectors); here it is recomputed from the same deterministic
+    * codebook so the DuckDB oracle can mirror the whole pipeline. The spec
+    * additionally checks recall against exact full-precision L2. */
+  val qKnnPqAdc: Q = Q(
+    "q_knn_pq_adc", {
+      val luts = (0 until 8).map(s =>
+        s"list_sum([(qv[i]-c[i])*(qv[i]-c[i]) for i in range(${s * 8 + 1}, ${s * 8 + 9})]) AS l$s")
+        .mkString(",\n       |   ")
+      val codeCase = (0 until 8).map(s => s"WHEN $s THEN c$s").mkString(" ")
+      val partCase = (0 until 8).map(s => s"WHEN $s THEN l$s").mkString(" ")
+      val adcSum = (0 until 8).map(s => s"sum(CASE WHEN lx.s = $s THEN lx.part END)")
+        .mkString(" + ")
+      s"""WITH $DuckPqCodesCtes,
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |lut AS (SELECT q.query_id, c.cent_rank,
+         |   $luts
+         |  FROM q CROSS JOIN cents c),
+         |cl AS (SELECT vec_id, t.s AS s, CASE t.s $codeCase END AS code
+         |  FROM codes, range(0, 8) t(s)),
+         |lx AS (SELECT query_id, cent_rank, t.s AS s, CASE t.s $partCase END AS part
+         |  FROM lut, range(0, 8) t(s)),
+         |summed AS (SELECT lx.query_id, cl.vec_id AS neighbor_id, $adcSum AS adc
+         |  FROM cl JOIN lx ON lx.cent_rank = cl.code AND lx.s = cl.s
+         |  GROUP BY lx.query_id, cl.vec_id)
+         |SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank FROM
+         |  (SELECT query_id, neighbor_id, adc, row_number() OVER
+         |     (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+         |   FROM summed WHERE neighbor_id <> query_id)
+         |WHERE rank <= $K""".stripMargin
+    }) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cents = pqCodebook(emb)
+    val codes = pqAssign(emb, cents).select(col("vec_id") +:
+      (0 until 8).map(s0 => col(s"cc$s0").cast("int").as(s"c$s0")): _*)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    // LUT: queries × codebook entries × 8 subspaces — O(100) rows, broadcast
+    val lut = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_rank"),
+        posexplode(array((0 until 8).map(s0 =>
+          pqSubDist(s0, col("qv"), col("c"))): _*)).as(Seq("ls", "part")))
+    val codesLong = codes.select(col("vec_id"),
+      posexplode(array((0 until 8).map(i => col(s"c$i")): _*)).as(Seq("cs", "code")))
+    // pivot the 8 matched partials back into columns so the final sum runs
+    // in fixed subspace order on both engines (each sum() sees exactly one
+    // row per (query, vector, subspace))
+    val pSums = (0 until 8).map(i => sum(when(col("ls") === i, col("part"))).as(s"p$i"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    codesLong.join(broadcast(lut),
+        col("cs") === col("ls") && col("code") === col("cent_rank"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(pSums.head, pSums.tail: _*)
+      .withColumn("adc", (0 until 8).map(i => col(s"p$i")).reduce(_ + _))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
-    qEmbedClusters)
+    qKnnPqAdc, qEmbedClusters)
 }

@@ -25,12 +25,14 @@ class PlanLintSpec extends SparkSpec {
     *    deliberate full scan;
     *  - q_knn_ivf: broadcast √n codebook (assignment + probes);
     *  - q_embed_pq: broadcast 16-entry-per-subspace codebook;
+    *  - q_knn_pq_adc: the same broadcast codebook (code assignment) plus
+    *    the broadcast O(100)-row ADC lookup table;
     *  - q_source_divergence: broadcast 1-row corpus token total.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
     "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_ivf",
-    "q_embed_pq", "q_source_divergence")
+    "q_embed_pq", "q_knn_pq_adc", "q_source_divergence")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the
@@ -38,7 +40,7 @@ class PlanLintSpec extends SparkSpec {
     * rows). All post-reduction small-side aggregates — acceptable; listed
     * so a NEW sort aggregate in a hot path still trips the lint. */
   private val sortAggByDesign = Set(
-    "q_string_funcs", "q_knn_ivf", "q_embed_pq")
+    "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc")
 
   test("no query plans an unlisted cartesian product or nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>
