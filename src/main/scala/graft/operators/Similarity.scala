@@ -293,6 +293,82 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
 
+  /** Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, then keep ONE representative per cluster
+    * — the member closest to the cluster centroid — and drop the rest.
+    * Complements [[qEmbedClusters]] (which only labels) and
+    * `q_dedup_keep_best` (which picks by text quality): here the pick is
+    * geometric, the way embedding-level curation actually chooses keepers.
+    *
+    * Determinism for the oracle: centroid components are per-(cluster, dim)
+    * means rounded to 6 decimals then float-truncated (both engines sum
+    * doubles in different orders — the round+truncate re-synchronizes them
+    * bit-for-bit, the [[qKnnIvf]] Lloyd trick), and member→centroid squared
+    * L2 is an ascending-index fold. Keeper = min_by over (dist, vec_id) —
+    * a map-side-combined argmin aggregate, one exchange row per cluster.
+    *
+    * Scale shape: clustering is the CC min-label propagation (O(diameter)
+    * rounds over pair-graph nodes only); the centroid is an
+    * explode-aggregate on (cluster_id, dim) — a plain hash-agg shuffle,
+    * never a driver-side vector op; the per-cluster collect_list is
+    * bounded at 64 rows (one per dimension) by construction. */
+  val qSemDedup: Q = Q(
+    "q_semdedup",
+    s"""WITH RECURSIVE $DuckEmbedPairCtes,
+       |edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(u, r) AS (SELECT u, v AS r FROM edges
+       |  UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |mins AS (SELECT u, min(r) AS mn FROM reach GROUP BY u),
+       |clusters AS (SELECT e.vec_id,
+       |    least(e.vec_id, coalesce(m.mn, e.vec_id)) AS cluster_id
+       |  FROM embeddings e LEFT JOIN mins m ON m.u = e.vec_id),
+       |cent AS (SELECT cluster_id, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY pos) AS c FROM
+       |  (SELECT cl.cluster_id, t.i AS pos,
+       |      round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS m
+       |   FROM clusters cl JOIN embeddings e ON e.vec_id = cl.vec_id, range(1, 65) t(i)
+       |   GROUP BY cl.cluster_id, t.i) GROUP BY cluster_id),
+       |dist AS (SELECT cl.cluster_id, cl.vec_id,
+       |    list_sum([(v[i]-c[i])*(v[i]-c[i]) for i in range(1, 65)]) AS d2
+       |  FROM clusters cl
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+       |    ON e.vec_id = cl.vec_id
+       |  JOIN cent ON cent.cluster_id = cl.cluster_id),
+       |agg AS (SELECT cluster_id, min(d2) AS md, count(*) AS members
+       |  FROM dist GROUP BY cluster_id)
+       |SELECT d.cluster_id,
+       |  min(CASE WHEN d.d2 = a.md THEN d.vec_id END) AS kept_vec,
+       |  any_value(a.members) AS members
+       |FROM dist d JOIN agg a ON d.cluster_id = a.cluster_id
+       |GROUP BY d.cluster_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val pairs = embedPairs(s, d)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    val labels = Dedup.connectedComponents(
+      emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val members = labels.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val cent = members
+      .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cluster_id", "pos")
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy("cluster_id")
+      // bounded by construction: one element per dimension (64) per cluster
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster_id"),
+        transform(col("pm"), p => p.getField("m").cast("float").cast("double")).as("c"))
+    val d2 = aggregate(
+      zip_with(transform(col("embedding"), _.cast("double")), col("c"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0d), _ + _)
+    members.join(cent, "cluster_id")
+      .select(col("cluster_id"), col("vec_id"), d2.as("d2"))
+      .groupBy("cluster_id")
+      .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as("kept_vec"),
+        count(lit(1)).as("members"))
+  }
+
   /** Int8 scalar quantization of embeddings — the 4× compression pass a
     * 100 TB vector corpus runs before ANN serving. Per vector: symmetric
     * scale mx/127 from the max-abs component, code_i = floor(x_i/mx·127 +
@@ -502,5 +578,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
-    qKnnPqAdc, qEmbedClusters)
+    qKnnPqAdc, qEmbedClusters, qSemDedup)
 }

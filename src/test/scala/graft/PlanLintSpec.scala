@@ -40,7 +40,7 @@ class PlanLintSpec extends SparkSpec {
     * rows). All post-reduction small-side aggregates — acceptable; listed
     * so a NEW sort aggregate in a hot path still trips the lint. */
   private val sortAggByDesign = Set(
-    "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc")
+    "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc", "q_semdedup")
 
   test("no query plans an unlisted cartesian product or nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

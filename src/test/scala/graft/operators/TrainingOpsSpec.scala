@@ -84,6 +84,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de"))
   }
 
+  test("q_semdedup keeps the centroid-closest member, not the smallest id") {
+    // Three colinear vectors b·1.0, b·1.1, b·1.4 — positive scaling never
+    // flips a hyperplane sign bit, so all three share one LSH bucket and
+    // cluster together. Centroid scale = 1.1667; member 2 (scale 1.1) is
+    // closest, so the keeper must be 2 even though the cluster label is 1.
+    // Vector 10 points the other way (all sign bits flip) → singleton.
+    val b = Array.tabulate(64)(k => math.sin(k + 1).toFloat)
+    def scaled(f: Float) = b.map(_ * f)
+    val dir = writeEmbeddings(Seq(
+      1L -> scaled(1.0f), 2L -> scaled(1.1f), 3L -> scaled(1.4f),
+      10L -> b.map(-_)))
+    val rows = Similarity.qSemDedup.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == Map(1L -> ((2L, 3L)), 10L -> ((10L, 1L))), s"got $rows")
+  }
+
+  /** Write a synthetic embeddings table to a temp scale-factor dir so the
+    * registered embedding queries run on controlled vectors. */
+  private def writeEmbeddings(rows: Seq[(Long, Array[Float])]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
   /** Write a synthetic documents table to a temp scale-factor dir so the
     * real registered queries (which read `dir/documents.parquet`) run on
     * controlled content. */
