@@ -79,7 +79,8 @@ object ScaleSmoke {
       operators.Dedup.qNgramJaccard, operators.Dedup.qDedupClusters,
       operators.Dedup.qContamination, operators.Similarity.qEmbedNearDup,
       operators.Dedup.qDedupKeepBest, operators.TextAnalysis.qLmScore,
-      operators.Similarity.qEmbedClusters)
+      operators.Similarity.qEmbedClusters, operators.Similarity.qKnnPqAdc,
+      operators.Similarity.qSemDedup)
 
     // warmup both dirs so codegen/JIT is paid before measurement
     family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))

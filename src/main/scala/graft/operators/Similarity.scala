@@ -420,11 +420,15 @@ object Similarity {
   // argmins — adding per-subspace k-means would triple an already large
   // SQL mirror for no new plan shape (the training pass would be the same
   // broadcast assign + hash-aggregate means qKnnIvf demonstrates).
-  /** PQ codebook: the stride-seeded entries (vec_id % 97), ranked by vec_id.
-    * O(n/97) rows — always broadcast. The unpartitioned window is safe HERE
-    * only: it ranks the codebook, never the corpus. */
+  /** PQ codebook: FIXED 16 stride-seeded entries (the first 16 vectors with
+    * vec_id % 97 == 0), ranked by vec_id. A PQ codebook must not grow with
+    * the corpus — an uncapped stride sample made assignment O(n²/97) at
+    * scale; capped, assignment is O(16·n) and the codebook is a constant
+    * broadcast at any corpus size. The unpartitioned window is safe HERE
+    * only: it ranks the 16-row codebook, never the corpus. */
+  private val PqEntries = 16
   private def pqCodebook(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 97 === 0)
+    emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 97 * PqEntries)
       .select(col("vec_id").as("cent_vid"),
         transform(col("embedding"), _.cast("double")).as("c"))
       .withColumn("cent_rank",
@@ -469,7 +473,7 @@ object Similarity {
       .mkString(",\n      |  ")
     s"""cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_rank,
       |    CAST(embedding AS DOUBLE[]) AS c
-      |  FROM embeddings WHERE vec_id % 97 = 0),
+      |  FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < ${97 * 16}),
       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |d AS (SELECT vec_id, cent_rank,
       |   $dists

@@ -184,7 +184,8 @@ class TrainingOpsSpec extends SparkSpec {
     def sub(v: Array[Double], s: Int) = v.slice(s * 8, s * 8 + 8)
     def d2(a: Array[Double], b: Array[Double]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val cb = vecs.filter(_._1 % 97 == 0).sortBy(_._1).map(_._2).zipWithIndex
+    val cb = vecs.filter(v => v._1 % 97 == 0 && v._1 < 97 * 16)
+      .sortBy(_._1).map(_._2).zipWithIndex
     val codes = vecs.map { case (vid, v) =>
       vid -> (0 until 8).map(s =>
         cb.minBy { case (c, r) => (d2(sub(v, s), sub(c, s)), r) }._2).toArray
