@@ -293,6 +293,47 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
   }
 
+  /** Semantic decontamination: flag corpus vectors whose embedding is too
+    * close to a benchmark/eval set — the semantic complement of the
+    * n-gram `q_contamination` gate (a paraphrased eval question shares no
+    * 8-gram but sits next to it in embedding space). Benchmark = vec_id <
+    * 50, standing in for a held-out eval set.
+    *
+    * Scale shape: an eval set is SMALL by nature (10³-10⁴ rows at any
+    * corpus size), so the right plan is broadcast(benchmark) × one narrow
+    * corpus pass — no corpus shuffle at all; the per-vector max/argmax is
+    * a map-side-combined aggregate (one exchange row per flagged corpus
+    * vector). LSH bucketing would be wrong here: cross-set collisions are
+    * too rare for recall, and the broadcast side never grows. */
+  val qSemDecontam: Q = Q(
+    "q_sem_decontam",
+    """WITH sims AS (SELECT c.vec_id, b.vec_id AS bm_id,
+      |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])) AS sim
+      |  FROM embeddings c JOIN embeddings b ON b.vec_id < 50 AND c.vec_id >= 50),
+      |mx AS (SELECT vec_id, max(sim) AS ms FROM sims GROUP BY vec_id)
+      |SELECT s.vec_id,
+      |  CAST(min(CASE WHEN s.sim = m.ms THEN s.bm_id END) AS BIGINT) AS bm_id,
+      |  round(any_value(m.ms), 4) AS max_sim
+      |FROM sims s JOIN mx m ON s.vec_id = m.vec_id
+      |WHERE m.ms >= 0.35
+      |GROUP BY s.vec_id""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val bench = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("bm_id"), col("embedding").as("q_embedding"))
+    emb.filter(col("vec_id") >= 50)
+      .crossJoin(broadcast(bench))
+      .withColumn("sim", cosExpr)
+      .groupBy("vec_id")
+      // argmax with a smallest-bm_id tie-break, as an AGGREGATE (map-side
+      // combined), mirrored by the oracle's min-over-argmax-candidates
+      .agg(max(col("sim")).as("ms"),
+        max_by(col("bm_id"), struct(col("sim"), (-col("bm_id")).as("tie"))).as("bm"))
+      .filter(col("ms") >= 0.35)
+      .select(col("vec_id"), col("bm").as("bm_id"), round(col("ms"), 4).as("max_sim"))
+  }
+
   /** Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space, then keep ONE representative per cluster
     * — the member closest to the cluster centroid — and drop the rest.
@@ -582,5 +623,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
-    qKnnPqAdc, qEmbedClusters, qSemDedup)
+    qKnnPqAdc, qEmbedClusters, qSemDedup, qSemDecontam)
 }

@@ -100,6 +100,18 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> ((2L, 3L)), 10L -> ((10L, 1L))), s"got $rows")
   }
 
+  test("q_sem_decontam flags a planted paraphrase and ignores orthogonal vectors") {
+    // Benchmark vec 1; corpus vec 100 is a scaled copy (cosine 1.0, the
+    // planted semantic leak), corpus vec 101 is orthogonal (cosine ~0).
+    val b = Array.tabulate(64)(k => math.cos(k + 1).toFloat)
+    val orth = Array.tabulate(64)(k => if (k % 2 == 0) b(k + 1) else -b(k - 1))
+    val dir = writeEmbeddings(Seq(
+      1L -> b, 100L -> b.map(_ * 0.5f), 101L -> orth))
+    val rows = Similarity.qSemDecontam.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((100L, 1L, 1.0)), s"got ${rows.toSeq}")
+  }
+
   /** Write a synthetic embeddings table to a temp scale-factor dir so the
     * registered embedding queries run on controlled vectors. */
   private def writeEmbeddings(rows: Seq[(Long, Array[Float])]): String = {
