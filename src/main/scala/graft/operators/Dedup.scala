@@ -82,17 +82,22 @@ object Dedup {
       s"""SELECT doc_id, $bands FROM
          |(SELECT doc_id, $mh FROM ($duckShingles))""".stripMargin
     }) { (s, d) =>
+    minhashSigs(s, d).select(
+      col("doc_id") +: (0 until Bands).map { b =>
+        md5(concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
+          .as(s"band$b")
+      }: _*)
+  }
+
+  /** The 8 minhash signature components per document (the stage
+    * [[qMinhashBands]] bands up and [[qMinhashJaccardEst]] audits). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val hashed = withShingles(s, d)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
     val mins = (0 until NumHashes).map(i =>
       min(conv(substring(col("m"), 1 + 2 * i, 14), 16, 10).cast("long")).as(s"mh$i"))
-    val mh = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    mh.select(
-      col("doc_id") +: (0 until Bands).map { b =>
-        md5(concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
-          .as(s"band$b")
-      }: _*)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: the bucket join on band keys. Empty when the
@@ -182,6 +187,57 @@ object Dedup {
         round(col("n_common").cast("double") / (col("sa") + col("sb") - col("n_common")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  /** Sketch-accuracy audit: every LSH candidate pair scored BOTH ways —
+    * the signature-estimated Jaccard (agreeing minhash components out of
+    * 8) next to the exact distinct-shingle Jaccard. This is the
+    * measurement a production dedup pipeline runs before trusting a
+    * banding threshold: it tells you the sketch's actual error on YOUR
+    * corpus, not the textbook expectation.
+    *
+    * Scale shape: exact verification runs ONLY on LSH survivors — the
+    * candidate pair list (tiny by construction) is broadcast against two
+    * narrow probes of the signature and shingle-set tables; the standard
+    * candidate-verify pattern, never all-pairs. */
+  val qMinhashJaccardEst: Q = Q(
+    "q_minhash_jaccard_est", {
+      val mh = (0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(", ")
+      val estSum = (0 until NumHashes).map(i =>
+        s"CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH cand AS (${qMinhashPairs.oracle.get}),
+         |sh2 AS ($duckShingles),
+         |mhs AS (SELECT doc_id, $mh FROM sh2),
+         |ds AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh2)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(($estSum) / 8.0, 4) AS est_jaccard,
+         |  round(CAST(len(list_intersect(da.shd, db.shd)) AS DOUBLE) /
+         |    (len(da.shd) + len(db.shd) - len(list_intersect(da.shd, db.shd))), 4) AS jaccard
+         |FROM cand c
+         |JOIN mhs ma ON ma.doc_id = c.doc_a JOIN mhs mb ON mb.doc_id = c.doc_b
+         |JOIN ds da ON da.doc_id = c.doc_a JOIN ds db ON db.doc_id = c.doc_b""".stripMargin
+    }) { (s, d) =>
+    GraftFunctions.register(s)
+    val pairs = qMinhashPairs.build(s, d)
+    val sigs = minhashSigs(s, d)
+    val ds = withShingles(s, d)
+      .select(col("doc_id"), array_distinct(col("sh")).as("shd"))
+    val sigA = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val est = (0 until NumHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      .cast("double") / NumHashes
+    val withSig = broadcast(pairs).join(sigA, "doc_a").join(sigB, "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+    val inter = size(array_intersect(col("a_shd"), col("b_shd")))
+    broadcast(withSig)
+      .join(ds.select(col("doc_id").as("doc_a"), col("shd").as("a_shd")), "doc_a")
+      .join(ds.select(col("doc_id").as("doc_b"), col("shd").as("b_shd")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(inter.cast("double") /
+          (size(col("a_shd")) + size(col("b_shd")) - inter), 4).as("jaccard"))
   }
 
   /** 32-bit SimHash per document over distinct word tokens. */
@@ -446,6 +502,7 @@ object Dedup {
   }
 
   val all: Seq[Q] = Seq(
-    qMinhashBands, qMinhashPairs, qNgramJaccard, qSimhash, qSimhashPairs,
+    qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
+    qSimhash, qSimhashPairs,
     qDedupNear, qDedupClusters, qContamination, qDedupKeepBest)
 }

@@ -100,6 +100,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> ((2L, 3L)), 10L -> ((10L, 1L))), s"got $rows")
   }
 
+  test("q_minhash_jaccard_est scores the planted pair both ways") {
+    // Docs 1/2 share 9 of their 10 3-shingles (intersection 9, union 11),
+    // so exact jaccard is round(9/11, 4); the sketch estimate is k-agree/8
+    // — not pinned to a value (it is the hash luck the op measures), but
+    // it must be positive for a pair that survived banding, and a valid
+    // multiple of 1/8.
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (3L, "totally different content about streaming backpressure and rates"),
+      (4L, "yet another unrelated document mentioning parquet and shuffles")))
+    val rows = Dedup.qMinhashJaccardEst.build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((1L, 2L)), s"got ${rows.toSeq}")
+    val (_, _, est, exact) = rows.head
+    assert(exact == BigDecimal(9.0 / 11).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(est > 0 && est <= 1 && (est * 8).round == est * 8)
+  }
+
   test("q_sem_decontam flags a planted paraphrase and ignores orthogonal vectors") {
     // Benchmark vec 1; corpus vec 100 is a scaled copy (cosine 1.0, the
     // planted semantic leak), corpus vec 101 is orthogonal (cosine ~0).
