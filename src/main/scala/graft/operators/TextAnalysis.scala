@@ -513,6 +513,39 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Quality-weighted sampling — the DSIR pattern (Xie et al. 2023,
+    * arXiv:2302.03169): keep each document with probability proportional
+    * to an importance weight, here the self-trained bigram-LM quality
+    * score ([[qLmScore]]) min-max normalized to [0,1]. DSIR's exp-weight
+    * is replaced by the linear normalizer on the 4-decimal-rounded score:
+    * exp() is libm-dependent and would break cross-engine bit parity,
+    * while (score−min)/(max−min) over already-gate-exact inputs is IEEE
+    * division both engines compute identically. Acceptance is the
+    * reproducible residue idiom: hash(doc_id) % 10000 < round(p·10000) —
+    * re-running the sample on the same corpus keeps the same documents.
+    *
+    * Scale shape: the normalizer is a 1-row broadcast; everything else is
+    * the [[qLmScore]] plan plus a narrow filter — no extra shuffle. */
+  val qWeightedSample: Q = Q(
+    "q_weighted_sample",
+    s"""WITH scores AS (${qLmScore.oracle.get}),
+       |norm AS (SELECT min(lm_score) AS mn, max(lm_score) AS mx FROM scores),
+       |probs AS (SELECT doc_id,
+       |    CASE WHEN mx > mn THEN (lm_score - mn) / (mx - mn) ELSE 1.0 END AS p
+       |  FROM scores CROSS JOIN norm)
+       |SELECT doc_id, round(p, 4) AS keep_prob FROM probs
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 10000
+       |  < CAST(round(p * 10000) AS BIGINT)""".stripMargin) { (s, d) =>
+    val scores = qLmScore.build(s, d).select(col("doc_id"), col("lm_score"))
+    val norm = scores.agg(min("lm_score").as("mn"), max("lm_score").as("mx"))
+    scores.crossJoin(broadcast(norm))
+      .withColumn("p", when(col("mx") > col("mn"),
+        (col("lm_score") - col("mn")) / (col("mx") - col("mn"))).otherwise(lit(1.0)))
+      .filter(Portable.hash60(col("doc_id").cast("string")) % 10000 <
+        round(col("p") * 10000, 0).cast("long"))
+      .select(col("doc_id"), round(col("p"), 4).as("keep_prob"))
+  }
+
   /** Token budget per source for [[qTokenBudgetMix]] — sized so that at
     * sf0.01 some sources are capped and some pass whole (non-trivial gate
     * at the driver's verification scale). */
@@ -671,6 +704,6 @@ object TextAnalysis {
     qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
-    qStratifiedSample, qBigramLm, qLmScore, qTokenBudgetMix, qCorpusStats,
-    qPackSequences, qSourceDivergence)
+    qStratifiedSample, qBigramLm, qLmScore, qWeightedSample, qTokenBudgetMix,
+    qCorpusStats, qPackSequences, qSourceDivergence)
 }

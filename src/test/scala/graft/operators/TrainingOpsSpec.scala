@@ -100,6 +100,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> ((2L, 3L)), 10L -> ((10L, 1L))), s"got $rows")
   }
 
+  test("q_weighted_sample keeps exactly the normalized-quality residue set") {
+    import graft.functions.Portable
+    // Independent recomputation: min-max normalize the lm scores, apply
+    // the residue rule, and require the op's kept set (ids AND keep_prob)
+    // to match exactly.
+    val scores = TextAnalysis.qLmScore.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val (mn, mx) = (scores.values.min, scores.values.max)
+    val want = scores.flatMap { case (id, sc) =>
+      val p = if (mx > mn) (sc - mn) / (mx - mn) else 1.0
+      if (Portable.hash60Local(id.toString) % 10000 < math.round(p * 10000))
+        Some(id -> BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }
+    val got = TextAnalysis.qWeightedSample.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"got ${got.size} kept, want ${want.size}")
+    assert(want.nonEmpty && want.size < scores.size) // a real sample, not all/none
+  }
+
   test("q_minhash_jaccard_est scores the planted pair both ways") {
     // Docs 1/2 share 9 of their 10 3-shingles (intersection 9, union 11),
     // so exact jaccard is round(9/11, 4); the sketch estimate is k-agree/8
