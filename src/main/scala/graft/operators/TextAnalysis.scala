@@ -188,6 +188,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok").as("top_term"), round(col("tfidf6"), 4).as("tfidf"))
   }
 
+  /** Vocabulary coverage — the dataset-card tokenizer question: how much
+    * of the corpus token stream do the top-100 token types cover? Top
+    * types by frequency with a running cumulative coverage fraction. The
+    * unpartitioned window is safe HERE only: it runs on the top-100 rows
+    * AFTER the TakeOrdered, never on the corpus; the frequency table
+    * itself is a plain map-side-combined hash aggregate and the grand
+    * total a 1-row broadcast. */
+  val qVocabCoverage: Q = Q(
+    "q_vocab_coverage",
+    """WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |total AS (SELECT sum(cnt) AS total FROM freq),
+      |top AS (SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok LIMIT 100)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank,
+      |  tok AS token, cnt,
+      |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |    / CAST(total AS DOUBLE), 6) AS coverage
+      |FROM top CROSS JOIN total""".stripMargin) { (s, d) =>
+    val freq = Tables.documents(s, d)
+      .select(explode(Portable.words(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("total"))
+    val ord = Window.orderBy(col("cnt").desc, col("tok"))
+    freq.orderBy(col("cnt").desc, col("tok")).limit(100)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum",
+        sum("cnt").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("tok").as("token"), col("cnt"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6).as("coverage"))
+  }
+
   // PII patterns, kept to the Java∩RE2 common regex subset (no
   // backreferences / lookarounds) so Spark and the DuckDB oracle compile
   // the identical pattern text
@@ -705,5 +738,5 @@ object TextAnalysis {
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qWeightedSample, qTokenBudgetMix,
-    qCorpusStats, qPackSequences, qSourceDivergence)
+    qCorpusStats, qPackSequences, qSourceDivergence, qVocabCoverage)
 }

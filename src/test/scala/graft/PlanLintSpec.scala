@@ -28,13 +28,14 @@ class PlanLintSpec extends SparkSpec {
     *  - q_knn_pq_adc: the same broadcast codebook (code assignment) plus
     *    the broadcast O(100)-row ADC lookup table;
     *  - q_source_divergence: broadcast 1-row corpus token total;
-    *  - q_weighted_sample: broadcast 1-row min/max score normalizer.
+    *  - q_weighted_sample: broadcast 1-row min/max score normalizer;
+    *  - q_vocab_coverage: broadcast 1-row corpus token total.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
     "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_ivf",
     "q_embed_pq", "q_knn_pq_adc", "q_sem_decontam", "q_source_divergence",
-    "q_weighted_sample")
+    "q_weighted_sample", "q_vocab_coverage")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the

@@ -100,6 +100,15 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> ((2L, 3L)), 10L -> ((10L, 1L))), s"got $rows")
   }
 
+  test("q_vocab_coverage ranks types and accumulates to 1.0") {
+    val dir = writeDocs(Seq((1L, "a a a b b c")))
+    val rows = TextAnalysis.qVocabCoverage.build(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1, "a", 3L, 0.5), (2, "b", 2L, 0.833333), (3, "c", 1L, 1.0)),
+      s"got ${rows.toSeq}")
+  }
+
   test("q_weighted_sample keeps exactly the normalized-quality residue set") {
     import graft.functions.Portable
     // Independent recomputation: min-max normalize the lm scores, apply
