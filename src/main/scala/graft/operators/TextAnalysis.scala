@@ -72,6 +72,67 @@ object TextAnalysis {
         when(length(col("text")).between(50, 10000), 1).otherwise(0).as("length_ok"))
   }
 
+  /** The Gopher "must contain ≥2 of" stopword list (Rae et al. 2021). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1.2): per-document boolean flags for the five repetition-free
+    * rules — word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (# and …) ≤ 0.1, ≥ 80% of words containing an
+    * alphabetic character, and ≥ 2 distinct required stopwords — plus the
+    * composite verdict. Emitting per-rule flags (not just the verdict) is
+    * how curation runs are audited: you tune thresholds from the marginal
+    * kill-counts of each rule.
+    *
+    * All rules are per-row regex counts (codegen'd, zero shuffle at any
+    * scale). Mean word length counts `\S` characters rather than using
+    * regexp_replace — DuckDB's regexp_replace is first-match-only without
+    * the 'g' flag, a silent cross-engine trap. */
+  val qGopherRules: Q = Q(
+    "q_gopher_rules", {
+      val stopHits = GopherStops.map(w =>
+        s"CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""SELECT doc_id, n_words, round(mean_wl, 4) AS mean_word_len,
+         |  word_count_ok, mean_wl_ok, symbol_ok, alpha_ok, stop_ok,
+         |  word_count_ok * mean_wl_ok * symbol_ok * alpha_ok * stop_ok AS passes
+         |FROM (SELECT doc_id, n_words, mean_wl,
+         |  CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS word_count_ok,
+         |  CASE WHEN mean_wl BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS mean_wl_ok,
+         |  CASE WHEN CAST(n_sym AS DOUBLE) / n_words <= 0.1 THEN 1 ELSE 0 END AS symbol_ok,
+         |  CASE WHEN CAST(n_alpha AS DOUBLE) / n_words >= 0.8 THEN 1 ELSE 0 END AS alpha_ok,
+         |  CASE WHEN $stopHits >= 2 THEN 1 ELSE 0 END AS stop_ok
+         | FROM (SELECT doc_id, text,
+         |    greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS n_words,
+         |    CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE)
+         |      / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS mean_wl,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+         |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha
+         |   FROM documents))""".stripMargin
+    }) { (s, d) =>
+    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val meanWl = size(regexp_extract_all(col("text"), lit("\\S"), lit(0)))
+      .cast("double") / nWords
+    val nSym = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+    val nAlpha = size(regexp_extract_all(col("text"), lit("\\S*[A-Za-z]\\S*"), lit(0)))
+    val stopHits = GopherStops.map(w =>
+      when(lower(col("text")).rlike(s"\\b$w\\b"), 1).otherwise(0)).reduce(_ + _)
+    val flags = Seq(
+      when(col("n_words").between(50, 100000), 1).otherwise(0).as("word_count_ok"),
+      when(col("mean_wl").between(3, 10), 1).otherwise(0).as("mean_wl_ok"),
+      when(col("n_sym").cast("double") / col("n_words") <= 0.1, 1).otherwise(0).as("symbol_ok"),
+      when(col("n_alpha").cast("double") / col("n_words") >= 0.8, 1).otherwise(0).as("alpha_ok"),
+      when(col("stop_hits") >= 2, 1).otherwise(0).as("stop_ok"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWords.as("n_words"), meanWl.as("mean_wl"),
+        nSym.as("n_sym"), nAlpha.as("n_alpha"), stopHits.as("stop_hits"))
+      .select(col("doc_id") +: col("n_words") +: round(col("mean_wl"), 4).as("mean_word_len") +: flags: _*)
+      .withColumn("passes",
+        col("word_count_ok") * col("mean_wl_ok") * col("symbol_ok") *
+          col("alpha_ok") * col("stop_ok"))
+  }
+
   // Tiny stopword profiles per language; zh scored by CJK codepoints. The
   // argmax tie-break is the fixed evaluation order en,de,es,fr,zh.
   private val Profiles = Seq(
@@ -734,7 +795,8 @@ object TextAnalysis {
   }
 
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCount, qQuality, qLangId, qFingerprint, qDedupExact,
+    qTextStats, qTokenCount, qQuality, qGopherRules, qLangId, qFingerprint,
+    qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qWeightedSample, qTokenBudgetMix,

@@ -100,6 +100,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows == Map(1L -> ((2L, 3L)), 10L -> ((10L, 1L))), s"got $rows")
   }
 
+  test("q_gopher_rules trips each rule independently") {
+    val pass = "the and that have with " + ("word " * 55).trim     // all rules ok
+    val short = "the and word"                                     // word count < 50
+    val symb = ("# " * 10) + "the and " + ("word " * 48).trim      // 10/60 symbols > 0.1
+    val nums = ("123 " * 58) + "the and"                           // 2/60 alpha words < 0.8
+    val nostop = ("word " * 60).trim                               // 0 required stopwords
+    val dir = writeDocs(Seq(1L -> pass, 2L -> short, 3L -> symb, 4L -> nums, 5L -> nostop))
+    val got = TextAnalysis.qGopherRules.build(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8)))).toMap
+    // (word_count_ok, mean_wl_ok, symbol_ok, alpha_ok, stop_ok, passes)
+    assert(got(1L) == ((1, 1, 1, 1, 1, 1)), s"pass doc: ${got(1L)}")
+    assert(got(2L)._1 == 0 && got(2L)._6 == 0, s"short doc: ${got(2L)}")
+    assert(got(3L)._3 == 0 && got(3L)._6 == 0, s"symbol doc: ${got(3L)}")
+    assert(got(4L)._4 == 0 && got(4L)._6 == 0, s"numeric doc: ${got(4L)}")
+    assert(got(5L)._5 == 0 && got(5L)._6 == 0, s"no-stop doc: ${got(5L)}")
+  }
+
   test("q_vocab_coverage ranks types and accumulates to 1.0") {
     val dir = writeDocs(Seq((1L, "a a a b b c")))
     val rows = TextAnalysis.qVocabCoverage.build(spark, dir).collect()
