@@ -410,6 +410,32 @@ object Similarity {
         count(lit(1)).as("members"))
   }
 
+  /** Embedding normalization audit — one dataset-card row asserting the
+    * invariant ANN serving depends on: dot product ≡ cosine only when
+    * vectors are unit-norm. Reports corpus size, how many vectors are
+    * unit within 1e-6, and the worst absolute deviation (rounded to 9
+    * decimals — the per-row norm fold is ascending-index, bit-identical
+    * in both engines, so even 1e-7-scale values compare exactly). A
+    * narrow per-row fold into one map-side-combined aggregate; zero
+    * corpus shuffle. (A 3σ norm-outlier gate is the wrong op for this
+    * corpus: the vectors ARE normalized, σ = 0, and the gate degenerates
+    * — this audit is how you find that out before wiring one up.) */
+  val qEmbedNormCheck: Q = Q(
+    "q_embed_norm_check",
+    """SELECT count(*) AS n_vecs,
+      |  CAST(sum(CASE WHEN abs(nrm - 1) <= 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit,
+      |  round(max(abs(nrm - 1)), 9) AS max_dev
+      |FROM (SELECT sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding])) AS nrm
+      |  FROM embeddings)""".stripMargin) { (s, d) =>
+    val nrm = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0d), _ + _))
+    Tables.embeddings(s, d).select(nrm.as("nrm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(abs(col("nrm") - 1) <= 0.000001, 1).otherwise(0)).cast("long").as("n_unit"),
+        round(max(abs(col("nrm") - 1)), 9).as("max_dev"))
+  }
+
   /** Int8 scalar quantization of embeddings — the 4× compression pass a
     * 100 TB vector corpus runs before ANN serving. Per vector: symmetric
     * scale mx/127 from the max-abs component, code_i = floor(x_i/mx·127 +
@@ -623,5 +649,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
-    qKnnPqAdc, qEmbedClusters, qSemDedup, qSemDecontam)
+    qKnnPqAdc, qEmbedClusters, qSemDedup, qSemDecontam, qEmbedNormCheck)
 }

@@ -166,6 +166,14 @@ class TrainingOpsSpec extends SparkSpec {
     assert(est > 0 && est <= 1 && (est * 8).round == est * 8)
   }
 
+  test("q_embed_norm_check counts unit vectors and reports the worst deviation") {
+    val e1 = Array.tabulate(64)(k => if (k == 0) 1f else 0f)
+    val dir = writeEmbeddings(Seq(1L -> e1, 2L -> e1.map(_ * 2f)))
+    val r = Similarity.qEmbedNormCheck.build(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 1L, 1.0)),
+      s"got $r")
+  }
+
   test("q_sem_decontam flags a planted paraphrase and ignores orthogonal vectors") {
     // Benchmark vec 1; corpus vec 100 is a scaled copy (cosine 1.0, the
     // planted semantic leak), corpus vec 101 is orthogonal (cosine ~0).
