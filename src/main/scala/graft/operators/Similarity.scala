@@ -65,29 +65,11 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
   }
 
-  /** IVF ANN, the scale path: ≈√n coarse cells (stride-seeded, then 2
-    * deterministic Lloyd iterations train the codebook), assign every
-    * vector to its nearest cell, probe the query's 4 nearest cells,
-    * brute-force only within them — the standard inverted-file layout
-    * where scan cost drops by ≈ cells/nprobe.
-    *
-    * Determinism for the oracle: a FIXED iteration count (no convergence
-    * test), argmax tie-break by smallest cent_id, per-dimension means
-    * rounded to 6 decimals then truncated to FLOAT before the next
-    * assignment (both engines sum doubles in different orders — the
-    * round+truncate re-synchronizes the codebooks bit-for-bit, the same
-    * trick [[qEmbedNearDup]]'s hyperplanes use), and the bit-identical
-    * fused float cosine. The whole pipeline mirrors in SQL; the spec
-    * additionally asserts recall against [[qKnnBrute]].
-    *
-    * Scale shape: centroids are O(√n) — broadcast; assignment is a narrow
-    * broadcast pass with a map-side-combined argmax (`max_by`), one
-    * exchange row per vector; Lloyd means are hash aggregates on
-    * (cell, dim). Nothing all-pairs, nothing driver-side but the √n
-    * codebook. */
-  val qKnnIvf: Q = Q(
-    "q_knn_ivf",
-    s"""WITH stride AS (SELECT GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS v FROM embeddings),
+  /** Shared oracle CTE chain (through `assigned`/`probes`) for the IVF
+    * family: √n stride seeds → 2 Lloyd iterations (round+float-truncate
+    * bit parity) → per-vector cell assignment and per-query probe cells. */
+  private val DuckIvfCtes: String =
+    s"""stride AS (SELECT GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c
        |    FROM embeddings WHERE vec_id % (SELECT v FROM stride) = 0),
        |a1 AS (SELECT vec_id, cell FROM
@@ -117,7 +99,32 @@ object Similarity {
        |  (SELECT vec_id, cent_id, row_number() OVER
        |     (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
        |   FROM sims WHERE vec_id < $NumQueries)
-       |  WHERE rn <= 4),
+       |  WHERE rn <= 4)""".stripMargin
+
+  /** IVF ANN, the scale path: ≈√n coarse cells (stride-seeded, then 2
+    * deterministic Lloyd iterations train the codebook), assign every
+    * vector to its nearest cell, probe the query's 4 nearest cells,
+    * brute-force only within them — the standard inverted-file layout
+    * where scan cost drops by ≈ cells/nprobe.
+    *
+    * Determinism for the oracle: a FIXED iteration count (no convergence
+    * test), argmax tie-break by smallest cent_id, per-dimension means
+    * rounded to 6 decimals then truncated to FLOAT before the next
+    * assignment (both engines sum doubles in different orders — the
+    * round+truncate re-synchronizes the codebooks bit-for-bit, the same
+    * trick [[qEmbedNearDup]]'s hyperplanes use), and the bit-identical
+    * fused float cosine. The whole pipeline mirrors in SQL; the spec
+    * additionally asserts recall against [[qKnnBrute]].
+    *
+    * Scale shape: centroids are O(√n) — broadcast; assignment is a narrow
+    * broadcast pass with a map-side-combined argmax (`max_by`), one
+    * exchange row per vector; Lloyd means are hash aggregates on
+    * (cell, dim). Nothing all-pairs, nothing driver-side but the √n
+    * codebook. */
+
+  val qKnnIvf: Q = Q(
+    "q_knn_ivf",
+    s"""WITH $DuckIvfCtes,
        |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
        |      CAST(n.embedding AS DOUBLE[])) AS sim
@@ -131,54 +138,9 @@ object Similarity {
        |WHERE rank <= $K""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    // ≈√n cells: the codebook is a plan parameter (like AQE statistics),
-    // so the one driver-side count here sizes it — everything downstream
-    // stays distributed
-    val stride = math.max(1L, math.sqrt(emb.count().toDouble).toLong)
-
-    // cell assignment against a broadcast codebook: max_by over
-    // (sim, -cent_id) is an argmax AGGREGATE — it partial-aggregates
-    // map-side, so the exchange carries one row per vector and nothing
-    // sorts (a window rank-1 formulation would shuffle every candidate
-    // row and sort each partition)
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
-        .groupBy("vec_id")
-        .agg(
-          any_value(col("embedding")).as("embedding"),
-          max_by(col("cent_id"),
-            struct(col("csim"), (-col("cent_id")).as("tie"))).as("cell"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
-
-    // one Lloyd step: per-(cell, dim) mean, rounded+float-truncated for
-    // cross-engine bit parity, reassembled into an ordered float vector
-    def lloyd(cents: DataFrame): DataFrame =
-      assign(cents)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(round(avg(col("v").cast("double")), 6).as("m"))
-        .groupBy("cell")
-        // collect_list is bounded HERE by construction: one element per
-        // dimension (64) per cell — never corpus-sized
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("cent_id"),
-          transform(col("pm"), p => p.getField("m").cast("float")).as("c_embedding"))
-
-    val seeds = emb.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
-    val cents = lloyd(lloyd(seeds)).localCheckpoint()
-
-    val assigned = assign(cents)
-    // queries probe their 4 nearest cells
-    val queries = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("q_embedding")))
-      .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= 4)
-      .select(col("query_id"), col("q_embedding"), col("cent_id").as("cell"))
+    val cents = ivfCodebook(emb)
+    val assigned = ivfAssign(emb, cents)
+    val probes = ivfProbes(emb, cents)
     // brute force within probed cells only
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
@@ -188,6 +150,55 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Cell assignment against a broadcast codebook: max_by over
+    * (sim, -cent_id) is an argmax AGGREGATE — it partial-aggregates
+    * map-side, so the exchange carries one row per vector and nothing
+    * sorts (a window rank-1 formulation would shuffle every candidate
+    * row and sort each partition). */
+  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
+      .groupBy("vec_id")
+      .agg(
+        any_value(col("embedding")).as("embedding"),
+        max_by(col("cent_id"),
+          struct(col("csim"), (-col("cent_id")).as("tie"))).as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+  /** The Lloyd-trained IVF codebook: ≈√n stride seeds, 2 fixed iterations
+    * (per-(cell, dim) means rounded+float-truncated for cross-engine bit
+    * parity). The one driver-side count sizes the codebook — a plan
+    * parameter, like AQE statistics; everything downstream is distributed. */
+  private def ivfCodebook(emb: DataFrame): DataFrame = {
+    val stride = math.max(1L, math.sqrt(emb.count().toDouble).toLong)
+    // one Lloyd step: mean per (cell, dim), reassembled into an ordered
+    // float vector; collect_list is bounded by construction (64/cell)
+    def lloyd(cents: DataFrame): DataFrame =
+      ivfAssign(emb, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("c_embedding"))
+    val seeds = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
+    lloyd(lloyd(seeds)).localCheckpoint()
+  }
+
+  /** Each query's 4 nearest cells (the probe set). */
+  private def ivfProbes(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
+    queries.crossJoin(broadcast(cents))
+      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("q_embedding")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= 4)
+      .select(col("query_id"), col("q_embedding"), col("cent_id").as("cell"))
   }
 
   /** Shared CTE chain (through `pairs`) for the LSH near-dup family:
@@ -647,7 +658,93 @@ object Similarity {
         round(col("adc"), 6).as("adc_dist"), col("rank"))
   }
 
+  /** IVF-PQ — the standard billion-scale ANN index layout (the FAISS
+    * IVFPQ architecture): the Lloyd-trained IVF coarse quantizer prunes
+    * the search to the query's 4 probed cells, and within them vectors
+    * are scored by PQ asymmetric distance — codes only, no full-precision
+    * corpus reads. Composes [[qKnnIvf]]'s codebook/assignment/probes with
+    * [[qKnnPqAdc]]'s code table and LUT, both already oracle-proven.
+    * (Simplification vs FAISS: PQ encodes raw vectors, not per-cell
+    * residuals — residual encoding changes accuracy, not plan shape, and
+    * would triple the oracle.)
+    *
+    * Scale shape: candidate set = probed cells only (≈ corpus ·
+    * nprobe/cells rows), joined narrowly to the code table; the ADC
+    * scoring is the same broadcast-LUT + pivot-aggregate as
+    * [[qKnnPqAdc]]. Scan cost drops by the IVF pruning factor AND each
+    * candidate costs 8 lookups instead of 64 float ops. */
+  val qKnnIvfPq: Q = Q(
+    "q_knn_ivf_pq", {
+      val luts = (0 until 8).map(s =>
+        s"list_sum([(qv[i]-c[i])*(qv[i]-c[i]) for i in range(${s * 8 + 1}, ${s * 8 + 9})]) AS l$s")
+        .mkString(",\n       |   ")
+      val codeCase = (0 until 8).map(s => s"WHEN $s THEN c$s").mkString(" ")
+      val partCase = (0 until 8).map(s => s"WHEN $s THEN l$s").mkString(" ")
+      val adcSum = (0 until 8).map(s => s"sum(CASE WHEN lx.s = $s THEN lx.part END)")
+        .mkString(" + ")
+      s"""WITH $DuckIvfCtes,
+         |$DuckPqCodesCtes,
+         |q2 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |lut AS (SELECT q2.query_id, c.cent_rank,
+         |   $luts
+         |  FROM q2 CROSS JOIN cents c),
+         |cl AS (SELECT vec_id, t.s AS s, CASE t.s $codeCase END AS code
+         |  FROM codes, range(0, 8) t(s)),
+         |lx AS (SELECT query_id, cent_rank, t.s AS s, CASE t.s $partCase END AS part
+         |  FROM lut, range(0, 8) t(s)),
+         |summed AS (SELECT p.query_id, cl.vec_id AS neighbor_id, $adcSum AS adc
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN cl ON cl.vec_id = a.vec_id
+         |  JOIN lx ON lx.cent_rank = cl.code AND lx.s = cl.s AND lx.query_id = p.query_id
+         |  GROUP BY p.query_id, cl.vec_id)
+         |SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank FROM
+         |  (SELECT query_id, neighbor_id, adc, row_number() OVER
+         |     (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+         |   FROM summed)
+         |WHERE rank <= $K""".stripMargin
+    }) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val icents = ivfCodebook(emb)
+    val assigned = ivfAssign(emb, icents).select(col("vec_id"), col("cell"))
+    val probes = ivfProbes(emb, icents).select(col("query_id"), col("cell"))
+    val pcents = pqCodebook(emb)
+    val codes = pqAssign(emb, pcents).select(col("vec_id") +:
+      (0 until 8).map(s0 => col(s"cc$s0").cast("int").as(s"c$s0")): _*)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("lq"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    val lut = queries.crossJoin(broadcast(pcents))
+      .select(col("lq"), col("cent_rank"),
+        posexplode(array((0 until 8).map(s0 =>
+          pqSubDist(s0, col("qv"), col("c"))): _*)).as(Seq("ls", "part")))
+    val codesLong = codes.select(col("vec_id"),
+      posexplode(array((0 until 8).map(i => col(s"c$i")): _*)).as(Seq("cs", "code")))
+    // candidates = vectors in the query's probed cells (each vector has
+    // exactly one cell, so no per-query duplicates)
+    val cand = probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val pSums = (0 until 8).map(i => sum(when(col("ls") === i, col("part"))).as(s"p$i"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    cand.join(codesLong, "vec_id")
+      .join(broadcast(lut),
+        col("cs") === col("ls") && col("code") === col("cent_rank") &&
+          col("lq") === col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(pSums.head, pSums.tail: _*)
+      .withColumn("adc", (0 until 8).map(i => col(s"p$i")).reduce(_ + _))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
-    qKnnPqAdc, qEmbedClusters, qSemDedup, qSemDecontam, qEmbedNormCheck)
+    qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
+    qEmbedNormCheck)
 }

@@ -34,8 +34,8 @@ class PlanLintSpec extends SparkSpec {
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
     "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_ivf",
-    "q_embed_pq", "q_knn_pq_adc", "q_sem_decontam", "q_source_divergence",
-    "q_weighted_sample", "q_vocab_coverage")
+    "q_embed_pq", "q_knn_pq_adc", "q_knn_ivf_pq", "q_sem_decontam",
+    "q_source_divergence", "q_weighted_sample", "q_vocab_coverage")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the
@@ -43,8 +43,8 @@ class PlanLintSpec extends SparkSpec {
     * rows). All post-reduction small-side aggregates — acceptable; listed
     * so a NEW sort aggregate in a hot path still trips the lint. */
   private val sortAggByDesign = Set(
-    "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc", "q_semdedup",
-    "q_sem_decontam")
+    "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc",
+    "q_knn_ivf_pq", "q_semdedup", "q_sem_decontam")
 
   test("no query plans an unlisted cartesian product or nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

@@ -166,6 +166,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(est > 0 && est <= 1 && (est * 8).round == est * 8)
   }
 
+  test("q_knn_ivf_pq is consistent with full-corpus ADC on shared pairs") {
+    // IVF-PQ scores the SAME asymmetric distance as q_knn_pq_adc, only
+    // over a pruned candidate set — so for any (query, neighbor) pair both
+    // return, the distance must agree exactly, and pruning 4/√n cells must
+    // still retain some of the global ADC top-3.
+    def pairs(q: graft.Q) = Similarity.all.find(_ eq q).get.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = pairs(Similarity.qKnnPqAdc)
+    val ivfpq = pairs(Similarity.qKnnIvfPq)
+    assert(ivfpq.size == full.size && ivfpq.nonEmpty)
+    val shared = full.keySet intersect ivfpq.keySet
+    assert(shared.nonEmpty, "probed cells retained none of the global ADC top-3")
+    shared.foreach { k =>
+      assert(full(k) == ivfpq(k), s"adc mismatch at $k: ${full(k)} vs ${ivfpq(k)}")
+    }
+    // structural: 3 ranked rows per query, distances ascending
+    val byQ = Similarity.qKnnIvfPq.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    byQ.values.foreach(ds => assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }))
+  }
+
   test("q_embed_norm_check counts unit vectors and reports the worst deviation") {
     val e1 = Array.tabulate(64)(k => if (k == 0) 1f else 0f)
     val dir = writeEmbeddings(Seq(1L -> e1, 2L -> e1.map(_ * 2f)))
