@@ -80,7 +80,8 @@ object ScaleSmoke {
       operators.Dedup.qContamination, operators.Similarity.qEmbedNearDup,
       operators.Dedup.qDedupKeepBest, operators.TextAnalysis.qLmScore,
       operators.Similarity.qEmbedClusters, operators.Similarity.qKnnPqAdc,
-      operators.Similarity.qSemDedup)
+      operators.Similarity.qSemDedup, operators.Similarity.qKnnIvfPq,
+      operators.Dedup.qMinhashJaccardEst, operators.TextAnalysis.qWeightedSample)
 
     // warmup both dirs so codegen/JIT is paid before measurement
     family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))
