@@ -171,7 +171,7 @@ class TrainingOpsSpec extends SparkSpec {
     // over a pruned candidate set — so for any (query, neighbor) pair both
     // return, the distance must agree exactly, and pruning 4/√n cells must
     // still retain some of the global ADC top-3.
-    def pairs(q: graft.Q) = Similarity.all.find(_ eq q).get.build(spark, sf).collect()
+    def pairs(q: graft.Q) = q.build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val full = pairs(Similarity.qKnnPqAdc)
     val ivfpq = pairs(Similarity.qKnnIvfPq)
