@@ -484,20 +484,6 @@ object Similarity {
           x => abs(x - (code(x) * col("mx")) / 127))), 6).as("max_err"))
   }
 
-  /** Product quantization: 64-d vectors compressed to 8 one-byte codes —
-    * the codebook trick that shrinks a 100 TB vector corpus ~32× for ANN
-    * serving. Each of 8 subspaces (8 dims) is quantized to the nearest of
-    * 16 deterministic codebook entries (the IVF coarse vectors, ranked by
-    * vec_id) by squared L2, ties to the lowest code. Emits the 8 codes
-    * plus the total reconstruction error. Deterministic end-to-end, so
-    * the oracle mirrors the full computation; a real system would train
-    * the codebook with k-means, which only changes the codebook rows. */
-  // Codebook realism note: the coarse IVF quantizer ([[qKnnIvf]]) carries
-  // the trained-codebook story (√n cells, Lloyd iterations); PQ keeps
-  // static stride seeds because its oracle already mirrors 8 subspace
-  // argmins — adding per-subspace k-means would triple an already large
-  // SQL mirror for no new plan shape (the training pass would be the same
-  // broadcast assign + hash-aggregate means qKnnIvf demonstrates).
   /** PQ codebook: FIXED 16 stride-seeded entries (the first 16 vectors with
     * vec_id % 97 == 0), ranked by vec_id. A PQ codebook must not grow with
     * the corpus — an uncapped stride sample made assignment O(n²/97) at
@@ -562,6 +548,20 @@ object Similarity {
       | FROM d JOIN mins m ON d.vec_id = m.vec_id GROUP BY d.vec_id)""".stripMargin
   }
 
+  /** Product quantization: 64-d vectors compressed to 8 one-byte codes —
+    * the codebook trick that shrinks a 100 TB vector corpus ~32× for ANN
+    * serving. Each of 8 subspaces (8 dims) is quantized to the nearest of
+    * 16 deterministic codebook entries (the IVF coarse vectors, ranked by
+    * vec_id) by squared L2, ties to the lowest code. Emits the 8 codes
+    * plus the total reconstruction error. Deterministic end-to-end, so
+    * the oracle mirrors the full computation; a real system would train
+    * the codebook with k-means, which only changes the codebook rows. */
+  // Codebook realism note: the coarse IVF quantizer ([[qKnnIvf]]) carries
+  // the trained-codebook story (√n cells, Lloyd iterations); PQ keeps
+  // static stride seeds because its oracle already mirrors 8 subspace
+  // argmins — adding per-subspace k-means would triple an already large
+  // SQL mirror for no new plan shape (the training pass would be the same
+  // broadcast assign + hash-aggregate means qKnnIvf demonstrates).
   val qEmbedPq: Q = Q(
     "q_embed_pq", {
       val err = (0 until 8).map(s => s"any_value(m.m$s)").mkString(" + ")
