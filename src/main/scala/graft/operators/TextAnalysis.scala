@@ -31,7 +31,7 @@ object TextAnalysis {
   }
 
   // BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
-  private val TokenPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private[graft] val TokenPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   private val TokenPatSql = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Token counting with a BPE-ish regex, per doc. */
@@ -48,7 +48,7 @@ object TextAnalysis {
         size(split(trim(col("text")), "\\s+")).as("n_words"))
   }
 
-  private[operators] val Stop = "(?:the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)"
+  private[graft] val Stop = "(?:the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)"
 
   /** Quality scoring: stopword ratio, punctuation ratio, length gate —
     * the usual cheap pre-training heuristics. */

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Streaming corpus curation — the batch quality gate + exact dedup +
+  * per-source audit run as ONE incremental pipeline on a live document
+  * feed. The same expressions the batch gates use (`q_corpus_pipeline`'s
+  * length window and stopword-ratio floor, `q_dedup_exact`'s normalized
+  * fingerprint) are applied per micro-batch, so a corpus ingested live is
+  * curated by exactly the rules the offline sweep would apply.
+  *
+  * Scale shape: the quality gate is a stateless narrow filter (pushed
+  * into the scan of each micro-batch); dedup state is one 128-bit key per
+  * distinct surviving document inside the watermark horizon — bounded by
+  * arrival rate × horizon, never corpus size; the audit is a watermarked
+  * tumbling-window aggregate emitting one row per (window, source) on
+  * watermark close.
+  */
+object StreamCuration {
+
+  /** Quality gate + exact dedup. Expects `text` (string) and `ts`
+    * (event-time timestamp); other columns pass through. Append mode:
+    * survivors are emitted on first arrival. */
+  def curate(docs: DataFrame, horizon: String = "10 seconds"): DataFrame = {
+    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val nStop = size(regexp_extract_all(
+      lower(col("text")), lit("\\b" + TextAnalysis.Stop + "\\b"), lit(0)))
+    docs
+      .filter(length(col("text")).between(50, 10000))
+      .filter(nStop.cast("double") / nWords >= 0.05)
+      .transform(StreamDedup(_, horizon))
+  }
+
+  /** Per-source tumbling-window audit of a curated stream: kept docs and
+    * kept tokens per (window, source) — the dataset-card counters,
+    * emitted incrementally. Chains a second stateful operator after the
+    * dedup; the watermark set by [[curate]] PROPAGATES here (redefining
+    * it on the same column is disallowed once a stateful operator sits
+    * upstream), so the input must already be watermarked. */
+  def audit(curated: DataFrame, windowLen: String = "5 seconds"): DataFrame =
+    curated
+      .groupBy(window(col("ts"), windowLen), col("source"))
+      .agg(
+        count(lit(1)).as("kept_docs"),
+        sum(size(regexp_extract_all(col("text"), lit(TextAnalysis.TokenPat), lit(0))))
+          .as("kept_tokens"))
+}
