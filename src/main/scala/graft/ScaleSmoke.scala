@@ -81,7 +81,9 @@ object ScaleSmoke {
       operators.Dedup.qDedupKeepBest, operators.TextAnalysis.qLmScore,
       operators.Similarity.qEmbedClusters, operators.Similarity.qKnnPqAdc,
       operators.Similarity.qSemDedup, operators.Similarity.qKnnIvfPq,
-      operators.Dedup.qMinhashJaccardEst, operators.TextAnalysis.qWeightedSample)
+      operators.Dedup.qMinhashJaccardEst, operators.TextAnalysis.qWeightedSample,
+      operators.Dedup.qDupSpanCoverage, operators.Dedup.qIncrDedup,
+      operators.Similarity.qKnnRerank)
 
     // warmup both dirs so codegen/JIT is paid before measurement
     family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))

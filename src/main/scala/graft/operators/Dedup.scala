@@ -501,8 +501,123 @@ object Dedup {
       .select(col("cluster_id"), col("doc_id").as("kept_doc"), col("members"))
   }
 
+  /** K-word windows for the duplicated-span signal. */
+  private[operators] val SpanK = 8
+
+  /** Duplicated-span coverage — the exact-substring dedup signal (reference
+    * has nothing like it; the technique is Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): per
+    * document, the fraction of its K-word windows whose exact text also
+    * occurs in at least one OTHER document. Near 0 = original prose; near 1
+    * = the document is assembled from corpus boilerplate. Complements
+    * [[qNgramJaccard]]: that one scores document PAIRS by set overlap, this
+    * one is a per-document filter column and never forms pairs at all.
+    *
+    * Shape: explode K-grams → hash to 60-bit longs ([[Portable.hash60]], so
+    * the shuffle carries fixed-width keys, not strings) → two hash
+    * aggregates (per-(doc,gram) counts, then per-gram document frequency) →
+    * one gram-keyed join back → per-doc sum. Every shuffle key is the gram
+    * hash and every bucket holds counters, never expansions — a stopword-ish
+    * hot gram costs one counter row, making this strictly more skew-robust
+    * than the pair generators (no [[MaxBucket]] cap needed). At 100 TB the
+    * (gram, df) table is the big intermediate; both aggregates map-side
+    * combine, and the join back is a plain shuffle join on the same key. */
+  val qDupSpanCoverage: Q = Q(
+    "q_dup_span_coverage", {
+      val gram = (0 until SpanK).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |    FROM documents),
+         |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= $SpanK),
+         |sh AS (SELECT doc_id, CAST(len(ws) - ${SpanK - 1} AS BIGINT) AS n_spans,
+         |    [$gram for i in range(1, len(ws) - ${SpanK - 2})] AS sh FROM f),
+         |g AS (SELECT doc_id, ${duckHash60("s")} AS gh
+         |    FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+         |pd AS (SELECT doc_id, gh, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |gdf AS (SELECT gh FROM pd GROUP BY gh HAVING count(*) >= 2),
+         |dup AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup
+         |    FROM pd JOIN gdf USING (gh) GROUP BY 1)
+         |SELECT s.doc_id, s.n_spans, coalesce(d.n_dup, 0) AS n_dup_spans,
+         |  round(coalesce(d.n_dup, 0) / s.n_spans, 4) AS dup_ratio
+         |FROM sh s LEFT JOIN dup d USING (doc_id)""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= SpanK)
+    val sh = base.select(
+      col("doc_id"),
+      (size(col("ws")) - (SpanK - 1)).cast("long").as("n_spans"),
+      Portable.shingles(col("ws"), lit(""), SpanK).as("sh"))
+    val grams = sh
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), Portable.hash60(col("g")).as("gh"))
+    val perDoc = grams.groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+    val dupGrams = perDoc.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("gh")
+    val dup = perDoc.join(dupGrams, "gh")
+      .groupBy("doc_id").agg(sum("cnt").as("n_dup"))
+    sh.select("doc_id", "n_spans")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup"), lit(0L)) / col("n_spans"), 4).as("dup_ratio"))
+  }
+
+  /** Incremental dedup — a NEW ingest batch (here: doc_id % 10 = 0, the
+    * deterministic stand-in for "today's crawl") checked against the
+    * HISTORICAL corpus's MinHash band index. This is the shape dedup
+    * actually takes at 100 TB: the historical band index is a materialized
+    * table maintained across ingests (bucketed by band hash for a
+    * shuffle-free probe), and each new batch only computes signatures for
+    * ITS documents and joins them against the index — nothing re-scans or
+    * re-clusters the accumulated corpus.
+    *
+    * In this single-table gate both sides derive from one scan, so instead
+    * of a self-join (which would run the signature pipeline once per side)
+    * the historical presence count is a window over the band bucket:
+    * signatures compute ONCE, one shuffle on (band_id, bhash), and a
+    * per-bucket counter — no pair expansion, so no [[MaxBucket]] cap is
+    * needed and a degenerate all-identical corpus costs O(bucket) counters.
+    * Output: every new-batch document with its dup-of-corpus verdict. */
+  val qIncrDedup: Q = Q(
+    "q_incr_dedup", {
+      val mh = (0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(", ")
+      val bands = (0 until Bands).map { b =>
+        s"md5(CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR)) AS band$b"
+      }.mkString(", ")
+      val unpivot = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS bhash FROM bands")
+        .mkString(" UNION ALL ")
+      s"""WITH sh AS ($duckShingles),
+         |mh AS (SELECT doc_id, $mh FROM sh),
+         |bands AS (SELECT doc_id, $bands FROM mh),
+         |long AS ($unpivot),
+         |flag AS (SELECT doc_id, band_id, bhash, (doc_id % 10 = 0) AS is_new FROM long),
+         |wh AS (SELECT doc_id, is_new,
+         |    sum(CASE WHEN is_new THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY band_id, bhash) AS n_hist FROM flag)
+         |SELECT doc_id, max(n_hist) > 0 AS is_dup
+         |FROM wh WHERE is_new GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val long = qMinhashBands.build(s, d)
+      .selectExpr(
+        "doc_id",
+        s"stack($Bands, ${(0 until Bands).map(b => s"$b, band$b").mkString(", ")}) AS (band_id, bhash)")
+      .withColumn("is_new", col("doc_id") % 10 === 0)
+    long
+      .withColumn("n_hist",
+        sum(when(col("is_new"), 0L).otherwise(1L))
+          .over(Window.partitionBy("band_id", "bhash")))
+      .filter(col("is_new"))
+      .groupBy("doc_id")
+      .agg((max(col("n_hist")) > 0).as("is_dup"))
+  }
+
   val all: Seq[Q] = Seq(
     qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
     qSimhash, qSimhashPairs,
-    qDedupNear, qDedupClusters, qContamination, qDedupKeepBest)
+    qDedupNear, qDedupClusters, qContamination, qDedupKeepBest,
+    qDupSpanCoverage, qIncrDedup)
 }

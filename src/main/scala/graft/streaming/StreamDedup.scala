@@ -43,4 +43,44 @@ object StreamDedup {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("simhash")
   }
+
+  /** Stream-static incremental dedup — the streaming twin of the batch
+    * `q_incr_dedup`: each arriving document's MinHash band keys (identical
+    * bit-for-bit to the batch `q_minhash_bands` signatures) are probed
+    * against the HISTORICAL corpus's band index, a static DataFrame such
+    * as `Dedup.qMinhashBands`' output. A document matching ANY band is
+    * dup-of-corpus and dropped; novel documents pass through unchanged.
+    *
+    * Scale shape: four chained stream-static LEFT ANTI joins — stateless
+    * (no watermark, no state store; stream-static joins are re-planned
+    * per micro-batch, so an index table appended to by a nightly batch
+    * job is picked up without restarting the query). The index side is
+    * broadcast here; past broadcast size the same joins become per-batch
+    * shuffle hash joins on the band hash — either way no state grows with
+    * corpus size, which is what makes this viable against a 100 TB
+    * history where the watermark-horizon operators
+    * ([[apply]]/[[nearBySimhash]]) can only see rate×horizon back.
+    *
+    * The signature here is the per-row array form
+    * ([[graft.functions.Portable.minhash]]), not the batch
+    * explode+groupBy formulation: a blind groupBy on an unbounded stream
+    * would be a stateful aggregation, so per-row lambda evaluation is the
+    * price of statelessness — paid per arriving document, not per corpus.
+    */
+  def againstIndex(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
+    import graft.functions.Portable
+    val ws = Portable.words(col("text"))
+    val banded = (0 until 4).foldLeft(docs.withColumn("sh",
+        Portable.shingles(ws, col("text"), 3))) { (df, b) =>
+      df.withColumn(s"band$b",
+        md5(concat_ws("_",
+          Portable.minhash(2 * b, col("sh")),
+          Portable.minhash(2 * b + 1, col("sh"))).cast("binary")))
+    }
+    (0 until 4).foldLeft(banded) { (df, b) =>
+      df.join(
+        broadcast(bandIndex.select(col(s"band$b").as(s"hist_b$b")).distinct()),
+        col(s"band$b") === col(s"hist_b$b"), "left_anti")
+    }.drop("sh" +: (0 until 4).map(b => s"band$b"): _*)
+  }
 }

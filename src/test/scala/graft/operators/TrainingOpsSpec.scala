@@ -339,4 +339,57 @@ class TrainingOpsSpec extends SparkSpec {
     assert(byCluster(4L) == ((4L, 4L, 1L)))
     assert(rows.length == 3)
   }
+
+  test("q_dup_span_coverage counts planted shared 8-word spans exactly") {
+    // docs 1/2 share exactly their first 8-word window; doc 3 is disjoint;
+    // doc 4 is below the window size and must not appear at all.
+    val dir = writeDocs(Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 xx yy"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+      (4L, "short doc under eight words total")))
+    val rows = Dedup.qDupSpanCoverage.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 1: 3 windows, only [w1..w8] duplicated; doc 2 likewise; doc 3 clean
+    assert(rows == Map(
+      1L -> ((3L, 1L, 0.3333)),
+      2L -> ((3L, 1L, 0.3333)),
+      3L -> ((2L, 0L, 0.0))), s"got $rows")
+  }
+
+  test("q_incr_dedup agrees with the pair graph restricted to new-vs-historical") {
+    // independent definition: a new-batch doc is dup-of-corpus iff the LSH
+    // pair generator surfaces a pair linking it to a historical doc
+    val pairs = Dedup.qMinhashPairs.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 10 == 0)
+      .map(n => n -> pairs.exists { case (a, b) =>
+        (a == n && b % 10 != 0) || (b == n && a % 10 != 0)
+      }).toMap
+    val got = Dedup.qIncrDedup.build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == expected,
+      s"mismatch: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    assert(got.valuesIterator.count(identity) > 0,
+      "no dup-of-corpus docs at all — planted near-dups should cross the split")
+  }
+
+  test("q_knn_rerank recalls most brute-force neighbors and never fakes a cosine") {
+    val brute = Similarity.qKnnBrute.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rr = Similarity.qKnnRerank.build(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2), r.getInt(3)))
+    val recall = rr.count(t => brute.contains(t._1)).toDouble / brute.size
+    // 0.87 with the 32-dim coarse stage at Coarse=50 (0.40 at 16 dims)
+    assert(recall >= 0.7, s"two-stage recall $recall too low")
+    // exact-rerank cosines must match brute force on every shared pair
+    rr.filter(t => brute.contains(t._1)).foreach { case (k, cos, _) =>
+      assert(cos == brute(k), s"pair $k: rerank cosine $cos != brute ${brute(k)}")
+    }
+    val ranks = rr.groupBy(_._1._1).values.map(_.map(_._3).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1, 2, 3)))
+  }
 }
