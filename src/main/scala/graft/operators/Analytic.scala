@@ -292,8 +292,59 @@ object Analytic {
         round(sum("value").over(w), 2).as("rolling_sum"))
   }
 
+  /** Partial daily rollup of one events slice — the unit the incremental
+    * merge combines: (event_type, day) → count + exact-DECIMAL value sum.
+    * One map-side-combined hash aggregate; output cardinality = distinct
+    * grouping keys, never row count. */
+  def dailyRollup(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+
+  /** Merge a delta slice's partial rollup into a base summary: full-outer
+    * join on the grouping key, null-completing both sides. Sums run in
+    * DECIMAL, not DOUBLE: decimal addition is exact and associative, so
+    * partial aggregates merge bit-identically no matter how the data was
+    * split between snapshots — the property that makes a summary table
+    * maintainable at all (double sums drift by reassociation ulps on
+    * every merge). Output sum type is pinned at DECIMAL(38,6) so repeated
+    * merges (streaming maintenance) keep a stable schema. */
+  def mergeRollup(base: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val b = base.withColumnsRenamed(Map("cnt" -> "b_cnt", "sum_value" -> "b_sum"))
+    val dl = delta.withColumnsRenamed(Map("cnt" -> "d_cnt", "sum_value" -> "d_sum"))
+    b.join(dl, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("b_cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("b_sum"), lit(0).cast("decimal(28,6)")) +
+          coalesce(col("d_sum"), lit(0).cast("decimal(28,6)")))
+          .cast("decimal(38,6)").as("sum_value"))
+  }
+
+  /** Incremental rollup maintenance — a materialized daily summary kept
+    * current by MERGING a delta batch's partial aggregate into the
+    * historical one ([[mergeRollup]]), never by re-scanning history. At
+    * 100 TB of events the nightly delta is all that fits a maintenance
+    * window; this is the Spark shape of `MERGE INTO` on a summary table.
+    * The gate's oracle is the DIRECT full aggregation: the merge must be
+    * indistinguishable from recomputing over everything. Delta batch:
+    * `event_id % 10 = 0`, the same deterministic stand-in `q_incr_dedup`
+    * uses. The streaming twin is `streaming/StreamRollup`, which drives
+    * the same merge per micro-batch. */
+  val qIncrRollup: Q = Q(
+    "q_incr_rollup",
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    mergeRollup(
+      dailyRollup(events.filter(col("event_id") % 10 =!= 0)),
+      dailyRollup(events.filter(col("event_id") % 10 === 0)))
+  }
+
   val all: Seq[Q] = Seq(
     qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
-    qAsOfForward, qTypedStats, qRollingWindow)
+    qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup)
 }

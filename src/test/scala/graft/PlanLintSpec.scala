@@ -23,6 +23,8 @@ class PlanLintSpec extends SparkSpec {
     *  - q_tfidf_top: broadcast 1-row corpus size;
     *  - q_knn_brute: broadcast query set (5 rows) — the baseline is a
     *    deliberate full scan;
+    *  - q_knn_rerank: the same broadcast query set, twice — the truncated
+    *    coarse scan and the exact rerank of the broadcast candidate list;
     *  - q_knn_ivf: broadcast √n codebook (assignment + probes);
     *  - q_embed_pq: broadcast 16-entry-per-subspace codebook;
     *  - q_knn_pq_adc: the same broadcast codebook (code assignment) plus
@@ -33,7 +35,7 @@ class PlanLintSpec extends SparkSpec {
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
-    "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_ivf",
+    "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_rerank", "q_knn_ivf",
     "q_embed_pq", "q_knn_pq_adc", "q_knn_ivf_pq", "q_sem_decontam",
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage")
 

@@ -29,4 +29,26 @@ class RelationalSpec extends SparkSpec {
     val hasBoth = rows.exists(r => !r.isNullAt(0) && !r.isNullAt(1))
     assert(hasGrand && hasStatusOnly && hasPrioOnly && hasBoth)
   }
+
+  test("incremental rollup merge is bit-identical to the full recompute") {
+    import org.apache.spark.sql.functions._
+    val merged = Analytic.qIncrRollup.build(spark, sf)
+    // The direct aggregation the merge must be indistinguishable from —
+    // same projection/casts as the gate's oracle SQL.
+    val direct = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        col("sum_value").cast("decimal(38,6)").as("sum_value"))
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getDate(1).toString)
+    val m = merged.collect().map(r => key(r) -> ((r.getLong(2), r.getDecimal(3)))).toMap
+    val d = direct.collect().map(r => key(r) -> ((r.getLong(2), r.getDecimal(3)))).toMap
+    assert(m.keySet == d.keySet, "merge changed the group key set")
+    // Delta-only groups must survive the full-outer merge: the delta split
+    // (event_id % 10 == 0) owns some (type, day) cells outright at sf0.001.
+    m.foreach { case (k, v) =>
+      assert(d(k)._1 == v._1 && d(k)._2.compareTo(v._2) == 0, s"group $k: $v vs ${d(k)}")
+    }
+  }
 }
