@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Analytic.all ++
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.GeneratorQueries.all ++
-      operators.Multimodal.all ++ operators.RefLogs.all
+      operators.Multimodal.all ++ operators.RefLogs.all ++
+      operators.Layout.all
 
   /** Flagship: the reference's full pipeline in batch form — plan-driven
     * generator → Hanoi CPU workload → per-(value, stream) stats. Driver

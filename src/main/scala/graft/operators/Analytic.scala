@@ -292,6 +292,114 @@ object Analytic {
         round(sum("value").over(w), 2).as("rolling_sum"))
   }
 
+  /** Funnel analysis — ordered-stage conversion (view → click →
+    * purchase): per user the EARLIEST timestamp of each stage, then one
+    * row of strictly-ordered conversion counts. The per-user collapse is
+    * a single map-side-combined conditional-min aggregate (one shuffle on
+    * user_id, payload three timestamps per user); the final count is a
+    * 1-row reduction — no self-joins, no per-stage passes, so the plan
+    * costs the same as one groupBy at any corpus size. */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      |  FROM events GROUP BY user_id)
+      |SELECT count(t_view) AS viewed,
+      |  count(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+      |  count(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END)
+      |    AS converted
+      |FROM u""".stripMargin) { (s, d) =>
+    def firstOf(t: String) = min(when(col("event_type") === t, col("ts")))
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(firstOf("view").as("t_view"), firstOf("click").as("t_click"),
+        firstOf("purchase").as("t_buy"))
+      .agg(count(col("t_view")).as("viewed"),
+        count(when(col("t_click") > col("t_view"), 1)).as("clicked_after_view"),
+        count(when(col("t_buy") > col("t_click") && col("t_click") > col("t_view"), 1))
+          .as("converted"))
+  }
+
+  /** Retention cohorts — users grouped by first-seen day, activity counted
+    * per (cohort, day-offset): the training-corpus freshness/engagement
+    * matrix. Two shuffles total: the per-user first-day aggregate and the
+    * distinct (user, day) activity set join on user_id (a partitioned
+    * big-big equi-join at scale — the cohort side is exactly one row per
+    * user, NOT broadcast here so the plan shape is the 100 TB one). */
+  val qRetention: Q = Q(
+    "q_retention",
+    """WITH first_day AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT cohort, CAST(datediff('day', cohort, day) AS BIGINT)
+      |    AS offset_days, count(*) AS active_users
+      |FROM activity JOIN first_day USING (user_id)
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val firstDay = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort"))
+    val activity = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    activity.join(firstDay, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** SCD type-2 dimension build — each user's event-type timeline
+    * collapsed into versioned validity intervals (gaps-and-islands):
+    * consecutive same-type runs become one row with `valid_from`,
+    * `valid_to` (next run's start; NULL = current) and a per-user version
+    * number. This is how a 100 TB event log becomes a point-in-time
+    * joinable dimension (the as-of join's natural build side). All three
+    * windows partition by user_id (high cardinality) with a (ts,
+    * event_id) total order; the run collapse is a hash aggregate on
+    * (user, version) — one shuffle, reused by all window stages. */
+  val qScd2: Q = Q(
+    "q_scd2",
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN event_type = lag(event_type)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      THEN 0 ELSE 1 END AS chg
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM marked),
+      |dim AS (
+      |  SELECT user_id, event_type AS state, version,
+      |    min(ts) AS valid_from, count(*) AS n_events
+      |  FROM runs GROUP BY 1, 2, 3)
+      |SELECT user_id, state, version, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to,
+      |  n_events
+      |FROM dim""".stripMargin) { (s, d) =>
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(col("event_type") === lag(col("event_type"), 1).over(order), 0)
+          .otherwise(1))
+    // the running sum's frame must match the oracle: rows-unbounded-preceding
+    // over the same (ts, event_id) order
+    val runs = marked.withColumn("version",
+      sum(col("chg")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    runs.groupBy(col("user_id"), col("event_type").as("state"), col("version"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("state"), col("version"), col("valid_from"),
+        lead(col("valid_from"), 1).over(byVersion).as("valid_to"),
+        col("n_events"))
+  }
+
   /** Partial daily rollup of one events slice — the unit the incremental
     * merge combines: (event_type, day) → count + exact-DECIMAL value sum.
     * One map-side-combined hash aggregate; output cardinality = distinct
@@ -346,5 +454,6 @@ object Analytic {
   val all: Seq[Q] = Seq(
     qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
-    qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup)
+    qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup,
+    qFunnel, qRetention, qScd2)
 }

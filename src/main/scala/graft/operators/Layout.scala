@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Data-layout optimization — the write-side half of 100 TB performance.
+  *
+  * A scan engine prunes with per-file / per-row-group min-max statistics;
+  * what those statistics are worth is decided when the data is WRITTEN.
+  * Sorting by one column gives perfect pruning on that column and none on
+  * any other. Z-ordering (bit-interleaving the dimensions into one sort
+  * key) bounds the span of EVERY interleaved dimension within each run of
+  * the sort order, so a multi-dimensional predicate prunes on all of them
+  * at once — the layout trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`,
+  * expressed here as plain Spark columns: compute the key, then
+  * `repartitionByRange(zkey).sortWithinPartitions(zkey)` at write time.
+  *
+  * The key here interleaves two 16-bit lanes (customer key × order-date
+  * day number). 16 bits is a demo parameterization: a production writer
+  * first rescales each dimension to its lane via rank quantiles so the
+  * lanes are dense regardless of the raw value distribution — the
+  * interleave itself is unchanged.
+  */
+object Layout {
+
+  private val Bits = 16
+
+  /** Bit-interleaved Z-order key: x occupies even bit positions, y odd.
+    * A balanced expression tree of shift/mask terms — codegen folds it
+    * into straight-line long arithmetic, no UDF. */
+  def zkey(x: Column, y: Column): Column =
+    (0 until Bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def zkeySql(x: String, y: String): String =
+    (0 until Bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-order layout audit over orders (customer key × order-date day):
+    * bucket = Z key with the low 16 bits dropped, i.e. one 256×256 tile
+    * of the (custkey, day) plane per bucket. The output — per-tile row
+    * count and the EXACT span of both dimensions inside the tile — is the
+    * pruning guarantee itself: every bucket's custkey span AND day span
+    * are ≤ 255, where a single-column sort bounds only its own column.
+    * One narrow projection + one hash aggregate on the bucket key. */
+  val qZorderLayout: Q = Q(
+    "q_zorder_layout",
+    s"""WITH z AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey AS BIGINT) AS x,
+       |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS y
+       |  FROM orders),
+       |keyed AS (
+       |  SELECT x, y, ${zkeySql("x", "y")} AS zkey FROM z)
+       |SELECT zkey >> 16 AS bucket, count(*) AS cnt,
+       |  max(x) - min(x) AS custkey_span, max(y) - min(y) AS day_span
+       |FROM keyed GROUP BY 1""".stripMargin) { (s, d) =>
+    val z = Tables.orders(s, d).select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("y"))
+    z.withColumn("zkey", zkey(col("x"), col("y")))
+      .groupBy(shiftright(col("zkey"), 16).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        (max(col("x")) - min(col("x"))).as("custkey_span"),
+        (max(col("y")) - min(col("y"))).as("day_span"))
+  }
+
+  val all: Seq[Q] = Seq(qZorderLayout)
+}

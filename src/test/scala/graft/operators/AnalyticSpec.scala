@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticSpec extends SparkSpec {
+
+  test("funnel counts are monotone down the stages") {
+    val r = Analytic.qFunnel.build(spark, sf).collect().head
+    val (viewed, clicked, converted) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(viewed >= clicked && clicked >= converted,
+      s"funnel not monotone: $viewed >= $clicked >= $converted")
+    assert(viewed > 0, "no users entered the funnel at sf0.001")
+  }
+
+  test("retention: every cohort is fully active at offset 0") {
+    val rows = Analytic.qRetention.build(spark, sf).collect()
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val day0 = rows.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    // each user is by definition active on their own first day
+    assert(day0 == users, s"offset-0 actives $day0 != distinct users $users")
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("scd2 intervals tile each user's timeline exactly") {
+    val dim = Analytic.qScd2.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3),
+        Option(r.getTimestamp(4)), r.getLong(5)))
+    val byUser = dim.groupBy(_._1)
+    val events = graft.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    byUser.foreach { case (user, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // versions are contiguous from 1
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"user $user versions not contiguous")
+      // each interval closes exactly where the next opens; only the last is open
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to), _), (_, _, from, _, _)) =>
+          assert(to == from, s"user $user: gap/overlap at $to vs $from")
+        case Array((_, v, _, None, _), _) =>
+          fail(s"user $user: non-final version $v has NULL valid_to")
+        case _ => ()
+      }
+      assert(sorted.last._4.isEmpty, s"user $user: current state not open-ended")
+      // run lengths account for every event
+      assert(sorted.map(_._5).sum == events(user),
+        s"user $user: interval event counts don't sum to the log")
+    }
+  }
+}
