@@ -113,6 +113,52 @@ object Analytic {
         round(element_at(col("pp"), 2), 4).as("p10_price"))
   }
 
+  /** Approximate ordered statistics — the 100 TB path next to
+    * [[qPercentiles]]: `approx_percentile` keeps a fixed-size mergeable
+    * quantile sketch per group (map-side combined like any hash
+    * aggregate), where the exact form buffers EVERY value of the group in
+    * one task. No SQL oracle is possible for a sketch (rows-only gate);
+    * the error bound vs the exact percentiles is pinned by
+    * `AnalyticSpec`. */
+  val qApproxPercentiles: Q = Q.noOracle("q_approx_percentiles") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"))
+      .select(col("event_type"),
+        element_at(col("approx_pcts"), 1).as("p50"),
+        element_at(col("approx_pcts"), 2).as("p90"),
+        element_at(col("approx_pcts"), 3).as("p99"))
+  }
+
+  /** Unpivot (melt) — the inverse of the pivot gate: a wide per-flag
+    * aggregate narrowed to (key, metric, value) rows. Spark's native
+    * `unpivot` is a zero-shuffle projection (each input row expands to
+    * one output row per value column, no exchange); the oracle spells the
+    * same reshape as a stacked UNION ALL. */
+  val qUnpivot: Q = Q(
+    "q_unpivot",
+    """WITH w AS (
+      |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+      |    round(sum(l_extendedprice), 2) AS sum_price,
+      |    round(avg(l_discount), 4) AS avg_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price', sum_price FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'avg_disc', avg_disc FROM w)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "value")
+  }
+
   /** Bivariate statistics: correlation, population covariance/variance. */
   val qCorrStats: Q = Q(
     "q_corr_stats",
@@ -455,5 +501,5 @@ object Analytic {
     qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
     qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup,
-    qFunnel, qRetention, qScd2)
+    qFunnel, qRetention, qScd2, qApproxPercentiles, qUnpivot)
 }
