@@ -22,6 +22,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(functions.GraftFunctions.CollectCappedName),
       new ExpressionInfo(classOf[CollectCapped].getName, functions.GraftFunctions.CollectCappedName),
       (exprs: Seq[Expression]) => functions.GraftFunctions.mkCollectCapped(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(functions.GraftFunctions.BloomAggName),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        functions.GraftFunctions.BloomAggName),
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkBloomAgg(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(functions.GraftFunctions.BloomContainsName),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        functions.GraftFunctions.BloomContainsName),
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkBloomContains(exprs)))
     // binned range join (opt-in via spark.graft.rangeJoin.binWidth):
     // rewrites point-in-interval joins to an equi-join on a bin key so
     // they shuffle instead of nested-looping — see plans/BinnedRangeJoin

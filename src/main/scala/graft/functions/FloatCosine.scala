@@ -86,6 +86,8 @@ case class FloatCosine(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineName = "graft_cosine"
   val CollectCappedName = "graft_collect_capped"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomContainsName = "graft_bloom_contains"
 
   /** Build a [[CollectCapped]] from SQL arguments: the cap must be a
     * foldable integer (it sizes aggregation buffers at plan time).
@@ -106,6 +108,36 @@ object GraftFunctions {
     FloatCosine(exprs.head, exprs(1))
   }
 
+  /** Build-side bloom aggregate `graft_bloom_agg(xxhash64_key, items,
+    * bits)` → BINARY. Delegates to Spark's internal
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * (the machinery behind AQE runtime filters), exposed as a first-class
+    * function so a pipeline can build the filter ONCE and reuse it across
+    * probe queries. Sizing args must be plan-time literals — they size
+    * the aggregation buffer. */
+  private[graft] def mkBloomAgg(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"$BloomAggName takes exactly 3 arguments (keyHash, estimatedItems, numBits), got ${exprs.length}")
+    require(exprs(1).foldable && exprs(2).foldable,
+      s"$BloomAggName sizing arguments must be literal integers")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      exprs(0), exprs(1), exprs(2))
+  }
+
+  /** Probe-side test `graft_bloom_contains(bloomBinary, xxhash64_key)`.
+    * The bloom argument must be foldable (a literal carrying the built
+    * filter — the broadcast seat); Spark's
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * enforces the same and codegens the probe. */
+  private[graft] def mkBloomContains(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$BloomContainsName takes exactly 2 arguments (bloom, keyHash), got ${exprs.length}")
+    require(exprs.head.foldable,
+      s"$BloomContainsName bloom argument must be a literal binary value")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val cosId = FunctionIdentifier(CosineName)
@@ -121,6 +153,24 @@ object GraftFunctions {
         ccId,
         new ExpressionInfo(classOf[CollectCapped].getName, CollectCappedName),
         (exprs: Seq[Expression]) => mkCollectCapped(exprs))
+    }
+    val baId = FunctionIdentifier(BloomAggName)
+    if (!registry.functionExists(baId)) {
+      registry.registerFunction(
+        baId,
+        new ExpressionInfo(
+          "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+          BloomAggName),
+        (exprs: Seq[Expression]) => mkBloomAgg(exprs))
+    }
+    val bcId = FunctionIdentifier(BloomContainsName)
+    if (!registry.functionExists(bcId)) {
+      registry.registerFunction(
+        bcId,
+        new ExpressionInfo(
+          "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+          BloomContainsName),
+        (exprs: Seq[Expression]) => mkBloomContains(exprs))
     }
   }
 

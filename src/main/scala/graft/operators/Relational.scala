@@ -488,10 +488,60 @@ object Relational {
         approx_count_distinct("o_custkey", 0.02).as("approx_customers"))
   }
 
+  /** Build a bloom filter over a key column — distributed aggregate; the
+    * one-row binary result is collected to the driver, which is the
+    * broadcast seat (≈ numBits/8 bytes — the same residency any broadcast
+    * join's small side has, NOT a data-plane collect). */
+  def buildBloom(dim: DataFrame, key: org.apache.spark.sql.Column,
+      estimatedItems: Long, numBits: Long): Array[Byte] = {
+    graft.functions.GraftFunctions.register(dim.sparkSession)
+    dim.select(call_function(graft.functions.GraftFunctions.BloomAggName,
+        xxhash64(key), lit(estimatedItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+  }
+
+  /** Probe-side bloom prefilter: keep rows whose key MIGHT be in the
+    * filter (no false negatives — every true match survives). */
+  def bloomPrefilter(fact: DataFrame, key: org.apache.spark.sql.Column,
+      bloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    fact.filter(call_function(graft.functions.GraftFunctions.BloomContainsName,
+      lit(bloom), xxhash64(key)))
+  }
+
+  /** Bloom-prefiltered fact-dim join — the explicit form of a runtime
+    * semi-join filter: build a bloom over the (filtered) dim keys, prune
+    * the FACT SCAN with it before the shuffle, then run the exact join
+    * (which removes the bloom's false positives, so the result is exact
+    * regardless of FPP). At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling the ~selectivity
+    * fraction that can possibly match — the manual, reusable version of
+    * what AQE's runtime bloom filter injects per-query. The filter rides
+    * the scan (codegen'd probe, no join operator), so `.explain` shows
+    * the pruning inside the scan stage. */
+  val qBloomJoin: Q = Q(
+    "q_bloom_join",
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = buildBloom(urgent, col("o_orderkey"),
+      estimatedItems = 100000L, numBits = 1600000L)
+    bloomPrefilter(Tables.lineitem(s, d), col("l_orderkey"), bloom)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Agg, qStats, qPivot, qTumbling, qDedupFirst, qUnionDistinct, qExcept,
     qIntersect, qMinMax, qCumSum, qLagGaps, qTopPerGroup, qJoinDims,
     qJoinFact, qSemiJoin, qAntiJoin, qOuterJoin, qAsOfJoin, qTopK,
     qConditional, qRegexExtract, qTimeShift, qRollup, qCube, qRangeJoin,
-    qRangeJoinBinned, qAsOfNative, qSaltedAgg, qApproxDistinct)
+    qRangeJoinBinned, qAsOfNative, qSaltedAgg, qApproxDistinct, qBloomJoin)
 }

@@ -30,6 +30,29 @@ class RelationalSpec extends SparkSpec {
     assert(hasGrand && hasStatusOnly && hasPrioOnly && hasBoth)
   }
 
+  test("bloom prefilter: zero false negatives, bounded false positives") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.orders(spark, sf)
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = Relational.buildBloom(urgent, col("o_orderkey"), 100000L, 1600000L)
+
+    val fact = graft.Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val trueMatches = fact.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .count()
+    val survivors = Relational.bloomPrefilter(fact, col("l_orderkey"), bloom)
+    // no false negatives: every true match survives the prefilter
+    val survivingMatches = survivors
+      .join(urgent, col("l_orderkey") === col("o_orderkey")).count()
+    assert(survivingMatches == trueMatches,
+      s"bloom dropped true matches: $survivingMatches vs $trueMatches")
+    // selectivity: non-matching rows mostly pruned (FPP far under 10%)
+    val nonMatching = fact.count() - trueMatches
+    val falsePositives = survivors.count() - trueMatches
+    assert(falsePositives.toDouble / math.max(nonMatching, 1) < 0.1,
+      s"bloom passed $falsePositives of $nonMatching non-matching rows")
+  }
+
   test("incremental rollup merge is bit-identical to the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Analytic.qIncrRollup.build(spark, sf)
