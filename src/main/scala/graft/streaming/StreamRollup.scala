@@ -43,51 +43,76 @@ object StreamRollup {
   /** Versioned summary directory: `current` is the highest complete
     * version (empty summary before the first commit). Single-writer by
     * contract — the foreachBatch sink, which Structured Streaming already
-    * serializes per query. */
+    * serializes per query.
+    *
+    * Each version dir records the stream batch that produced it
+    * (`v=<version>-b=<batchId>`): foreachBatch is AT-LEAST-ONCE (after a
+    * crash the engine replays the last unacknowledged batch), so the
+    * commit must be idempotent on batchId — a replayed batch would
+    * otherwise be merged twice and silently double-count. */
   final class SummaryStore(spark: SparkSession, dir: String) {
     private val root = new java.io.File(dir)
     root.mkdirs()
 
-    private def versions: Seq[Long] =
+    // (version, batchId) pairs, version-ascending
+    private def versions: Seq[(Long, Long)] =
       Option(root.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("v="))
-        .map(_.getName.stripPrefix("v=").toLong).sorted
+        .map(_.getName)
+        .collect { case VersionDir(v, b) => (v.toLong, b.toLong) }
+        .sortBy(_._1)
 
-    def currentVersion: Option[Long] = versions.lastOption
+    def currentVersion: Option[Long] = versions.lastOption.map(_._1)
+
+    /** Stream batch id of the latest commit (idempotence watermark). */
+    def lastBatchId: Option[Long] = versions.lastOption.map(_._2)
 
     /** Latest committed summary, or an empty frame with the summary
       * schema before the first commit. */
-    def current: DataFrame = currentVersion match {
-      case Some(v) => spark.read.parquet(s"$dir/v=$v")
+    def current: DataFrame = versions.lastOption match {
+      case Some((v, b)) => spark.read.parquet(s"$dir/v=$v-b=$b")
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], SummarySchema)
     }
 
     /** Commit a new full snapshot as the next version, then prune all but
-      * the latest two versions. */
-    def commit(summary: DataFrame): Long = {
-      val next = currentVersion.fold(0L)(_ + 1)
-      summary
-        .select("event_type", "day", "cnt", "sum_value")
-        .write.mode("errorifexists").parquet(s"$dir/v=$next")
-      versions.dropRight(2).foreach { v =>
-        val dead = new java.io.File(root, s"v=$v")
-        Option(dead.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        dead.delete()
+      * the latest two versions. A batchId at or below the idempotence
+      * watermark is a replay of already-merged data: skipped (returns
+      * None). */
+    def commit(summary: DataFrame, batchId: Long): Option[Long] =
+      if (lastBatchId.exists(_ >= batchId)) None
+      else {
+        val next = currentVersion.fold(0L)(_ + 1)
+        summary
+          .select("event_type", "day", "cnt", "sum_value")
+          .write.mode("errorifexists").parquet(s"$dir/v=$next-b=$batchId")
+        versions.dropRight(2).foreach { case (v, b) =>
+          val dead = new java.io.File(root, s"v=$v-b=$b")
+          Option(dead.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+          dead.delete()
+        }
+        Some(next)
       }
-      next
-    }
+  }
+
+  private val VersionDir = "v=(\\d+)-b=(\\d+)".r
+
+  /** One maintenance step: merge `batch`'s partial aggregate into the
+    * store (no-op if `batchId` was already committed — replay safety). */
+  def applyBatch(store: SummaryStore, batch: DataFrame, batchId: Long): Unit = {
+    store.commit(
+      Analytic.mergeRollup(store.current, Analytic.dailyRollup(batch)), batchId)
+    ()
   }
 
   /** Attach rollup maintenance to a streaming events frame (needs
     * `event_type`, `ts`, `value`). Each micro-batch: partial-aggregate the
-    * batch, merge into the store's current summary, commit. Call
-    * `.start()` (plus trigger/checkpoint options) on the result. */
+    * batch, merge into the store's current summary, commit keyed by the
+    * engine's batchId. Call `.start()` (plus trigger/checkpoint options)
+    * on the result. */
   def maintain(events: DataFrame, store: SummaryStore): DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.commit(Analytic.mergeRollup(store.current, Analytic.dailyRollup(batch)))
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(store, batch, batchId)
       }
 }

@@ -49,7 +49,17 @@ class StreamRollupSpec extends SparkSpec {
       assert(store.currentVersion.contains(2L))
       val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
         .map(_.getName).sorted.toSeq
-      assert(dirs === Seq("v=1", "v=2"), s"pruning kept $dirs")
+      assert(dirs === Seq("v=1-b=1", "v=2-b=2"), s"pruning kept $dirs")
+
+      // foreachBatch is at-least-once: a crash-replay of the last batch
+      // must be a no-op, not a double merge
+      val before = store.current.collect().toSet
+      StreamRollup.applyBatch(store, b3.toDF(), batchId = 2L)
+      assert(store.currentVersion.contains(2L), "replayed batch created a version")
+      assert(store.current.collect().toSet === before, "replay double-merged")
+      // a genuinely new batch still commits
+      StreamRollup.applyBatch(store, b3.toDF(), batchId = 3L)
+      assert(store.currentVersion.contains(3L))
     } finally q.stop()
   }
 
