@@ -251,6 +251,40 @@ object Analytic {
       .agg(count(lit(1)).as("sessions"), max("n").as("max_session_events"))
   }
 
+  /** Native session windows — Spark's `session_window()` operator (the
+    * same operator that powers STREAMING session aggregation, merging
+    * dynamic-gap windows inside the aggregate) emitting the session
+    * intervals themselves, where [[qSessionize]] pins the window-cumsum
+    * formulation's per-user counts. The oracle mirrors the engine's merge
+    * rule exactly: a new session starts at gap ≥ 30 min in MICROSECONDS
+    * (session_window merges on strictly-less-than-gap; an epoch_ms oracle
+    * would mis-bucket sub-millisecond boundary gaps), and session_end is
+    * last-event + gap by definition. One shuffle on user_id. */
+  val qSessionWindow: Q = Q(
+    "q_session_window",
+    """WITH g AS (SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS session_value
+      |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+  }
+
   /** Forward as-of join: for each purchase, the user's NEXT click at-or-
     * after it — the mirror of [[Relational.qAsOfJoin]], via an
     * ignore-nulls first() over the following frame. Same scale shape: one
@@ -501,5 +535,6 @@ object Analytic {
     qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
     qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup,
-    qFunnel, qRetention, qScd2, qApproxPercentiles, qUnpivot)
+    qFunnel, qRetention, qScd2, qApproxPercentiles, qUnpivot,
+    qSessionWindow)
 }

@@ -43,6 +43,17 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("native session windows agree with the cumsum sessionization") {
+    val native = Analytic.qSessionWindow.build(spark, sf)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cumsum = Analytic.qSessionize.build(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == cumsum,
+      s"session counts diverged between the two formulations: " +
+        s"${(native.toSet diff cumsum.toSet).take(3)}")
+  }
+
   test("scd2 intervals tile each user's timeline exactly") {
     val dim = Analytic.qScd2.build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3),
