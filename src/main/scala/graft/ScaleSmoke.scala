@@ -73,9 +73,10 @@ object ScaleSmoke {
       (System.nanoTime() - t0) / 1000000L
     }
 
-    val family: Seq[Q] = Seq(
+    val fullFamily: Seq[Q] = Seq(
       operators.Dedup.qMinhashBands, operators.Dedup.qMinhashPairs,
       operators.Dedup.qSimhash, operators.Dedup.qSimhashPairs,
+      operators.Dedup.qSimhashWidePairs,
       operators.Dedup.qNgramJaccard, operators.Dedup.qDedupClusters,
       operators.Dedup.qContamination, operators.Similarity.qEmbedNearDup,
       operators.Dedup.qDedupKeepBest, operators.TextAnalysis.qLmScore,
@@ -84,6 +85,12 @@ object ScaleSmoke {
       operators.Dedup.qMinhashJaccardEst, operators.TextAnalysis.qWeightedSample,
       operators.Dedup.qDupSpanCoverage, operators.Dedup.qIncrDedup,
       operators.Similarity.qKnnRerank)
+    // optional 2nd arg: comma-separated query names, for measuring one
+    // plan change without re-timing the whole family
+    val family = args.lift(1).map(_.split(',').toSet) match {
+      case Some(only) => fullFamily.filter(q => only(q.name))
+      case None       => fullFamily
+    }
 
     // warmup both dirs so codegen/JIT is paid before measurement
     family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))
