@@ -212,10 +212,10 @@ object Bench {
     // heavy relational, streaming) plus ANY failed query — failures must
     // never be hidden by the compaction.
     val headline = Set(
-      "q1_agg", "q_join_fact", "q_sessionize", "q_rolling_window",
+      "q1_agg", "q_join_fact", "q_bloom_join", "q_sessionize", "q_rolling_window",
       "q_percentiles", "q_tfidf_top", "q_repetition",
       "q_minhash_bands", "q_minhash_pairs", "q_ngram_jaccard",
-      "q_simhash_pairs", "q_dedup_near", "q_dedup_clusters",
+      "q_simhash_pairs", "q_simhash_wide_pairs", "q_dedup_near", "q_dedup_clusters",
       "q_contamination", "q_corpus_pipeline", "q_dedup_keep_best",
       "q_lm_score", "q_bigram_lm",
       "q_knn_brute", "q_knn_ivf", "q_embed_neardup", "q_embed_pq",

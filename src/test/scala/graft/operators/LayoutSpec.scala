@@ -30,6 +30,46 @@ class LayoutSpec extends SparkSpec {
         s"($avgOneCol vs $fullRange) — the z-order contrast is meaningless otherwise")
   }
 
+  test("z-ordered write bounds per-file min-max spans in both dimensions") {
+    val z = graft.Tables.orders(spark, sf).select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("y"))
+    val (fullX, fullY) = {
+      val r = z.agg(max(col("x")) - min(col("x")),
+        max(col("y")) - min(col("y"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def perFileSpans(path: String): Array[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("xs"),
+          (max(col("y")) - min(col("y"))).as("ys"))
+        .collect()
+        .map(r => (r.getLong(1).toDouble / fullX, r.getLong(2).toDouble / fullY))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.writeZOrdered(z, col("x"), col("y"), s"$dir/zordered", numFiles = 16)
+    // single-column layout: same rows, same file count, sorted by x only
+    z.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/xsorted")
+
+    val zSpans = perFileSpans(s"$dir/zordered")
+    val xSpans = perFileSpans(s"$dir/xsorted")
+    assert(zSpans.length > 1 && xSpans.length > 1)
+
+    def avg(a: Array[Double]) = a.sum / a.length
+    // z-order: BOTH dimensions bounded well under the full range per file
+    assert(avg(zSpans.map(_._1)) < 0.5,
+      s"z-order x-span ${avg(zSpans.map(_._1))} not bounded")
+    assert(avg(zSpans.map(_._2)) < 0.5,
+      s"z-order y-span ${avg(zSpans.map(_._2))} not bounded")
+    // x-sort: x collapses but y stays ~unclustered — nothing for a date
+    // predicate to prune on
+    assert(avg(xSpans.map(_._2)) > 0.8,
+      s"x-sorted baseline unexpectedly clustered y: ${avg(xSpans.map(_._2))}")
+  }
+
   test("zkey column and oracle bit-interleave agree on round-trip values") {
     import spark.implicits._
     // interleave then de-interleave: zkey is a bijection on 16-bit pairs
