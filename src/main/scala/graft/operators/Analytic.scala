@@ -159,6 +159,49 @@ object Analytic {
         "metric", "value")
   }
 
+  /** Single-pass table profiler — the data-quality audit every pipeline
+    * runs before trusting a table: per-column null count, exact distinct
+    * count, and min/max, computed in ONE scan (all 24 aggregates in one
+    * hash-agg pass, then a zero-shuffle stack to rows). Min/max are cast
+    * per-type to string forms both engines print identically (doubles via
+    * DECIMAL(18,2) — raw double→string formatting diverges across
+    * engines). At 100 TB the same plan holds with
+    * `approx_count_distinct` swapped in; exact distincts kept here for
+    * the oracle. */
+  val qProfile: Q = Q(
+    "q_profile", {
+      def one(c: String, minMax: String => String) =
+        s"""SELECT '$c' AS col, count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  ${minMax(s"min($c)")} AS min_val, ${minMax(s"max($c)")} AS max_val
+           |FROM orders""".stripMargin
+      val str = (e: String) => s"CAST($e AS VARCHAR)"
+      val dec = (e: String) => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+      Seq(
+        one("o_orderkey", str), one("o_custkey", str),
+        one("o_orderstatus", str), one("o_totalprice", dec),
+        one("o_orderdate", str), one("o_orderpriority", str))
+        .mkString("\nUNION ALL\n")
+    }) { (s, d) =>
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    def minMax(c: String, e: org.apache.spark.sql.Column) =
+      if (c == "o_totalprice") e.cast("decimal(18,2)").cast("string")
+      else e.cast("string")
+    val aggs = cols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"n_$c"),
+        countDistinct(col(c)).as(s"d_$c"),
+        minMax(c, min(col(c))).as(s"mn_$c"),
+        minMax(c, max(col(c))).as(s"mx_$c"))
+    }
+    Tables.orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', n_$c, d_$c, mn_$c, mx_$c").mkString(", ") +
+          ") AS (col, n_nulls, n_distinct, min_val, max_val)")
+  }
+
   /** Bivariate statistics: correlation, population covariance/variance. */
   val qCorrStats: Q = Q(
     "q_corr_stats",
@@ -536,5 +579,5 @@ object Analytic {
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
     qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup,
     qFunnel, qRetention, qScd2, qApproxPercentiles, qUnpivot,
-    qSessionWindow)
+    qSessionWindow, qProfile)
 }

@@ -42,11 +42,13 @@ class PlanLintSpec extends SparkSpec {
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the
     * IVF/PQ codebook paths, collect_list of the q_string_funcs digest
-    * rows). All post-reduction small-side aggregates — acceptable; listed
-    * so a NEW sort aggregate in a hot path still trips the lint. */
+    * rows; q_profile's string-typed min/max buffers — a GLOBAL aggregate
+    * with no grouping key, so its "sort" aggregate is a sortless fold).
+    * All post-reduction small-side or keyless aggregates — acceptable;
+    * listed so a NEW sort aggregate in a hot path still trips the lint. */
   private val sortAggByDesign = Set(
     "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc",
-    "q_knn_ivf_pq", "q_semdedup", "q_sem_decontam")
+    "q_knn_ivf_pq", "q_semdedup", "q_sem_decontam", "q_profile")
 
   test("no query plans an unlisted cartesian product or nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>
