@@ -43,6 +43,18 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("profile invariants: key columns dense, distincts bounded by rows") {
+    val rows = graft.Tables.orders(spark, sf).count()
+    val prof = Analytic.qProfile.build(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(prof.keySet.size == 6)
+    assert(prof("o_orderkey")._1 == 0 && prof("o_orderkey")._2 == rows,
+      "o_orderkey must be a dense unique key")
+    prof.foreach { case (c, (nulls, distinct)) =>
+      assert(nulls >= 0 && distinct <= rows, s"$c: nulls=$nulls distinct=$distinct")
+    }
+  }
+
   test("native session windows agree with the cumsum sessionization") {
     val native = Analytic.qSessionWindow.build(spark, sf)
       .groupBy("user_id").count()
