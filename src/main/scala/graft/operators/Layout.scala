@@ -92,6 +92,8 @@ object Layout {
       path: String, numFiles: Int): Unit = {
     val b = df.agg(min(x).cast("long"), max(x).cast("long"),
       min(y).cast("long"), max(y).cast("long")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      "writeZOrdered: input has no non-null rows to lay out")
     def lane(c: Column, lo: Long, hi: Long): Column =
       ((c.cast("long") - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L)))
         .cast("long")
