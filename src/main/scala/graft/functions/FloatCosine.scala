@@ -120,8 +120,14 @@ object GraftFunctions {
       s"$BloomAggName takes exactly 3 arguments (keyHash, estimatedItems, numBits), got ${exprs.length}")
     require(exprs(1).foldable && exprs(2).foldable,
       s"$BloomAggName sizing arguments must be literal integers")
+    // SQL integer literals parse as INT; the underlying aggregate demands
+    // BIGINT sizing args — coerce so `graft_bloom_agg(h, 1000, 16000)`
+    // just works instead of failing with a type-mismatch
+    def asLong(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        e.eval().asInstanceOf[Number].longValue)
     new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-      exprs(0), exprs(1), exprs(2))
+      exprs(0), asLong(exprs(1)), asLong(exprs(2)))
   }
 
   /** Probe-side test `graft_bloom_contains(bloomBinary, xxhash64_key)`.
