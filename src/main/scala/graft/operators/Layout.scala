@@ -27,14 +27,22 @@ object Layout {
 
   private val Bits = 16
 
-  /** Bit-interleaved Z-order key: x occupies even bit positions, y odd.
-    * A balanced expression tree of shift/mask terms — codegen folds it
-    * into straight-line long arithmetic, no UDF. */
-  def zkey(x: Column, y: Column): Column =
-    (0 until Bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+  /** N-dimensional bit-interleaved Z-order key: column j contributes its
+    * bit i at key position `i*n + j`. A flat expression tree of
+    * shift/mask terms — codegen folds it into straight-line long
+    * arithmetic, no UDF. `bitsPerLane * cols.size` must stay < 63. */
+  def zkeyN(cols: Seq[Column], bitsPerLane: Int): Column = {
+    require(cols.nonEmpty && bitsPerLane * cols.size < 63,
+      s"zkeyN: ${cols.size} lanes x $bitsPerLane bits overflow a long")
+    (0 until bitsPerLane).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * cols.size + j)
+      }
     }.reduce(_ + _)
+  }
+
+  /** Two-dimensional Z key (x even bit positions, y odd). */
+  def zkey(x: Column, y: Column): Column = zkeyN(Seq(x, y), Bits)
 
   private def zkeySql(x: String, y: String): String =
     (0 until Bits).map { i =>
@@ -89,16 +97,27 @@ object Layout {
     * `LayoutSpec` measures real per-file spans on read-back against a
     * single-column-sorted write of the same rows. */
   def writeZOrdered(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
+      path: String, numFiles: Int): Unit =
+    writeZOrderedN(df, Seq(x, y), path, numFiles)
+
+  /** Multi-column variant (the `OPTIMIZE ZORDER BY (c1, …, ck)` shape):
+    * lane width shrinks to keep the interleaved key inside a long, so
+    * more dimensions trade per-dimension resolution for coverage —
+    * exactly the production trade-off. */
+  def writeZOrderedN(df: org.apache.spark.sql.DataFrame, dims: Seq[Column],
       path: String, numFiles: Int): Unit = {
-    val b = df.agg(min(x).cast("long"), max(x).cast("long"),
-      min(y).cast("long"), max(y).cast("long")).head()
-    require(!b.isNullAt(0) && !b.isNullAt(2),
+    val bitsPerLane = math.min(16, 62 / dims.size)
+    val laneMax = (1L << bitsPerLane) - 1
+    val aggExprs = dims.flatMap(c => Seq(min(c).cast("long"), max(c).cast("long")))
+    val b = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    require(!b.isNullAt(0),
       "writeZOrdered: input has no non-null rows to lay out")
-    def lane(c: Column, lo: Long, hi: Long): Column =
-      ((c.cast("long") - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L)))
+    val lanes = dims.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (b.getLong(2 * j), b.getLong(2 * j + 1))
+      ((c.cast("long") - lit(lo)) * lit(laneMax) / lit(math.max(hi - lo, 1L)))
         .cast("long")
-    df.withColumn("_zkey",
-        zkey(lane(x, b.getLong(0), b.getLong(1)), lane(y, b.getLong(2), b.getLong(3))))
+    }
+    df.withColumn("_zkey", zkeyN(lanes, bitsPerLane))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")

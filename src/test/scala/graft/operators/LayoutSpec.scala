@@ -70,6 +70,35 @@ class LayoutSpec extends SparkSpec {
       s"x-sorted baseline unexpectedly clustered y: ${avg(xSpans.map(_._2))}")
   }
 
+  test("3-column z-order write bounds per-file spans in all three dimensions") {
+    val z = graft.Tables.orders(spark, sf).select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("y"),
+      col("o_totalprice").cast("long").as("p"))
+    val full = z.agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")),
+      max(col("p")) - min(col("p"))).collect().head
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    Layout.writeZOrderedN(z, Seq(col("x"), col("y"), col("p")), dir, numFiles = 8)
+
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"),
+        (max(col("p")) - min(col("p"))).as("ps"))
+      .collect()
+      .map(r => (r.getLong(1).toDouble / full.getLong(0),
+        r.getLong(2).toDouble / full.getLong(1),
+        r.getLong(3).toDouble / full.getLong(2)))
+    assert(spans.length > 1)
+    def avg(a: Array[Double]) = a.sum / a.length
+    // with 8 files over 3 interleaved dims, each dimension's per-file
+    // span must sit well under the full range (8 files ≈ one halving per
+    // dimension; a sort on any single column leaves the other two ~1.0)
+    val (ax, ay, ap) = (avg(spans.map(_._1)), avg(spans.map(_._2)), avg(spans.map(_._3)))
+    assert(ax < 0.8 && ay < 0.8 && ap < 0.8, s"spans not bounded: $ax $ay $ap")
+    assert(ax + ay + ap < 2.0, s"joint clustering too weak: $ax $ay $ap")
+  }
+
   test("zkey column and oracle bit-interleave agree on round-trip values") {
     import spark.implicits._
     // interleave then de-interleave: zkey is a bijection on 16-bit pairs
