@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
         functions.GraftFunctions.BloomContainsName),
       (exprs: Seq[Expression]) => functions.GraftFunctions.mkBloomContains(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(functions.GraftFunctions.HilbertName),
+      new ExpressionInfo(classOf[functions.HilbertIndex].getName,
+        functions.GraftFunctions.HilbertName),
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkHilbert(exprs)))
     // binned range join (opt-in via spark.graft.rangeJoin.binWidth):
     // rewrites point-in-interval joins to an equi-join on a bin key so
     // they shuffle instead of nested-looping — see plans/BinnedRangeJoin

@@ -88,6 +88,7 @@ object GraftFunctions {
   val CollectCappedName = "graft_collect_capped"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
+  val HilbertName = "graft_hilbert"
 
   /** Build a [[CollectCapped]] from SQL arguments: the cap must be a
     * foldable integer (it sizes aggregation buffers at plan time).
@@ -128,6 +129,13 @@ object GraftFunctions {
         e.eval().asInstanceOf[Number].longValue)
     new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
       exprs(0), asLong(exprs(1)), asLong(exprs(2)))
+  }
+
+  /** Build a [[HilbertIndex]] from SQL arguments, with arity validation. */
+  private[graft] def mkHilbert(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$HilbertName takes exactly 2 arguments (x, y), got ${exprs.length}")
+    HilbertIndex(exprs.head, exprs(1))
   }
 
   /** Probe-side test `graft_bloom_contains(bloomBinary, xxhash64_key)`.
@@ -177,6 +185,13 @@ object GraftFunctions {
           "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
           BloomContainsName),
         (exprs: Seq[Expression]) => mkBloomContains(exprs))
+    }
+    val hId = FunctionIdentifier(HilbertName)
+    if (!registry.functionExists(hId)) {
+      registry.registerFunction(
+        hId,
+        new ExpressionInfo(classOf[HilbertIndex].getName, HilbertName),
+        (exprs: Seq[Expression]) => mkHilbert(exprs))
     }
   }
 

@@ -124,5 +124,30 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert-ordered write — same normalize → curve-key → range-partition
+    * → sort pipeline as [[writeZOrderedN]], but ordered by the Hilbert
+    * index ([[graft.functions.HilbertIndex]], a codegen'd native
+    * expression): consecutive curve positions are always grid neighbors,
+    * so contiguous file ranges cover tighter regions than the Z curve's
+    * tile-boundary jumps. Two dimensions (the classic formulation). */
+  def writeHilbertOrdered(df: org.apache.spark.sql.DataFrame,
+      x: Column, y: Column, path: String, numFiles: Int): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val aggExprs = Seq(min(x).cast("long"), max(x).cast("long"),
+      min(y).cast("long"), max(y).cast("long"))
+    val b = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      "writeHilbertOrdered: input has no non-null rows to lay out")
+    def lane(c: Column, lo: Long, hi: Long): Column =
+      ((c.cast("long") - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L)))
+        .cast("long")
+    df.withColumn("_hkey", call_function(graft.functions.GraftFunctions.HilbertName,
+        lane(x, b.getLong(0), b.getLong(1)), lane(y, b.getLong(2), b.getLong(3))))
+      .repartitionByRange(numFiles, col("_hkey"))
+      .sortWithinPartitions("_hkey")
+      .drop("_hkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   val all: Seq[Q] = Seq(qZorderLayout)
 }

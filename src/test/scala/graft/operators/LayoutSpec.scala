@@ -70,6 +70,27 @@ class LayoutSpec extends SparkSpec {
       s"x-sorted baseline unexpectedly clustered y: ${avg(xSpans.map(_._2))}")
   }
 
+  test("hilbert-ordered write bounds per-file spans like the z-order write") {
+    val z = graft.Tables.orders(spark, sf).select(
+      col("o_custkey").cast("long").as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("y"))
+    val full = z.agg(max(col("x")) - min(col("x")),
+      max(col("y")) - min(col("y"))).collect().head
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    Layout.writeHilbertOrdered(z, col("x"), col("y"), dir, numFiles = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max(col("x")) - min(col("x"))).as("xs"),
+        (max(col("y")) - min(col("y"))).as("ys"))
+      .collect()
+      .map(r => (r.getLong(1).toDouble / full.getLong(0),
+        r.getLong(2).toDouble / full.getLong(1)))
+    assert(spans.length > 1)
+    def avg(a: Array[Double]) = a.sum / a.length
+    assert(avg(spans.map(_._1)) < 0.5 && avg(spans.map(_._2)) < 0.5,
+      s"hilbert spans not bounded: ${avg(spans.map(_._1))} ${avg(spans.map(_._2))}")
+  }
+
   test("3-column z-order write bounds per-file spans in all three dimensions") {
     val z = graft.Tables.orders(spark, sf).select(
       col("o_custkey").cast("long").as("x"),
