@@ -628,6 +628,78 @@ object Dedup {
         round(coalesce(col("n_dup"), lit(0L)) / col("n_spans"), 4).as("dup_ratio"))
   }
 
+  /** Exact-substring dedup APPLIED — the rewrite step of the Lee et al.
+    * recipe that [[qDupSpanCoverage]] only measures: every word covered
+    * by any duplicated [[SpanK]]-word window is excised and the document
+    * re-assembled from the surviving words. Output per doc: original and
+    * removed word counts plus the md5 fingerprint of the rewritten text
+    * (fingerprint, not full text, keeps the gate output compact and the
+    * hash compare robust).
+    *
+    * Scale shape: gram hashing and the duplicated-gram set are the same
+    * two shuffles as the coverage gate; covered positions expand each
+    * duplicated WINDOW to [[SpanK]] (doc, position) rows — linear in dup
+    * volume, never pairwise; the rebuild is one groupBy(doc_id) with a
+    * sorted collect bounded by document length (the same per-doc bound
+    * every narrow text op here already carries). */
+  val qDupSpanRemoval: Q = Q(
+    "q_dup_span_removal", {
+      val gram = (0 until SpanK).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+        .mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+         |    FROM documents),
+         |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= $SpanK),
+         |sh AS (SELECT doc_id, [$gram for i in range(1, len(ws) - ${SpanK - 2})] AS sh FROM f),
+         |g AS (SELECT doc_id, unnest(range(1, len(sh) + 1)) AS i,
+         |    unnest([${duckHash60("s")} for s in sh]) AS gh FROM sh),
+         |gdf AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+         |    GROUP BY gh HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + $SpanK)) AS p
+         |    FROM g JOIN gdf USING (gh)),
+         |wp AS (SELECT doc_id, len(ws) AS n_words,
+         |    unnest(range(1, len(ws) + 1)) AS p, unnest(ws) AS w FROM f),
+         |kept AS (SELECT wp.doc_id, wp.n_words, wp.p, wp.w FROM wp
+         |    LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.p = cov.p
+         |    WHERE cov.p IS NULL),
+         |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(w, ' ' ORDER BY p)) AS new_fp
+         |    FROM kept GROUP BY doc_id)
+         |SELECT f.doc_id, CAST(len(f.ws) AS BIGINT) AS n_words,
+         |  CAST(len(f.ws) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(r.new_fp, md5('')) AS new_fp
+         |FROM f LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), Portable.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= SpanK)
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(Portable.shingles(col("ws"), lit(""), SpanK)).as(Seq("i0", "g")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), Portable.hash60(col("g")).as("gh"))
+    val dupGrams = grams.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("gh")
+    val covered = grams.join(dupGrams, "gh")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (SpanK - 1))).as("p"))
+      .distinct()
+    val wordsPos = base
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        posexplode(col("ws")).as(Seq("p0", "w")))
+      .select(col("doc_id"), col("n_words"), (col("p0") + 1).as("p"), col("w"))
+    val rebuilt = wordsPos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("w")))),
+            s => s.getField("w")),
+          " ").cast("binary")).as("new_fp"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("new_fp"), md5(lit("").cast("binary"))).as("new_fp"))
+  }
+
   /** Incremental dedup — a NEW ingest batch (here: doc_id % 10 = 0, the
     * deterministic stand-in for "today's crawl") checked against the
     * HISTORICAL corpus's MinHash band index. This is the shape dedup
@@ -683,5 +755,5 @@ object Dedup {
     qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
     qSimhash, qSimhashPairs, qSimhashWidePairs,
     qDedupNear, qDedupClusters, qContamination, qDedupKeepBest,
-    qDupSpanCoverage, qIncrDedup)
+    qDupSpanCoverage, qDupSpanRemoval, qIncrDedup)
 }

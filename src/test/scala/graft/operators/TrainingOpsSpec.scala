@@ -358,6 +358,34 @@ class TrainingOpsSpec extends SparkSpec {
       3L -> ((2L, 0L, 0.0))), s"got $rows")
   }
 
+  test("q_dup_span_removal excises exactly the covered words") {
+    // same planted corpus as the coverage spec: docs 1/2 share their first
+    // 8-word window, so words 1-8 of each are excised and the tails survive
+    val dir = writeDocs(Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 xx yy"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+      (4L, "short doc under eight words total")))
+    val rows = Dedup.qDupSpanRemoval.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def fp(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(rows == Map(
+      1L -> ((10L, 8L, fp("w9 w10"))),
+      2L -> ((10L, 8L, fp("xx yy"))),
+      3L -> ((9L, 0L, fp("q1 q2 q3 q4 q5 q6 q7 q8 q9")))), s"got $rows")
+  }
+
+  test("q_dup_span_removal empties a fully-duplicated document") {
+    val ten = (1 to 10).map("w" + _).mkString(" ")
+    val dir = writeDocs(Seq((1L, ten), (2L, ten)))
+    val rows = Dedup.qDupSpanRemoval.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    val emptyFp = org.apache.commons.codec.digest.DigestUtils.md5Hex("")
+    assert(rows == Map(1L -> ((10L, emptyFp)), 2L -> ((10L, emptyFp))),
+      s"got $rows")
+  }
+
   test("q_incr_dedup agrees with the pair graph restricted to new-vs-historical") {
     // independent definition: a new-batch doc is dup-of-corpus iff the LSH
     // pair generator surfaces a pair linking it to a historical doc
