@@ -83,7 +83,8 @@ object ScaleSmoke {
       operators.Similarity.qEmbedClusters, operators.Similarity.qKnnPqAdc,
       operators.Similarity.qSemDedup, operators.Similarity.qKnnIvfPq,
       operators.Dedup.qMinhashJaccardEst, operators.TextAnalysis.qWeightedSample,
-      operators.Dedup.qDupSpanCoverage, operators.Dedup.qIncrDedup,
+      operators.Dedup.qDupSpanCoverage, operators.Dedup.qDupSpanRemoval,
+      operators.Dedup.qIncrDedup,
       operators.Similarity.qKnnRerank)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
