@@ -202,6 +202,23 @@ object Analytic {
           ") AS (col, n_nulls, n_distinct, min_val, max_val)")
   }
 
+  /** Semi-structured column parsing — the events table's `props` field is
+    * a JSON string, the shape every real event log arrives in. Extraction
+    * (`get_json_object`, codegen'd) happens in the narrow pre-aggregation
+    * projection, so the JSON parse cost is one pass and the shuffle
+    * carries only the extracted key — never raw JSON. At 100 TB the same
+    * query reads a columnarized variant (or Spark 4's VARIANT type); the
+    * logical shape is identical. */
+  val qJsonExtract: Q = Q(
+    "q_json_extract",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS kmod,
+      |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("kmod"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+  }
+
   /** Bivariate statistics: correlation, population covariance/variance. */
   val qCorrStats: Q = Q(
     "q_corr_stats",
@@ -579,5 +596,5 @@ object Analytic {
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
     qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup,
     qFunnel, qRetention, qScd2, qApproxPercentiles, qUnpivot,
-    qSessionWindow, qProfile)
+    qSessionWindow, qProfile, qJsonExtract)
 }
