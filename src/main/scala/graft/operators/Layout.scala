@@ -149,5 +149,107 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  val all: Seq[Q] = Seq(qZorderLayout)
+  /** Bucketed write — the co-located-join layout. Both sides of a
+    * recurring join are written pre-hashed into the SAME number of
+    * buckets on the join key (`bucketBy` + `sortBy`, one file per bucket
+    * via an explicit repartition on the key): every future join on that
+    * key then matches bucket-to-bucket with NO exchange on either side —
+    * at 100 TB that deletes the two largest shuffles a fact-dim-fact
+    * pipeline has, and it is the one join optimization that must happen
+    * at WRITE time (no read-side trick recovers it). The catalog entry
+    * (table, not bare path) carries the bucket spec; readers get the
+    * hashed distribution for free. */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, key: String,
+      numBuckets: Int, table: String, path: String): Unit =
+    df.repartition(numBuckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Hive-style partitioned write — the partition-PRUNING layout: one
+    * directory per partition value, so a predicate on the partition
+    * column prunes whole directories at PLANNING time (the scan never
+    * lists, opens, or reads a byte of the other partitions — visible as
+    * `PartitionFilters` on the scan node). The coarse-grained complement
+    * to the file-level min-max pruning [[writeZOrderedN]] buys: date is
+    * the canonical partition column of every 100 TB event/orders table.
+    * `maxRecordsPerFile`-style small-file control is the caller's
+    * repartition; here each partition gets the upstream layout. */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, partCol: String,
+      path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  private val BucketCount = 8
+  private def tag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Idempotent per (JVM, sfDir): co-bucketed orders + customer catalog
+    * tables on the customer key. Returns (ordersTable, customerTable). */
+  private def ensureBucketed(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = synchronized {
+    val (ot, ct) = (s"graft_bk_orders_${tag(d)}", s"graft_bk_customer_${tag(d)}")
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+      writeBucketed(Tables.orders(s, d), "o_custkey", BucketCount, ot,
+        s"/tmp/graft_layout/${tag(d)}/$ot")
+      writeBucketed(Tables.customer(s, d), "c_custkey", BucketCount, ct,
+        s"/tmp/graft_layout/${tag(d)}/$ct")
+    }
+    (ot, ct)
+  }
+
+  /** Idempotent per (JVM, sfDir): orders re-written partitioned by order
+    * month (`o_month=YYYY-MM/` directories). Returns the path. */
+  private def ensurePartitioned(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val path = s"/tmp/graft_layout/${tag(d)}/orders_by_month"
+    val done = new java.io.File(s"$path/_SUCCESS")
+    if (!done.isFile)
+      writePartitioned(
+        Tables.orders(s, d)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+        "o_month", path)
+    path
+  }
+
+  /** Co-located join over the bucketed layout: orders x customer on the
+    * bucket key, merge-join hinted so the bucket distribution (not a
+    * broadcast) carries the join at every scale factor. The physical
+    * plan has NO exchange below the join — `BucketedLayoutSpec` pins
+    * exactly one exchange in the whole plan (the final group-by) vs
+    * three for the same join over bare parquet. Values are identical to
+    * the plain join; the oracle runs on the raw table. */
+  val qBucketedJoin: Q = Q(
+    "q_bucketed_join",
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+    val (ot, ct) = ensureBucketed(s, d)
+    s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  /** Month-predicate aggregate over the partitioned layout: the filter
+    * becomes a planning-time `PartitionFilters` entry and only the one
+    * `o_month=1995-03/` directory is scanned (`BucketedLayoutSpec` pins
+    * the pruned file count). The oracle applies the same predicate to
+    * the raw table — layout changes bytes read, never results. */
+  val qPartitionPrune: Q = Q(
+    "q_partition_prune",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    val path = ensurePartitioned(s, d)
+    s.read.parquet(path)
+      .filter(col("o_month") === "1995-03")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  val all: Seq[Q] = Seq(qZorderLayout, qBucketedJoin, qPartitionPrune)
 }

@@ -58,4 +58,16 @@ class BucketedJoinSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("q_bucketed_join gate: merge join over buckets, single exchange total") {
+    val df = Layout.qBucketedJoin.build(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("SortMergeJoin"), physical)
+    assert(physical.contains("SelectedBucketsCount"), physical)
+    // the ONLY exchange is the final group-by; the join itself is carried
+    // entirely by the co-bucketed layout
+    val exchanges = "Exchange".r.findAllIn(physical).length
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$physical")
+    assert(df.count() > 0)
+  }
 }

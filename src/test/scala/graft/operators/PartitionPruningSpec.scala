@@ -40,4 +40,21 @@ class PartitionPruningSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("q_partition_prune gate: month filter prunes at planning time") {
+    val df = Layout.qPartitionPrune.build(spark, sf)
+    // the gate aggregates, so AQE wraps the plan — search its initial plan
+    val top = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val scan = top.collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.partitionFilters.map(_.toString).exists(_.contains("o_month")),
+      scan.partitionFilters.toString)
+    assert(scan.relation.location.inputFiles.length >
+      scan.selectedPartitions.totalNumberOfFiles,
+      "gate scan did not prune any partition")
+    assert(df.count() > 0)
+  }
 }
