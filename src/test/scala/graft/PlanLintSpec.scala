@@ -31,13 +31,16 @@ class PlanLintSpec extends SparkSpec {
     *    the broadcast O(100)-row ADC lookup table;
     *  - q_source_divergence: broadcast 1-row corpus token total;
     *  - q_weighted_sample: broadcast 1-row min/max score normalizer;
-    *  - q_vocab_coverage: broadcast 1-row corpus token total.
+    *  - q_vocab_coverage: broadcast 1-row corpus token total;
+    *  - q_profile: cross join of the two 1-row aggregate passes (hash-agg
+    *    profile × string-min/max fold) — both sides single-row by
+    *    construction.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
     "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_rerank", "q_knn_ivf",
     "q_embed_pq", "q_knn_pq_adc", "q_knn_ivf_pq", "q_sem_decontam",
-    "q_source_divergence", "q_weighted_sample", "q_vocab_coverage")
+    "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the
