@@ -198,16 +198,20 @@ object Layout {
   }
 
   /** Idempotent per (JVM, sfDir): orders re-written partitioned by order
-    * month (`o_month=YYYY-MM/` directories). Returns the path. */
+    * month (`o_month=YYYY-MM/` directories). Returns the path. Memoized
+    * in-process, NOT via an on-disk marker: a marker would trust stale
+    * /tmp data from a previous run against regenerated testdata. */
+  private val partitionedDone = scala.collection.mutable.Set.empty[String]
   private def ensurePartitioned(s: org.apache.spark.sql.SparkSession,
       d: String): String = synchronized {
     val path = s"/tmp/graft_layout/${tag(d)}/orders_by_month"
-    val done = new java.io.File(s"$path/_SUCCESS")
-    if (!done.isFile)
+    if (!partitionedDone(path)) {
       writePartitioned(
         Tables.orders(s, d)
           .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
         "o_month", path)
+      partitionedDone += path
+    }
     path
   }
 
