@@ -14,7 +14,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++ operators.Dedup.all ++
       operators.Similarity.all ++ operators.GeneratorQueries.all ++
       operators.Multimodal.all ++ operators.RefLogs.all ++
-      operators.Layout.all
+      operators.Layout.all ++ operators.Features.all
 
   /** Flagship: the reference's full pipeline in batch form — plan-driven
     * generator → Hanoi CPU workload → per-(value, stream) stats. Driver

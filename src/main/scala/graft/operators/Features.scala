@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Feature-engineering and data-quality operators a training-data pipeline
+  * runs between curation and training: CDC merge (applying a change batch
+  * to a snapshot), exponential time-decay features, robust (median/MAD)
+  * outlier detection, character-entropy garbage scoring, and corpus
+  * heavy-hitter mining.
+  *
+  * Scale notes: the CDC merge is ONE full-outer shuffle on the key (the
+  * copy-on-write merge shape every table format compiles MERGE INTO down
+  * to); decay and heavy-hitters anchor on broadcast 1-row aggregates;
+  * outlier detection is the one member with two full scans — inherent to
+  * exact nested medians, with `approx_percentile` as the stated single-pass
+  * 100 TB swap. FP parity with the DuckDB oracle follows the house rules:
+  * no libm transcendentals except log2 (lm-score precedent, rounded at 4),
+  * decay weights are exact powers of two, sums that must merge exactly go
+  * through DECIMAL.
+  */
+object Features {
+
+  /** CDC upsert merge — apply a deterministic changes batch (10% updates,
+    * 10% deletes, 10% inserts keyed off `c_custkey % 10`) to the customer
+    * snapshot: one full-outer join on the key, row-wise resolution, delete
+    * filter. This is the relational core of `MERGE INTO` (the incremental
+    * sibling of [[Analytic.qIncrRollup]], which merges aggregates; this
+    * merges ROWS). At 100 TB both sides shuffle-partition on the key —
+    * or better, the snapshot is already bucketed by key
+    * ([[Layout.writeBucketed]]) and only the delta moves. */
+  val qMergeUpsert: Q = Q(
+    "q_merge_upsert",
+    """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |changes AS (
+      |  SELECT c_custkey AS k, 'U' AS op, round(c_acctbal + 100, 2) AS new_bal,
+      |    c_mktsegment AS new_seg FROM base WHERE c_custkey % 10 = 1
+      |  UNION ALL
+      |  SELECT c_custkey, 'D', NULL, NULL FROM base WHERE c_custkey % 10 = 2
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'I', round(c_acctbal, 2), c_mktsegment
+      |  FROM base WHERE c_custkey % 10 = 3)
+      |SELECT coalesce(b.c_custkey, c.k) AS c_custkey,
+      |  coalesce(b.c_mktsegment, c.new_seg) AS mktsegment,
+      |  CASE WHEN c.op IN ('U','I') THEN c.new_bal
+      |       ELSE round(b.c_acctbal, 2) END AS acctbal
+      |FROM base b FULL JOIN changes c ON b.c_custkey = c.k
+      |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin) { (s, d) =>
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    mergeChanges(base, changesBatch(base))
+  }
+
+  /** The deterministic changes batch [[qMergeUpsert]] applies: key, op
+    * (U/D/I), and the new values for upserts. */
+  def changesBatch(base: DataFrame): DataFrame = {
+    val m = col("c_custkey") % 10
+    val upd = base.filter(m === 1).select(
+      col("c_custkey").as("k"), lit("U").as("op"),
+      round(col("c_acctbal") + 100, 2).as("new_bal"),
+      col("c_mktsegment").as("new_seg"))
+    val del = base.filter(m === 2).select(
+      col("c_custkey").as("k"), lit("D").as("op"),
+      lit(null).cast("double").as("new_bal"),
+      lit(null).cast("string").as("new_seg"))
+    val ins = base.filter(m === 3).select(
+      (col("c_custkey") + 1000000).as("k"), lit("I").as("op"),
+      round(col("c_acctbal"), 2).as("new_bal"), col("c_mktsegment").as("new_seg"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  /** Apply a (k, op, new_bal, new_seg) changes batch to the snapshot:
+    * full-outer on the key; deletes drop, updates/inserts take the new
+    * values, untouched rows pass through. */
+  def mergeChanges(base: DataFrame, changes: DataFrame): DataFrame =
+    base.join(changes, base("c_custkey") === changes("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+        coalesce(col("c_mktsegment"), col("new_seg")).as("mktsegment"),
+        when(col("op").isin("U", "I"), col("new_bal"))
+          .otherwise(round(col("c_acctbal"), 2)).as("acctbal"))
+
+  /** Exponential time-decay engagement features — per user
+    * `sum(value · 0.5^age_hours)` with a 1-hour half-life, anchored at the
+    * corpus max timestamp: the standard recency-weighted feature every
+    * ranking/freshness model consumes. The decay weight is an exact power
+    * of two of an INTEGER hour age, so both engines compute the identical
+    * double (`exp()` would be libm-dependent and break bit parity — same
+    * reasoning as `q_weighted_sample`); terms quantize to DECIMAL(18,6)
+    * before the sum so partial aggregates merge exactly in any order.
+    * Anchor = broadcast 1-row max; the aggregate is one map-side-combined
+    * shuffle on user_id. */
+  val qTimeDecay: Q = Q(
+    "q_time_decay",
+    """WITH ev AS (SELECT user_id, value,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
+      |mx AS (SELECT max(secs) AS mx FROM ev)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value * power(0.5, CAST((mx - secs) // 3600 AS DOUBLE))
+      |    AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS decayed_value
+      |FROM ev, mx GROUP BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("secs"))
+    timeDecay(ev)
+  }
+
+  /** Decayed per-user sum over (user_id, value, secs) rows — see
+    * [[qTimeDecay]] for the parity-by-construction weight design. */
+  def timeDecay(ev: DataFrame): DataFrame = {
+    val mx = ev.agg(max("secs").as("mx"))
+    ev.crossJoin(broadcast(mx))
+      // `div`, not `/`: integral hour age, exact like the oracle's `//`
+      .withColumn("term",
+        (col("value") * pow(lit(0.5), expr("(mx - secs) div 3600").cast("double")))
+          .cast("decimal(18,6)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("term").cast("decimal(38,6)").as("decayed_value"))
+  }
+
+  /** Robust outlier detection — per event_type median and MAD (median
+    * absolute deviation), flagging values with deviation > 3·MAD: the
+    * outlier gate a feature pipeline runs before training, immune to the
+    * outliers it hunts (unlike mean/stddev z-scores). Exact nested medians
+    * cost two full scans plus two broadcast joins of the 5-row stats —
+    * inherent to the definition; the single-pass 100 TB swap is
+    * `approx_percentile` for both levels. Medians and deviations are
+    * 4-decimal-quantized on BOTH sides so interpolation ulps can't flip
+    * the comparison (`q_percentiles` pins Spark `percentile` ≡ DuckDB
+    * `median` at that rounding). */
+  val qOutliers: Q = Q(
+    "q_outliers",
+    """WITH med AS (SELECT event_type, round(median(value), 4) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (SELECT e.event_type, m.med,
+      |    round(abs(e.value - m.med), 4) AS dev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, round(median(dev), 4) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, min(d.med) AS med, min(m.mad) AS mad,
+      |  count(*) AS n, count(CASE WHEN d.dev > 3 * m.mad THEN 1 END) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type""".stripMargin) { (s, d) =>
+    outliers(Tables.events(s, d).select(col("event_type"), col("value")))
+  }
+
+  /** Median/MAD outlier counts over (event_type, value) rows. */
+  def outliers(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", round(abs(col("value") - col("med")), 4))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(min("med").as("med"), min("mad").as("mad"), count(lit(1)).as("n"),
+        count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_outliers"))
+  }
+
+  /** Character-entropy garbage scoring — per document the Shannon entropy
+    * of its character distribution (first 2000 chars): near-zero entropy
+    * is repeated-character junk, abnormally high is binary-in-text noise;
+    * curation stacks use it beside the [[TextAnalysis]] quality battery
+    * (Gopher rules flag word-level pathologies; entropy catches
+    * character-level ones). Computed as `log2(n) − Σc·log2(c)/n` from
+    * per-(doc, char) counts: one explode (bounded 2000× by the prefix
+    * cap), one map-side-combined count, one per-doc aggregate — all
+    * doc-granular shuffles. log2 follows the `q_lm_score` libm-parity
+    * precedent (double sums, final round at 4). */
+  val qCharEntropy: Q = Q(
+    "q_char_entropy",
+    """WITH chars AS (SELECT doc_id,
+      |    unnest(string_split(substr(text, 1, 2000), '')) AS ch FROM documents),
+      |freq AS (SELECT doc_id, ch, count(*) AS c FROM chars
+      |  WHERE ch <> '' GROUP BY doc_id, ch),
+      |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |    sum(c * log2(CAST(c AS DOUBLE))) AS s FROM freq GROUP BY doc_id)
+      |SELECT doc_id, n AS n_sampled,
+      |  round(log2(CAST(n AS DOUBLE)) - s / n, 4) AS entropy FROM agg""".stripMargin) { (s, d) =>
+    charEntropy(Tables.documents(s, d).select(col("doc_id"), col("text")))
+  }
+
+  /** Per-doc character entropy over (doc_id, text) rows — see
+    * [[qCharEntropy]]. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(split(substring(col("text"), 1, 2000), "")).as("ch"))
+      // Spark's split keeps a trailing empty token where DuckDB's
+      // string_split drops it — filter on BOTH sides (no-op in DuckDB)
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), sum(col("c") * log2(col("c").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_sampled"),
+        round(log2(col("n").cast("double")) - col("s") / col("n"), 4).as("entropy"))
+
+  /** Corpus heavy hitters — every token above a RELATIVE frequency
+    * threshold (> 0.1% of all corpus tokens): the frequent-item mine
+    * behind stopword lists, contamination screens, and boilerplate
+    * phrase detection. Where `q_vocab_coverage` walks the top-k coverage
+    * curve, this answers the threshold query exactly: token counts are one
+    * map-side-combined aggregate, the corpus total a broadcast 1-row
+    * anchor, and the filter compares INTEGERS (`cnt · 1000 > total`) so
+    * the gate has zero fp surface. At 100 TB the same plan holds — the
+    * token-count table is vocabulary-sized, orders smaller than the
+    * corpus. */
+  val qHeavyHitters: Q = Q(
+    "q_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+      |SELECT tok, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+      |FROM counts, tot WHERE cnt * 1000 > total""".stripMargin) { (s, d) =>
+    heavyHitters(Tables.documents(s, d).select(col("text")))
+  }
+
+  /** Tokens above 0.1% relative corpus frequency, over (text) rows. */
+  def heavyHitters(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(graft.functions.Portable.words(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * 1000 > col("total"))
+      .select(col("tok"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+  }
+
+  val all: Seq[Q] =
+    Seq(qMergeUpsert, qTimeDecay, qOutliers, qCharEntropy, qHeavyHitters)
+}

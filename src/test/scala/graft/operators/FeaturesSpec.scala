@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Invariants for the feature-engineering/data-quality family: CDC merge
+  * semantics, closed-form decay weights, planted-outlier detection, known
+  * entropies, and the heavy-hitter threshold. The value-exact cross-engine
+  * checks are the DuckDB gates; these pin the SEMANTICS on hand-built
+  * inputs where the expected answer is arithmetic, not another query. */
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge_upsert: deletes gone, inserts present, updates shifted +100") {
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val merged = Features.mergeChanges(base, Features.changesBatch(base)).cache()
+    try {
+      assert(merged.filter(col("c_custkey") % 10 === 2 &&
+        col("c_custkey") < 1000000).count() === 0)
+      val nIns = base.filter(col("c_custkey") % 10 === 3).count()
+      assert(merged.filter(col("c_custkey") >= 1000000).count() === nIns)
+      // updated rows: merged bal − round(base bal, 2) = 100 exactly
+      val upd = merged.filter(col("c_custkey") % 10 === 1 && col("c_custkey") < 1000000)
+        .join(base.select(col("c_custkey"), round(col("c_acctbal"), 2).as("old_bal")),
+          "c_custkey")
+      assert(upd.filter(abs(col("acctbal") - col("old_bal") - 100) > 1e-9).count() === 0)
+      // row accounting: base − deletes + inserts
+      val nBase = base.count()
+      val nDel = base.filter(col("c_custkey") % 10 === 2).count()
+      assert(merged.count() === nBase - nDel + nIns)
+    } finally merged.unpersist()
+  }
+
+  test("time_decay: closed-form half-life weights") {
+    // one user, value 10 at ages 0 h and 1 h → 10·1 + 10·0.5 = 15
+    val ev = Seq((1L, 10.0, 7200L), (1L, 10.0, 3600L)).toDF("user_id", "value", "secs")
+    val row = Features.timeDecay(ev).collect().head
+    assert(row.getAs[Long]("n_events") === 2L)
+    assert(row.getDecimal(2).doubleValue() === 15.0)
+    // sub-hour ages floor to 0 → undecayed
+    val ev2 = Seq((1L, 4.0, 100L), (1L, 6.0, 3599L)).toDF("user_id", "value", "secs")
+    assert(Features.timeDecay(ev2).collect().head.getDecimal(2).doubleValue() === 10.0)
+  }
+
+  test("outliers: planted 3-MAD violator is the only flag") {
+    val ev = Seq(("a", 9.0), ("a", 10.0), ("a", 10.0), ("a", 11.0), ("a", 1000.0))
+      .toDF("event_type", "value")
+    // med 10, devs {1,0,0,1,990}, mad 1 → only 990 > 3
+    val row = Features.outliers(ev).collect().head
+    assert(row.getAs[Double]("med") === 10.0)
+    assert(row.getAs[Double]("mad") === 1.0)
+    assert(row.getAs[Long]("n") === 5L)
+    assert(row.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("char_entropy: known distributions") {
+    val docs = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+    val m = Features.charEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(m(1L) === 1.0)   // two symbols, uniform
+    assert(m(2L) === 2.0)   // four symbols, uniform
+    assert(m(3L) === 0.0)   // degenerate
+  }
+
+  test("heavy hitters: relative threshold is strict") {
+    // 2000 tokens: "hot" ×3 (0.15%) kept; "warm" ×2 (0.1%) is NOT > 0.1%
+    val filler = (1 to 1995).map(i => s"w$i").mkString(" ")
+    val docs = Seq(s"hot hot hot warm warm $filler").toDF("text")
+    val hits = Features.heavyHitters(docs).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("cnt")).toMap
+    assert(hits.get("hot").contains(3L))
+    assert(!hits.contains("warm"))
+    assert(!hits.contains("w1"))
+  }
+}
