@@ -33,6 +33,21 @@ object StreamCuration {
       .transform(StreamDedup(_, horizon))
   }
 
+  /** [[curate]] with pipeline telemetry: named `observe` nodes count rows
+    * and characters entering the gate and rows surviving it, surfaced per
+    * micro-batch in `StreamingQueryProgress.observedMetrics` (and usable
+    * identically on a batch DataFrame via `Observation`). Telemetry rides
+    * the existing pass — accumulator-backed, zero extra scans or shuffles
+    * — which is the only affordable way to count a 100 TB pipeline's
+    * drop rate. */
+  def curateObserved(docs: DataFrame, horizon: String = "10 seconds"): DataFrame =
+    curate(
+      docs.observe("curation_in",
+        count(lit(1)).as("rows_in"),
+        sum(length(col("text"))).as("chars_in")),
+      horizon)
+      .observe("curation_kept", count(lit(1)).as("rows_kept"))
+
   /** Per-source tumbling-window audit of a curated stream: kept docs and
     * kept tokens per (window, source) — the dataset-card counters,
     * emitted incrementally. Chains a second stateful operator after the

@@ -27,4 +27,17 @@ object StreamJoin {
         purchases.withWatermark("p_ts", window),
         expr(s"user_id = p_user AND " +
           s"click_ts BETWEEN p_ts - INTERVAL $window AND p_ts"))
+
+  /** Stream-static enrichment join — the OTHER streaming join shape: a
+    * live stream decorated with a dimension table (J1/J2 semantics on a
+    * stream). Stateless: no watermark and no join state, because the
+    * static side is fully available every micro-batch; Structured
+    * Streaming re-plans the static side per batch, so a dim table
+    * republished between batches (new parquet files) is picked up without
+    * restarting the query. The dim is broadcast — at 100 TB stream volume
+    * the dimension is still catalog-sized, and shipping it to executors
+    * beats shuffling the stream. Left-outer keeps stream rows with no dim
+    * match (null holes, the reference's value-lookup semantics). */
+  def enrichStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
 }
