@@ -82,6 +82,63 @@ object Features {
         when(col("op").isin("U", "I"), col("new_bal"))
           .otherwise(round(col("c_acctbal"), 2)).as("acctbal"))
 
+  /** Snapshot diff — the INVERSE of [[qMergeUpsert]]: given two versions
+    * of a table, emit the minimal change feed (op = I/U/D per key) that
+    * turns the old into the new. This is how a pipeline without CDC at
+    * the source manufactures it (nightly snapshot diffing), and the gate
+    * closes the loop: diffing the merged snapshot against the base
+    * recovers exactly the changes batch that produced it. Same single
+    * full-outer-shuffle shape as the merge; the value comparison runs on
+    * 2-decimal-quantized balances so fp noise can't fabricate updates. */
+  val qSnapshotDiff: Q = Q(
+    "q_snapshot_diff",
+    """WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |changes AS (
+      |  SELECT c_custkey AS k, 'U' AS op, round(c_acctbal + 100, 2) AS new_bal,
+      |    c_mktsegment AS new_seg FROM base WHERE c_custkey % 10 = 1
+      |  UNION ALL
+      |  SELECT c_custkey, 'D', NULL, NULL FROM base WHERE c_custkey % 10 = 2
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'I', round(c_acctbal, 2), c_mktsegment
+      |  FROM base WHERE c_custkey % 10 = 3),
+      |merged AS (
+      |  SELECT coalesce(b.c_custkey, c.k) AS c_custkey,
+      |    coalesce(b.c_mktsegment, c.new_seg) AS mktsegment,
+      |    CASE WHEN c.op IN ('U','I') THEN c.new_bal
+      |         ELSE round(b.c_acctbal, 2) END AS acctbal
+      |  FROM base b FULL JOIN changes c ON b.c_custkey = c.k
+      |  WHERE c.op IS NULL OR c.op <> 'D'),
+      |old AS (SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM base)
+      |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+      |  CASE WHEN o.c_custkey IS NULL THEN 'I'
+      |       WHEN n.c_custkey IS NULL THEN 'D'
+      |       ELSE 'U' END AS op,
+      |  o.acctbal AS old_bal, n.acctbal AS new_bal
+      |FROM old o FULL JOIN merged n USING (c_custkey)
+      |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+      |  OR o.acctbal <> n.acctbal""".stripMargin) { (s, d) =>
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    diffSnapshots(
+      base.select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal")),
+      mergeChanges(base, changesBatch(base))
+        .select(col("c_custkey"), col("acctbal")))
+  }
+
+  /** Minimal (c_custkey, op, old_bal, new_bal) change feed turning `old`
+    * into `next`; both sides need (c_custkey, acctbal). */
+  def diffSnapshots(old: DataFrame, next: DataFrame): DataFrame = {
+    val o = old.select(col("c_custkey").as("o_k"), col("acctbal").as("old_bal"))
+    val n = next.select(col("c_custkey").as("n_k"), col("acctbal").as("new_bal"))
+    o.join(n, o("o_k") === n("n_k"), "full_outer")
+      .filter(col("o_k").isNull || col("n_k").isNull || col("old_bal") =!= col("new_bal"))
+      .select(
+        coalesce(col("o_k"), col("n_k")).as("c_custkey"),
+        when(col("o_k").isNull, "I").when(col("n_k").isNull, "D")
+          .otherwise("U").as("op"),
+        col("old_bal"), col("new_bal"))
+  }
+
   /** Exponential time-decay engagement features — per user
     * `sum(value · 0.5^age_hours)` with a 1-hour half-life, anchored at the
     * corpus max timestamp: the standard recency-weighted feature every
@@ -232,5 +289,6 @@ object Features {
   }
 
   val all: Seq[Q] =
-    Seq(qMergeUpsert, qTimeDecay, qOutliers, qCharEntropy, qHeavyHitters)
+    Seq(qMergeUpsert, qSnapshotDiff, qTimeDecay, qOutliers, qCharEntropy,
+      qHeavyHitters)
 }

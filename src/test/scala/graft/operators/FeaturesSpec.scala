@@ -32,6 +32,21 @@ class FeaturesSpec extends SparkSpec {
     } finally merged.unpersist()
   }
 
+  test("snapshot diff recovers the changes batch that produced the merge") {
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val diff = Features.diffSnapshots(
+      base.select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal")),
+      Features.mergeChanges(base, Features.changesBatch(base))
+        .select(col("c_custkey"), col("acctbal")))
+      .select(col("c_custkey"), col("op"))
+    val expected = Features.changesBatch(base)
+      .select(col("k").as("c_custkey"), col("op"))
+    // exact op-by-key equality in both directions
+    assert(diff.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(diff).count() === 0)
+  }
+
   test("time_decay: closed-form half-life weights") {
     // one user, value 10 at ages 0 h and 1 h → 10·1 + 10·0.5 = 15
     val ev = Seq((1L, 10.0, 7200L), (1L, 10.0, 3600L)).toDF("user_id", "value", "secs")
