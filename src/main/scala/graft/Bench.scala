@@ -221,6 +221,7 @@ object Bench {
       "q_knn_brute", "q_knn_ivf", "q_embed_neardup", "q_embed_pq",
       "q_knn_pq_adc", "q_knn_ivf_pq", "q_embed_clusters", "q_semdedup",
       "q_dup_span_coverage", "q_dup_span_removal", "q_incr_dedup", "q_knn_rerank",
+      "q_merge_upsert", "q_char_entropy",
       "q_stream_batch_stats", "stream_ingest_50k")
     val qsLine = results
       .filter { case (k, v) => headline.contains(k) || v < 0 }

@@ -14,11 +14,12 @@ object Plans {
 
   /** One query per plan family: scan+agg, LSH bucket join, bloom-pruned
     * join, composed ANN index, incremental merge, window family, z-order
-    * audit, co-located bucketed join, window-pass dup-span. */
+    * audit, co-located bucketed join, window-pass dup-span, CDC row
+    * merge. */
   val Headline: Seq[String] = Seq(
     "q1_agg", "q_minhash_pairs", "q_bloom_join", "q_knn_ivf_pq",
     "q_incr_rollup", "q_window_rank", "q_zorder_layout",
-    "q_bucketed_join", "q_dup_span_coverage")
+    "q_bucketed_join", "q_dup_span_coverage", "q_merge_upsert")
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.map(_.split(',').toSeq).getOrElse(Headline)

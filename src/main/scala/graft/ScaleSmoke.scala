@@ -85,7 +85,8 @@ object ScaleSmoke {
       operators.Dedup.qMinhashJaccardEst, operators.TextAnalysis.qWeightedSample,
       operators.Dedup.qDupSpanCoverage, operators.Dedup.qDupSpanRemoval,
       operators.Dedup.qIncrDedup,
-      operators.Similarity.qKnnRerank)
+      operators.Similarity.qKnnRerank,
+      operators.Features.qCharEntropy, operators.Features.qHeavyHitters)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {
