@@ -559,6 +559,53 @@ object Analytic {
         col("n_events"))
   }
 
+  /** Point-in-time join — every event decorated with its user's [[qScd2]]
+    * dimension state AT event time: the lookup that makes an SCD2 build
+    * useful, and the correctness test of the whole temporal-dimension
+    * story. Matching is half-open interval containment
+    * (`valid_from <= ts < valid_to`, open-ended current version) rather
+    * than a bare as-of, so shared-timestamp version boundaries resolve
+    * deterministically (a zero-width interval matches nothing; the later
+    * version takes the boundary instant). Plan shape: the dim build's
+    * user-partitioned windows feed an equi-join on user_id with the
+    * interval predicate as a residual — one co-partitioned shuffle pair,
+    * no nested loop; per-user version counts are small by construction,
+    * so the residual scan per key is bounded. */
+  val qPitJoin: Q = Q(
+    "q_pit_join",
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN event_type = lag(event_type)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      THEN 0 ELSE 1 END AS chg
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM marked),
+      |dim AS (
+      |  SELECT user_id, event_type AS state, version, min(ts) AS valid_from
+      |  FROM runs GROUP BY 1, 2, 3),
+      |scd AS (
+      |  SELECT user_id, state, version, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |      AS valid_to
+      |  FROM dim)
+      |SELECT e.event_id, e.user_id, s.state, s.version
+      |FROM events e JOIN scd s ON e.user_id = s.user_id
+      |  AND s.valid_from <= e.ts
+      |  AND (s.valid_to IS NULL OR e.ts < s.valid_to)""".stripMargin) { (s, d) =>
+    val dim = qScd2.build(s, d).select(
+      col("user_id").as("d_user"), col("state"), col("version"),
+      col("valid_from"), col("valid_to"))
+    Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("valid_from") <= col("ts") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("state"), col("version"))
+  }
+
   /** Partial daily rollup of one events slice — the unit the incremental
     * merge combines: (event_type, day) → count + exact-DECIMAL value sum.
     * One map-side-combined hash aggregate; output cardinality = distinct
@@ -614,6 +661,6 @@ object Analytic {
     qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
     qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup,
-    qFunnel, qRetention, qScd2, qApproxPercentiles, qUnpivot,
+    qFunnel, qRetention, qScd2, qPitJoin, qApproxPercentiles, qUnpivot,
     qSessionWindow, qProfile, qJsonExtract)
 }

@@ -94,4 +94,23 @@ class AnalyticSpec extends SparkSpec {
         s"user $user: interval event counts don't sum to the log")
     }
   }
+
+  test("point-in-time join: one version per event, matching its own type") {
+    val ev = graft.Tables.events(spark, sf)
+    val pit = Analytic.qPitJoin.build(spark, sf).cache()
+    try {
+      // interval coverage: every event matched EXACTLY once
+      assert(pit.count() === ev.count())
+      assert(pit.select("event_id").distinct().count() === ev.count())
+      // away from shared-timestamp boundaries, the version covering an
+      // event is the run that contains it, so state == its own event_type
+      val dupTsUsers = ev.groupBy("user_id", "ts").count()
+        .filter(col("count") > 1).select("user_id").distinct()
+      val mismatch = pit.join(
+          ev.select(col("event_id"), col("event_type")), "event_id")
+        .join(dupTsUsers, Seq("user_id"), "left_anti")
+        .filter(col("state") =!= col("event_type"))
+      assert(mismatch.count() === 0)
+    } finally pit.unpersist()
+  }
 }
