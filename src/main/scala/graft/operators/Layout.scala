@@ -215,6 +215,62 @@ object Layout {
     path
   }
 
+  /** Small-file compaction — the table-maintenance write every streaming
+    * or incremental ingest needs: micro-batches and per-task writers leave
+    * thousands of KB-sized files, and at 100 TB the scan cost becomes
+    * file-OPEN bound (listing, footer reads, task scheduling) rather than
+    * byte bound. Sizing is by BYTES, not row count: the existing layout's
+    * total size (from file metadata — no data pass) divided by the target
+    * file size gives the output file count, and one round-robin
+    * repartition rewrites the data. Ordering is deliberately not promised
+    * — re-clustering is [[writeZOrderedN]]'s job; compaction fixes file
+    * COUNT. Returns the output file count. */
+  def compact(s: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L << 20): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    s.read.parquet(inPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
+  /** Idempotent per (JVM, sfDir): events written fragmented (64 files —
+    * the small-file pathology) then compacted at a 1 MiB target. Returns
+    * the compacted path. */
+  private val compactedDone = scala.collection.mutable.Set.empty[String]
+  private def ensureCompacted(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val frag = s"/tmp/graft_layout/${tag(d)}/events_fragmented"
+    val path = s"/tmp/graft_layout/${tag(d)}/events_compacted"
+    if (!compactedDone(path)) {
+      Tables.events(s, d).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      compact(s, frag, path, targetBytes = 1L << 20)
+      compactedDone += path
+    }
+    path
+  }
+
+  /** Aggregate over the compacted layout: values identical to the raw
+    * table (the oracle reads it) — compaction changes file count, never
+    * results. `LayoutCompactionSpec` pins the mechanics: 64 fragments in,
+    * byte-sized file count out, zero row drift. The DECIMAL value sum
+    * follows the `q_incr_rollup` exactness pattern so the gate is
+    * hash-exact. */
+  val qCompaction: Q = Q(
+    "q_compaction",
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    s.read.parquet(ensureCompacted(s, d))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+  }
+
   /** Co-located join over the bucketed layout: orders x customer on the
     * bucket key, merge-join hinted so the bucket distribution (not a
     * broadcast) carries the join at every scale factor. The physical
@@ -255,5 +311,5 @@ object Layout {
         round(sum(col("o_totalprice")), 2).as("revenue"))
   }
 
-  val all: Seq[Q] = Seq(qZorderLayout, qBucketedJoin, qPartitionPrune)
+  val all: Seq[Q] = Seq(qZorderLayout, qBucketedJoin, qPartitionPrune, qCompaction)
 }
