@@ -45,6 +45,29 @@ object ScaleSmoke {
         col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    synthesizeEvents(spark, baseDir, outDir)
+  }
+
+  /** 10x events: user ids offset per copy so per-user event counts (and
+    * thus SCD2 state-run lengths) stay constant — the corpus grows in
+    * USERS, the per-key work does not; that is what linear scaling of a
+    * user-partitioned plan means. Separate method so a workDir synthesized
+    * before events were part of the smoke upgrades in place. */
+  def synthesizeEvents(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    // read the raw ns-epoch ts as LONG and write it back as LONG — the
+    // copy must present the same schema to Tables.events as the original
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val nEv = ev.count()
+    val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    (0 until Copies).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * nEv)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * nUser)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,6 +86,9 @@ object ScaleSmoke {
     if (!new java.io.File(s"$workDir/documents.parquet").exists()) {
       System.err.println(s"[scale] synthesizing ${Copies}x corpus at $workDir")
       synthesize(spark, baseDir, workDir)
+    } else if (!new java.io.File(s"$workDir/events.parquet").exists()) {
+      System.err.println(s"[scale] adding ${Copies}x events to existing $workDir")
+      synthesizeEvents(spark, baseDir, workDir)
     }
 
     // by-name: the timer must cover build() too — q_dedup_clusters runs
@@ -86,7 +112,8 @@ object ScaleSmoke {
       operators.Dedup.qDupSpanCoverage, operators.Dedup.qDupSpanRemoval,
       operators.Dedup.qIncrDedup,
       operators.Similarity.qKnnRerank,
-      operators.Features.qCharEntropy, operators.Features.qHeavyHitters)
+      operators.Features.qCharEntropy, operators.Features.qHeavyHitters,
+      operators.Analytic.qPitJoin, operators.Layout.qCompaction)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {
