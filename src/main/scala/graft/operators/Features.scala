@@ -288,7 +288,138 @@ object Features {
         round(col("cnt").cast("double") / col("total"), 6).as("share"))
   }
 
+  /** Per-source adaptive quality gate — keep every document whose quality
+    * score (the stopword ratio of `q_quality_score`, rounded at 4) clears
+    * its OWN source's 25th percentile: the per-domain threshold filter
+    * every curation pipeline runs so one noisy crawl source cannot drag
+    * the global cut-off. The threshold is RANK-selected (`row_number` =
+    * `ceil(n/4)` under a total order), never interpolated — integer rank
+    * logic has zero fp surface where `percentile_cont` interpolation can
+    * diverge cross-engine in the last ulp and flip a boundary `>=`. The
+    * thresholds table is one row per source → broadcast back. At 100 TB
+    * the exact per-source sort swaps for `approx_percentile(score, 0.25)`
+    * in a single agg; the gate pins the exact semantics that sketch
+    * approximates. */
+  val qQualityGate: Q = Q(
+    "q_quality_gate",
+    s"""WITH scored AS (SELECT doc_id, source,
+       |  round(CAST(len(regexp_extract_all(lower(text), '\\b${TextAnalysis.Stop}\\b')) AS DOUBLE)
+       |    / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS score
+       |  FROM documents),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n FROM scored),
+       |thr AS (SELECT source, score AS thr FROM r
+       |  WHERE rn = CAST(floor((n + 3) / 4.0) AS BIGINT))
+       |SELECT s.doc_id, s.source, s.score FROM scored s
+       |JOIN thr t USING (source) WHERE s.score >= t.thr""".stripMargin) { (s, d) =>
+    qualityGate(Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))
+  }
+
+  /** Docs at-or-above their source's rank-selected p25 stopword-ratio. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val nStop = size(regexp_extract_all(
+      lower(col("text")), lit("\\b" + TextAnalysis.Stop + "\\b"), lit(0)))
+    val scored = docs.select(col("doc_id"), col("source"),
+      round(nStop.cast("double") / nWords, 4).as("score"))
+    val w = Window.partitionBy("source")
+    val thr = scored
+      .withColumn("rn", row_number().over(w.orderBy("score", "doc_id")))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn") === floor((col("n") + 3) / 4.0).cast("long"))
+      .select(col("source"), col("score").as("thr"))
+    scored.join(broadcast(thr), "source")
+      .filter(col("score") >= col("thr"))
+      .select(col("doc_id"), col("source"), col("score"))
+  }
+
+  /** Equi-depth feature discretization — each event's value decile WITHIN
+    * its event type (`ntile(10)` under the total order `(value, event_id)`
+    * so tie placement is deterministic cross-engine), aggregated to the
+    * per-(type, decile) count and value span: the quantile-binning pass
+    * that turns a raw feature into a categorical one and doubles as a
+    * distribution audit. One window sort per type, then a tiny agg. At
+    * 100 TB the exact sort swaps for `approx_percentile` cut-points
+    * broadcast back as bin edges ([[qQualityGate]]'s same swap); the gate
+    * pins what those sketched edges approximate. */
+  val qQuantileBins: Q = Q(
+    "q_quantile_bins",
+    """WITH d AS (SELECT event_type, value,
+      |    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+      |  FROM events)
+      |SELECT event_type, decile, count(*) AS cnt,
+      |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
+      |FROM d GROUP BY event_type, decile""".stripMargin) { (s, d) =>
+    quantileBins(Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")))
+  }
+
+  /** Per-(event_type, value-decile) count and span — see [[qQuantileBins]]. */
+  def quantileBins(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .withColumn("decile", ntile(10).over(
+        Window.partitionBy("event_type").orderBy("value", "event_id")))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("cnt"),
+        round(min("value"), 4).as("lo"), round(max("value"), 4).as("hi"))
+  }
+
+  /** Token co-occurrence PMI — document-level pointwise mutual information
+    * for every token pair co-occurring in ≥ 25% of the corpus
+    * (`4·c_ab >= n`, integer math): the phrase/collocation miner behind
+    * boilerplate-template discovery and tokenizer-merge candidates. Pairs
+    * come from per-document DISTINCT tokens self-joined on `doc_id`
+    * (shuffle on doc_id, pair space bounded by per-doc vocabulary, never
+    * corpus vocabulary²); document frequencies and the corpus size join
+    * back as broadcasts (vocabulary-sized). All counts are integers; the
+    * single fp step is one `log2` of a double ratio built by the identical
+    * operation sequence in both engines, rounded at 4 (the `q_lm_score`
+    * precedent). At 100 TB the self-join needs the per-doc distinct-token
+    * cap every production cooc miner carries (cap docs at their K most
+    * informative tokens before pairing) — the shape is otherwise
+    * unchanged. */
+  val qPmiCooc: Q = Q(
+    "q_pmi_cooc",
+    """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) WHERE length(tok) >= 3),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |df AS (SELECT tok, count(*) AS dfc FROM toks GROUP BY tok),
+      |p AS (SELECT x.tok AS tok_a, y.tok AS tok_b, count(*) AS c_ab
+      |  FROM toks x JOIN toks y ON x.doc_id = y.doc_id AND x.tok < y.tok
+      |  GROUP BY 1, 2)
+      |SELECT tok_a, tok_b, c_ab,
+      |  round(log2(CAST(c_ab AS DOUBLE) * n / (da.dfc * db.dfc)), 4) AS pmi
+      |FROM p CROSS JOIN nd
+      |JOIN df da ON p.tok_a = da.tok JOIN df db ON p.tok_b = db.tok
+      |WHERE c_ab * 4 >= n""".stripMargin) { (s, d) =>
+    pmiCooc(Tables.documents(s, d).select(col("doc_id"), col("text")))
+  }
+
+  /** Document-level PMI over (doc_id, text) rows — see [[qPmiCooc]]. */
+  def pmiCooc(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(graft.functions.Portable.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 3)
+      .distinct()
+    val nDocs = docs.select(count(lit(1)).as("n"))
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+    val x = toks.select(col("doc_id"), col("tok").as("tok_a"))
+    val y = toks.select(col("doc_id"), col("tok").as("tok_b"))
+    x.join(y, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("c_ab") * 4 >= col("n"))
+      .join(broadcast(df.select(col("tok").as("tok_a"), col("dfc").as("df_a"))), "tok_a")
+      .join(broadcast(df.select(col("tok").as("tok_b"), col("dfc").as("df_b"))), "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        round(log2(col("c_ab").cast("double") * col("n") / (col("df_a") * col("df_b"))), 4)
+          .as("pmi"))
+  }
+
   val all: Seq[Q] =
     Seq(qMergeUpsert, qSnapshotDiff, qTimeDecay, qOutliers, qCharEntropy,
-      qHeavyHitters)
+      qHeavyHitters, qQualityGate, qQuantileBins, qPmiCooc)
 }

@@ -89,4 +89,53 @@ class FeaturesSpec extends SparkSpec {
     assert(!hits.contains("warm"))
     assert(!hits.contains("w1"))
   }
+
+  test("quality gate: rank-selected per-source p25 drops the bottom quarter") {
+    // 8 docs, scores 0/8 .. 7/8 of words being "the": rank ceil(8/4)=2 →
+    // threshold = 2nd-lowest score (1/8) → exactly the 0-score doc drops
+    def txt(nStop: Int) = ((1 to nStop).map(_ => "the") ++
+      (1 to (8 - nStop)).map(i => s"x$i")).mkString(" ")
+    val docs = (0 until 8).map(i => (i.toLong, "s1", txt(i)))
+      .toDF("doc_id", "source", "text")
+    val kept = Features.qualityGate(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === (1L to 7L).toSet)
+    // a second source thresholds independently: its uniform scores all keep
+    val two = docs.unionByName(
+      (10 until 14).map(i => (i.toLong, "s2", txt(4))).toDF("doc_id", "source", "text"))
+    val bySrc = Features.qualityGate(two).collect()
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc === Map("s1" -> 7, "s2" -> 4))
+  }
+
+  test("quantile bins: 1..100 splits into ten clean deciles") {
+    val ev = (1 to 100).map(i => (i.toLong, "t", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val bins = Features.quantileBins(ev).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("lo"), r.getAs[Double]("hi")))).toMap
+    assert(bins.size === 10)
+    (1 to 10).foreach { d =>
+      assert(bins(d) === ((10L, (d - 1) * 10 + 1.0, d * 10.0)))
+    }
+  }
+
+  test("pmi: perfectly-associated pair scores log2(n/c), independence scores 0") {
+    // aaa+bbb always together in half the docs; ccc+ddd in the other half
+    val docs = Seq((1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ccc ddd"), (4L, "ccc ddd"))
+      .toDF("doc_id", "text")
+    val m = Features.pmiCooc(docs).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+        r.getAs[Double]("pmi")).toMap
+    // PMI = log2(c·n / (df_a·df_b)) = log2(2·4 / (2·2)) = 1
+    assert(m === Map(("aaa", "bbb") -> 1.0, ("ccc", "ddd") -> 1.0))
+    // independent tokens: in every doc → PMI log2(4·4/(4·4)) = 0, and the
+    // c_ab·4 >= n threshold keeps them
+    val ind = Seq((1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "aaa bbb"), (4L, "aaa bbb"))
+      .toDF("doc_id", "text")
+    val m2 = Features.pmiCooc(ind).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+        r.getAs[Double]("pmi")).toMap
+    assert(m2 === Map(("aaa", "bbb") -> 0.0))
+  }
 }
