@@ -376,10 +376,14 @@ object Features {
     * back as broadcasts (vocabulary-sized). All counts are integers; the
     * single fp step is one `log2` of a double ratio built by the identical
     * operation sequence in both engines, rounded at 4 (the `q_lm_score`
-    * precedent). At 100 TB the self-join needs the per-doc distinct-token
-    * cap every production cooc miner carries (cap docs at their K most
-    * informative tokens before pairing) — the shape is otherwise
-    * unchanged. */
+    * precedent). Scale safety is an EXACT pushdown, not a cap: a pair
+    * needs `c_ab·4 >= n` and `c_ab <= min(df_a, df_b)`, so any token with
+    * `df·4 < n` can never reach the output — the frequency threshold is
+    * applied per TOKEN before the self-join. The surviving vocabulary is
+    * bounded by `sum(df)/(n/4)` = 4× the average per-doc distinct-token
+    * count — a corpus constant, independent of corpus size — so per-doc
+    * pair expansion is O(constant²) at any scale and results are
+    * bit-identical to the unpushed plan. */
   val qPmiCooc: Q = Q(
     "q_pmi_cooc",
     """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (
@@ -406,14 +410,19 @@ object Features {
       .distinct()
     val nDocs = docs.select(count(lit(1)).as("n"))
     val df = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
-    val x = toks.select(col("doc_id"), col("tok").as("tok_a"))
-    val y = toks.select(col("doc_id"), col("tok").as("tok_b"))
+    // Exact pushdown: c_ab <= min(df_a, df_b), so tokens below the n/4
+    // document-frequency floor cannot appear in any output pair. The
+    // survivor vocabulary (tiny by construction) broadcasts, and carries
+    // dfc through the pair join so no lookup join-back is needed.
+    val hot = df.crossJoin(broadcast(nDocs)).filter(col("dfc") * 4 >= col("n"))
+      .select(col("tok"), col("dfc"))
+    val toksHot = toks.join(broadcast(hot), "tok")
+    val x = toksHot.select(col("doc_id"), col("tok").as("tok_a"), col("dfc").as("df_a"))
+    val y = toksHot.select(col("doc_id"), col("tok").as("tok_b"), col("dfc").as("df_b"))
     x.join(y, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
-      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .groupBy("tok_a", "df_a", "tok_b", "df_b").agg(count(lit(1)).as("c_ab"))
       .crossJoin(broadcast(nDocs))
       .filter(col("c_ab") * 4 >= col("n"))
-      .join(broadcast(df.select(col("tok").as("tok_a"), col("dfc").as("df_a"))), "tok_a")
-      .join(broadcast(df.select(col("tok").as("tok_b"), col("dfc").as("df_b"))), "tok_b")
       .select(col("tok_a"), col("tok_b"), col("c_ab"),
         round(log2(col("c_ab").cast("double") * col("n") / (col("df_a") * col("df_b"))), 4)
           .as("pmi"))

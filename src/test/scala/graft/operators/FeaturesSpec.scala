@@ -138,4 +138,17 @@ class FeaturesSpec extends SparkSpec {
         r.getAs[Double]("pmi")).toMap
     assert(m2 === Map(("aaa", "bbb") -> 0.0))
   }
+
+  test("pmi: df floor pushdown prunes rare tokens without touching survivors") {
+    // aaa+bbb co-occur in all 8 docs; rare1/rare2 appear once (df·4 = 4 < 8)
+    // so the pushdown removes them before pairing — output pairs and PMI
+    // values are identical to the corpus without the rare tokens
+    val docs = (Seq((1L, "aaa bbb rare1 rare2")) ++
+      (2 to 8).map(i => (i.toLong, "aaa bbb")))
+      .toDF("doc_id", "text")
+    val m = Features.pmiCooc(docs).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+        r.getAs[Double]("pmi")).toMap
+    assert(m === Map(("aaa", "bbb") -> 0.0))
+  }
 }
