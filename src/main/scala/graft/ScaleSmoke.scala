@@ -113,7 +113,9 @@ object ScaleSmoke {
       operators.Dedup.qIncrDedup,
       operators.Similarity.qKnnRerank,
       operators.Features.qCharEntropy, operators.Features.qHeavyHitters,
-      operators.Analytic.qPitJoin, operators.Layout.qCompaction)
+      operators.Analytic.qPitJoin, operators.Layout.qCompaction,
+      operators.Features.qQualityGate, operators.Features.qQuantileBins,
+      operators.Features.qPmiCooc)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {
