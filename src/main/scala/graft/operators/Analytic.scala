@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -657,10 +658,79 @@ object Analytic {
       dailyRollup(events.filter(col("event_id") % 10 === 0)))
   }
 
+  /** Nearest-in-time join: for each purchase, the same user's click
+    * nearest in ABSOLUTE time — both directions, ties to the earlier
+    * side. Completes the temporal-align family (backward as-of
+    * `q_asof_join`, forward `q_asof_forward`): sensor-fusion and
+    * attribution pipelines align on nearest, not latest. One ignore-nulls
+    * window pass each way over the SAME (user_id, ts, event_id) sort —
+    * one shuffle, one sort, zero joins, zero correlated probes. "Before"
+    * and "after" are defined by the (ts, event_id) TOTAL order (a click
+    * at the identical timestamp with a lower id counts as before, at
+    * distance 0), so tie placement is deterministic cross-engine.
+    * Distances are integer microseconds — exact. Purchases with no click
+    * anywhere in the user's history drop out. */
+  val qNearestEvent: Q = Q(
+    "q_nearest_event",
+    """WITH ev AS (SELECT event_id, user_id, ts, event_type,
+      |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_us,
+      |    CASE WHEN event_type = 'click' THEN event_id END AS c_id
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |d AS (SELECT *, epoch_us(ts) AS us,
+      |    last_value(c_us IGNORE NULLS) OVER wp AS prev_us,
+      |    last_value(c_id IGNORE NULLS) OVER wp AS prev_id,
+      |    first_value(c_us IGNORE NULLS) OVER wn AS next_us,
+      |    first_value(c_id IGNORE NULLS) OVER wn AS next_id
+      |  FROM ev
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    wn AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN prev_us IS NOT NULL
+      |      AND (next_us IS NULL OR us - prev_us <= next_us - us)
+      |    THEN prev_id ELSE next_id END AS click_event_id,
+      |  CASE WHEN prev_us IS NOT NULL
+      |      AND (next_us IS NULL OR us - prev_us <= next_us - us)
+      |    THEN us - prev_us ELSE next_us - us END AS dist_us,
+      |  CASE WHEN prev_us IS NOT NULL
+      |      AND (next_us IS NULL OR us - prev_us <= next_us - us)
+      |    THEN 'before' ELSE 'after' END AS direction
+      |FROM d WHERE event_type = 'purchase'
+      |  AND (prev_us IS NOT NULL OR next_us IS NOT NULL)""".stripMargin) { (s, d) =>
+    nearestEvent(Tables.events(s, d), "purchase", "click")
+  }
+
+  /** Nearest `bType` event per `aType` event of the same user — see
+    * [[qNearestEvent]]. */
+  def nearestEvent(events: DataFrame, aType: String, bType: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wn = w.rowsBetween(1, Window.unboundedFollowing)
+    val pickPrev = col("prev_us").isNotNull &&
+      (col("next_us").isNull || col("us") - col("prev_us") <= col("next_us") - col("us"))
+    events.filter(col("event_type").isin(aType, bType))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === bType, unix_micros(col("ts"))).as("c_us"),
+        when(col("event_type") === bType, col("event_id")).as("c_id"))
+      .withColumn("prev_us", last("c_us", ignoreNulls = true).over(wp))
+      .withColumn("prev_id", last("c_id", ignoreNulls = true).over(wp))
+      .withColumn("next_us", first("c_us", ignoreNulls = true).over(wn))
+      .withColumn("next_id", first("c_id", ignoreNulls = true).over(wn))
+      .filter(col("event_type") === aType)
+      .filter(col("prev_us").isNotNull || col("next_us").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(pickPrev, col("prev_id")).otherwise(col("next_id")).as("click_event_id"),
+        when(pickPrev, col("us") - col("prev_us"))
+          .otherwise(col("next_us") - col("us")).as("dist_us"),
+        when(pickPrev, lit("before")).otherwise(lit("after")).as("direction"))
+  }
+
   val all: Seq[Q] = Seq(
     qFullJoin, qGroupingSets, qWindowRank, qFirstLast, qPercentiles,
     qCorrStats, qScalarSubquery, qDateParts, qStringFuncs, qSessionize,
     qAsOfForward, qTypedStats, qRollingWindow, qIncrRollup,
     qFunnel, qRetention, qScd2, qPitJoin, qApproxPercentiles, qUnpivot,
-    qSessionWindow, qProfile, qJsonExtract)
+    qSessionWindow, qProfile, qJsonExtract, qNearestEvent)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -794,11 +795,80 @@ object TextAnalysis {
         round(sum(p * log(p / q)), 4).as("kl"))
   }
 
+  /** Sparse TF-IDF cosine similarity pairs — the lexical twin of the
+    * embedding near-dup family: document pairs whose TF-IDF vectors'
+    * cosine clears a threshold, generated through the inverted index
+    * (pairs exist only where a token is SHARED — never doc×doc). Scale
+    * levers, both mirrored in the oracle: tokens with document frequency
+    * > 64 are dropped before pairing (a stopword-ish token's posting
+    * list is the quadratic bucket; informative tokens have short lists —
+    * the `q_ngram_jaccard` DF-cap precedent), and all dot/norm arithmetic
+    * is DECIMAL-exact (weights quantized at 6 decimals, products and sums
+    * exact and associative, so partial aggregates merge identically in
+    * any order on any engine — the `q_time_decay` precedent). The single
+    * fp step is the final `dot/sqrt(n2_a·n2_b)` from exact decimal
+    * inputs, identical IEEE ops in both engines, rounded at 4. Shape:
+    * token-key shuffle for the index, pair-key shuffle for the dots,
+    * doc-sized norm table joined back (AQE broadcasts it when small). */
+  val qSparseCosine: Q = Q(
+    "q_sparse_cosine",
+    """WITH toks AS (SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) WHERE length(tok) >= 3),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok
+      |  HAVING count(*) <= 64),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |w AS (SELECT doc_id, tf.tok,
+      |    CAST(round(tf * ln(CAST(n AS DOUBLE) / dfc), 6) AS DECIMAL(18,6)) AS w
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+      |norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY doc_id),
+      |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT doc_a, doc_b, round(CAST(dot AS DOUBLE)
+      |      / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cos_sim
+      |  FROM dots JOIN norms na ON doc_a = na.doc_id
+      |  JOIN norms nb ON doc_b = nb.doc_id)
+      |WHERE cos_sim >= 0.3""".stripMargin) { (s, d) =>
+    sparseCosine(Tables.documents(s, d).select(col("doc_id"), col("text")), 0.3)
+  }
+
+  /** TF-IDF cosine pairs over (doc_id, text) at threshold `tau` —
+    * see [[qSparseCosine]]. */
+  def sparseCosine(docs: DataFrame, tau: Double): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 3)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= 64)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(col("n").cast("double") / col("dfc")), 6)
+          .cast("decimal(18,6)").as("w"))
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val a = w.select(col("doc_id").as("doc_a"), col("tok"), col("w").as("w_a"))
+    val b = w.select(col("doc_id").as("doc_b"), col("tok"), col("w").as("w_b"))
+    a.join(b, Seq("tok")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("w_a") * col("w_b")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qGopherRules, qLangId, qFingerprint,
     qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qWeightedSample, qTokenBudgetMix,
-    qCorpusStats, qPackSequences, qSourceDivergence, qVocabCoverage)
+    qCorpusStats, qPackSequences, qSourceDivergence, qVocabCoverage,
+    qSparseCosine)
 }

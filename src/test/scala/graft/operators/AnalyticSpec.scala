@@ -5,6 +5,34 @@ import org.apache.spark.sql.functions._
 
 class AnalyticSpec extends SparkSpec {
 
+  test("nearest event: both directions, deterministic ties, dropped orphans") {
+    import spark.implicits._
+    def t(sec: Long) = sec * 1000000L
+    val rows = Seq(
+      // user 1: clicks at 0s/100s; purchase 30s → before (30s), 60s → after (40s)
+      (10L, 1L, t(0), "click"), (11L, 1L, t(100), "click"),
+      (1L, 1L, t(30), "purchase"), (2L, 1L, t(60), "purchase"),
+      // user 2: equidistant clicks → tie goes to the earlier
+      (20L, 2L, t(0), "click"), (21L, 2L, t(60), "click"),
+      (3L, 2L, t(30), "purchase"),
+      // user 3: no clicks → purchase dropped
+      (4L, 3L, t(10), "purchase"),
+      // user 4: click at the IDENTICAL ts, lower id → before at distance 0
+      (40L, 4L, t(50), "click"), (50L, 4L, t(50), "purchase"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = Analytic.nearestEvent(rows, "purchase", "click").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("click_event_id"), r.getAs[Long]("dist_us"),
+          r.getAs[String]("direction")))).toMap
+    assert(got === Map(
+      1L -> ((10L, t(30), "before")),
+      2L -> ((11L, t(40), "after")),
+      3L -> ((20L, t(30), "before")),
+      50L -> ((40L, 0L, "before"))))
+  }
+
   test("funnel counts are monotone down the stages") {
     val r = Analytic.qFunnel.build(spark, sf).collect().head
     val (viewed, clicked, converted) = (r.getLong(0), r.getLong(1), r.getLong(2))

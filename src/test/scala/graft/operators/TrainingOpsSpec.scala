@@ -420,4 +420,37 @@ class TrainingOpsSpec extends SparkSpec {
     val ranks = rr.groupBy(_._1._1).values.map(_.map(_._3).sorted.toSeq)
     assert(ranks.forall(_ == Seq(1, 2, 3)))
   }
+
+  test("sparse cosine: identical docs score 1, disjoint docs never pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "zzz yyy"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sparseCosine(docs, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cos_sim")))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("sparse cosine: partial overlap lands at the hand-computed value") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana cherry"), (2L, "apple banana durian"),
+      (3L, "xxx yyy zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.sparseCosine(docs, 0.1).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cos_sim")))
+    // dot = 2·ln(3/2)², norms = 2·ln(3/2)² + ln(3)² → cos ≈ 0.2141
+    assert(got.length === 1)
+    val (a, b, cos) = got.head
+    assert((a, b) === ((1L, 2L)))
+    assert(cos > 0.21 && cos < 0.22, s"cos $cos outside hand-computed window")
+  }
+
+  test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
+    import spark.implicits._
+    // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique
+    // token is unshared → zero pairs at any threshold
+    val docs = (1 to 70).map(i => (i.toLong, s"common uniq$i"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.sparseCosine(docs, 0.0).isEmpty)
+  }
 }
