@@ -428,7 +428,54 @@ object Features {
           .as("pmi"))
   }
 
+  /** Day-over-day distribution drift — per day, the KL divergence of the
+    * event-type distribution against the PREVIOUS observed day's: the
+    * ingest monitor that catches a source silently changing shape (a
+    * crawler update, an upstream schema break) before it poisons a
+    * training mix. Everything heavy is integer counting (one day×type
+    * aggregate); the probabilities and `log2` ratio are doubles built by
+    * the identical op sequence in both engines, each term quantized to
+    * DECIMAL(24,12) before summing so the 5-term sum is exact and
+    * order-independent (the `q_time_decay` precedent). Two shuffles on
+    * tiny keyspaces (day, event_type); the per-day window runs over
+    * #types rows. "Previous" is the previous OBSERVED day per type (lag
+    * under day order) — gap-robust and identically defined cross-engine. */
+  val qTypeDrift: Q = Q(
+    "q_type_drift",
+    """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT day, event_type,
+      |    CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY day) AS p FROM c),
+      |l AS (SELECT day, p,
+      |    lag(p) OVER (PARTITION BY event_type ORDER BY day) AS p_prev FROM p)
+      |SELECT day,
+      |  round(CAST(sum(CAST(round(p * log2(p / p_prev), 12) AS DECIMAL(24,12)))
+      |    AS DOUBLE), 6) AS drift,
+      |  count(*) AS n_types
+      |FROM l WHERE p_prev IS NOT NULL GROUP BY day""".stripMargin) { (s, d) =>
+    typeDrift(Tables.events(s, d).select(col("ts"), col("event_type")))
+  }
+
+  /** Per-day KL drift vs the previous day — see [[qTypeDrift]]. */
+  def typeDrift(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = counts
+      .withColumn("p", col("cnt").cast("double") /
+        sum("cnt").over(Window.partitionBy("day")))
+      .withColumn("p_prev",
+        lag("p", 1).over(Window.partitionBy("event_type").orderBy("day")))
+      .filter(col("p_prev").isNotNull)
+      .withColumn("term",
+        round(col("p") * log2(col("p") / col("p_prev")), 12).cast("decimal(24,12)"))
+    scored.groupBy("day")
+      .agg(round(sum("term").cast("double"), 6).as("drift"),
+        count(lit(1)).as("n_types"))
+  }
+
   val all: Seq[Q] =
     Seq(qMergeUpsert, qSnapshotDiff, qTimeDecay, qOutliers, qCharEntropy,
-      qHeavyHitters, qQualityGate, qQuantileBins, qPmiCooc)
+      qHeavyHitters, qQualityGate, qQuantileBins, qPmiCooc, qTypeDrift)
 }

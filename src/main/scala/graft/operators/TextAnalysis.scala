@@ -863,6 +863,85 @@ object TextAnalysis {
       .filter(col("cos_sim") >= tau)
   }
 
+  /** BPE tokenizer-merge training as a Spark plan — the first `steps`
+    * byte-pair-encoding merges learned from the corpus, the actual
+    * algorithm behind GPT/Llama tokenizer vocabularies: count adjacent
+    * symbol pairs weighted by word frequency, merge the argmax pair
+    * everywhere (greedy left-to-right), repeat. Scale structure: the
+    * corpus is touched ONCE (the word-frequency aggregate); every
+    * iteration after that runs on the VOCABULARY (words × their symbol
+    * count), orders of magnitude smaller — exactly how production BPE
+    * trainers work. Each word is represented as `(h)(e)(l)(l)(o)`:
+    * per-symbol delimiters make the merge a plain non-overlapping
+    * left-to-right string `replace` with identical semantics in Spark
+    * and DuckDB (no regex, no lookbehind, no boundary sharing between
+    * adjacent matches — `(a)(a)(a)` + merge `a·a` → `(aa)(a)`, the
+    * greedy BPE rule). The argmax is rank-deterministic (weight desc,
+    * then pair lexicographic) and each best-pair row broadcasts into the
+    * next iteration's rewrite. Fixed `steps` keeps the DuckDB oracle an
+    * unrolled CTE chain; a production trainer loops with a checkpoint
+    * per iteration, same per-step plan. */
+  val qBpeMerges: Q = Q(
+    "q_bpe_merges",
+    """WITH w0 AS (SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS rep,
+      |    count(*) AS freq
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) BETWEEN 2 AND 20
+      |  GROUP BY 1),
+      |p1 AS (SELECT syms[i] AS tok_a, syms[i+1] AS tok_b, sum(freq) AS w
+      |  FROM (SELECT string_split(rep[2:-2], ')(') AS syms, freq FROM w0) s,
+      |       unnest(range(1, len(syms))) AS r(i) GROUP BY 1, 2),
+      |b1 AS (SELECT tok_a, tok_b, w FROM p1 ORDER BY w DESC, tok_a, tok_b LIMIT 1),
+      |w1 AS (SELECT replace(rep, '(' || b.tok_a || ')(' || b.tok_b || ')',
+      |    '(' || b.tok_a || b.tok_b || ')') AS rep, freq FROM w0, b1 b),
+      |p2 AS (SELECT syms[i] AS tok_a, syms[i+1] AS tok_b, sum(freq) AS w
+      |  FROM (SELECT string_split(rep[2:-2], ')(') AS syms, freq FROM w1) s,
+      |       unnest(range(1, len(syms))) AS r(i) GROUP BY 1, 2),
+      |b2 AS (SELECT tok_a, tok_b, w FROM p2 ORDER BY w DESC, tok_a, tok_b LIMIT 1),
+      |w2 AS (SELECT replace(rep, '(' || b.tok_a || ')(' || b.tok_b || ')',
+      |    '(' || b.tok_a || b.tok_b || ')') AS rep, freq FROM w1, b2 b),
+      |p3 AS (SELECT syms[i] AS tok_a, syms[i+1] AS tok_b, sum(freq) AS w
+      |  FROM (SELECT string_split(rep[2:-2], ')(') AS syms, freq FROM w2) s,
+      |       unnest(range(1, len(syms))) AS r(i) GROUP BY 1, 2),
+      |b3 AS (SELECT tok_a, tok_b, w FROM p3 ORDER BY w DESC, tok_a, tok_b LIMIT 1)
+      |SELECT CAST(1 AS INT) AS step, tok_a, tok_b, w AS freq FROM b1
+      |UNION ALL SELECT CAST(2 AS INT), tok_a, tok_b, w FROM b2
+      |UNION ALL SELECT CAST(3 AS INT), tok_a, tok_b, w FROM b3""".stripMargin) { (s, d) =>
+    bpeMerges(Tables.documents(s, d).select(col("text")), 3)
+  }
+
+  /** Adjacent-pair weights over `(rep, freq)` words — see [[qBpeMerges]]. */
+  private def bpePairs(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"),
+        expr("split(substring(rep, 2, length(rep) - 2), '\\\\)\\\\(')").as("syms"))
+      .select(col("freq"), explode(expr(
+        "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), (a, b) -> struct(a, b))")).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(sum("freq").as("w"))
+
+  /** First `steps` BPE merges over the corpus — see [[qBpeMerges]]. */
+  def bpeMerges(docs: DataFrame, steps: Int): DataFrame = {
+    var words = docs
+      .select(explode(Portable.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 20))
+      .groupBy(regexp_replace(col("word"), "(.)", "($1)").as("rep"))
+      .agg(count(lit(1)).as("freq"))
+    val out = (1 to steps).map { k =>
+      val best = bpePairs(words)
+        .orderBy(col("w").desc, col("tok_a"), col("tok_b")).limit(1)
+      words = words.crossJoin(broadcast(best))
+        .select(
+          replace(col("rep"),
+            concat(lit("("), col("tok_a"), lit(")("), col("tok_b"), lit(")")),
+            concat(lit("("), col("tok_a"), col("tok_b"), lit(")"))).as("rep"),
+          col("freq"))
+      best.select(lit(k).as("step"), col("tok_a"), col("tok_b"), col("w").as("freq"))
+    }
+    out.reduce(_ unionByName _)
+  }
+
   val all: Seq[Q] = Seq(
     qTextStats, qTokenCount, qQuality, qGopherRules, qLangId, qFingerprint,
     qDedupExact,
@@ -870,5 +949,5 @@ object TextAnalysis {
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qWeightedSample, qTokenBudgetMix,
     qCorpusStats, qPackSequences, qSourceDivergence, qVocabCoverage,
-    qSparseCosine)
+    qSparseCosine, qBpeMerges)
 }

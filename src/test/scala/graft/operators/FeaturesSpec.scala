@@ -108,6 +108,23 @@ class FeaturesSpec extends SparkSpec {
     assert(bySrc === Map("s1" -> 7, "s2" -> 4))
   }
 
+  test("type drift: hand-computed KL for a two-day shape change") {
+    // day1 p=(.5,.5) → day2 p=(.75,.25): KL = .75·log2(1.5) − .25 ≈ 0.188722
+    val ev = Seq(
+      ("2024-01-01 10:00:00", "A"), ("2024-01-01 11:00:00", "A"),
+      ("2024-01-01 10:00:00", "B"), ("2024-01-01 11:00:00", "B"),
+      ("2024-01-02 10:00:00", "A"), ("2024-01-02 11:00:00", "A"),
+      ("2024-01-02 12:00:00", "A"), ("2024-01-02 13:00:00", "B"))
+      .toDF("s", "event_type")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"))
+    val rows = Features.typeDrift(ev).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[java.sql.Date]("day").toString === "2024-01-02")
+    assert(r.getAs[Double]("drift") === 0.188722)
+    assert(r.getAs[Long]("n_types") === 2L)
+  }
+
   test("quantile bins: 1..100 splits into ten clean deciles") {
     val ev = (1 to 100).map(i => (i.toLong, "t", i.toDouble))
       .toDF("event_id", "event_type", "value")

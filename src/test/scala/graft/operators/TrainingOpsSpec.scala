@@ -445,6 +445,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(cos > 0.21 && cos < 0.22, s"cos $cos outside hand-computed window")
   }
 
+  test("bpe merges: frequency argmax then merged-symbol pairs, by hand") {
+    import spark.implicits._
+    // words: abc ×2, abd ×1 → (a,b)=3 wins, then (ab,c)=2, then (ab,d)=1
+    val docs = Seq("abc abc abd").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, 3).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("tok_a"),
+        r.getAs[String]("tok_b"), r.getAs[Long]("freq"))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1, "a", "b", 3L), (2, "ab", "c", 2L), (3, "ab", "d", 1L)))
+  }
+
+  test("bpe merges: greedy left-to-right within a repeated symbol run") {
+    import spark.implicits._
+    // "aaa": (a,a) counted twice, merged GREEDILY → (aa)(a), so step 2
+    // merges (aa, a) — never (a, aa)
+    val docs = Seq("aaa").toDF("text")
+    val got = TextAnalysis.bpeMerges(docs, 2).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("tok_a"),
+        r.getAs[String]("tok_b"), r.getAs[Long]("freq"))).sortBy(_._1)
+    assert(got.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
     import spark.implicits._
     // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique
