@@ -116,7 +116,8 @@ object ScaleSmoke {
       operators.Analytic.qPitJoin, operators.Layout.qCompaction,
       operators.Features.qQualityGate, operators.Features.qQuantileBins,
       operators.Features.qPmiCooc,
-      operators.TextAnalysis.qSparseCosine, operators.Analytic.qNearestEvent)
+      operators.TextAnalysis.qSparseCosine, operators.Analytic.qNearestEvent,
+      operators.TextAnalysis.qBpeMerges, operators.Features.qTypeDrift)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {
