@@ -47,9 +47,12 @@ object Bench {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.parquet is TIMESTAMP(NANOS); without this the raw warmup scan
-    // throws before Tables.events gets a chance to set it.
+    // Some testdata generations store events.ts as TIMESTAMP(NANOS); without
+    // this a raw scan throws before Tables.events gets a chance to set it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fail in one clear line if the driver regenerated testdata with a
+    // different shape (r5: a silent ts dtype drift cost 28 queries).
+    Tables.validate(spark, sfDir)
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -215,7 +218,7 @@ object Bench {
       "q1_agg", "q_join_fact", "q_bloom_join", "q_sessionize", "q_rolling_window",
       "q_percentiles", "q_tfidf_top", "q_repetition",
       "q_minhash_bands", "q_minhash_pairs", "q_ngram_jaccard",
-      "q_simhash_pairs", "q_simhash_wide_pairs", "q_dedup_near", "q_dedup_clusters",
+      "q_simhash_pairs", "q_simhash_pairs_32", "q_dedup_near", "q_dedup_clusters",
       "q_contamination", "q_corpus_pipeline", "q_dedup_keep_best",
       "q_lm_score", "q_bigram_lm",
       "q_knn_brute", "q_knn_ivf", "q_embed_neardup", "q_embed_pq",

@@ -102,7 +102,7 @@ object ScaleSmoke {
     val fullFamily: Seq[Q] = Seq(
       operators.Dedup.qMinhashBands, operators.Dedup.qMinhashPairs,
       operators.Dedup.qSimhash, operators.Dedup.qSimhashPairs,
-      operators.Dedup.qSimhashWidePairs,
+      operators.Dedup.qSimhashPairs32,
       operators.Dedup.qNgramJaccard, operators.Dedup.qDedupClusters,
       operators.Dedup.qContamination, operators.Similarity.qEmbedNearDup,
       operators.Dedup.qDedupKeepBest, operators.TextAnalysis.qLmScore,

@@ -537,7 +537,7 @@ object Analytic {
       |  SELECT user_id, event_type AS state, version,
       |    min(ts) AS valid_from, count(*) AS n_events
       |  FROM runs GROUP BY 1, 2, 3)
-      |SELECT user_id, state, version, valid_from,
+      |SELECT user_id, state, CAST(version AS BIGINT) AS version, valid_from,
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
       |    AS valid_to,
       |  n_events
@@ -593,7 +593,7 @@ object Analytic {
       |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
       |      AS valid_to
       |  FROM dim)
-      |SELECT e.event_id, e.user_id, s.state, s.version
+      |SELECT e.event_id, e.user_id, s.state, CAST(s.version AS BIGINT) AS version
       |FROM events e JOIN scd s ON e.user_id = s.user_id
       |  AND s.valid_from <= e.ts
       |  AND (s.valid_to IS NULL OR e.ts < s.valid_to)""".stripMargin) { (s, d) =>

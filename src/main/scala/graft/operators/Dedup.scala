@@ -270,72 +270,37 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash candidate pairs: band the 32-bit signature into four 8-bit
-    * bands — any pair within Hamming distance 3 agrees on at least one
-    * band (pigeonhole), so banding finds all near-dups without an
-    * all-pairs scan. Same group-then-expand bucket shape as
-    * [[qMinhashPairs]] (one shuffle on (band_id, band value), signature
-    * pipeline runs once); the final Hamming distance is one codegen'd
-    * `bit_count(a XOR b)`. */
-  val qSimhashPairs: Q = Q(
-    "q_simhash_pairs", {
-      val simhashSql = qSimhash.oracle.get
-      val unpivot = (0 until 4)
-        .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash // ${1L << (8 * b)}) % 256 AS band FROM sh")
-        .mkString(" UNION ALL ")
-      s"""WITH sh AS ($simhashSql), long AS ($unpivot),
-         |longc AS (SELECT doc_id, simhash, band_id, band FROM
-         |  (SELECT *, count(*) OVER (PARTITION BY band_id, band) AS bsz FROM long)
-         |  WHERE bsz <= $MaxBucket)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM longc a JOIN longc b
-         |  ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
-    }) { (s, d) =>
-    GraftFunctions.register(s)
-    val sig = qSimhash.build(s, d)
-    val long = sig.selectExpr(
-      "doc_id", "simhash",
-      s"stack(4, ${(0 until 4).map(b => s"$b, shiftright(simhash, ${8 * b}) % 256").mkString(", ")}) AS (band_id, band)")
-    long.groupBy("band_id", "band")
-      .agg(GraftFunctions.collectCapped(struct(col("doc_id"), col("simhash")), MaxBucket).as("docs"))
-      .filter(size(col("docs")).between(2, MaxBucket))
-      .select(col("docs"), explode(col("docs")).as("a"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-      .limit(20)
-  }
-
-  /** Scale-safe SimHash banding — the production parameterization the
-    * 32-bit gate's SCALE.md annotation calls for: a 60-bit signature (all
-    * bits of the portable md5-derived token hash) banded 4×15, so each
-    * band value lives in a 2^15 space instead of 2^8. Band-bucket density
-    * is corpus_size / 32768 instead of / 256 — the within-bucket pair
-    * expansion that grows super-linearly for [[qSimhashPairs]] at 10×
-    * corpus stays near-linear here (measured in SCALE.md). The pigeonhole
-    * guarantee is unchanged: Hamming ≤ 3 over 4 bands still forces
-    * agreement on ≥ 1 band. Same group-then-expand shape, signature
-    * computed once, bucket hard-capped by `graft_collect_capped`. */
-  val qSimhashWidePairs: Q = Q(
-    "q_simhash_wide_pairs", {
-      val sigSql =
-        s"""SELECT doc_id,
-           |  CAST(list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1)) > len(hs)
-           |    THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END for b in range(0, 60)]) AS BIGINT) AS simhash
-           |FROM (SELECT doc_id,
-           |    [${duckHash60("t")} for t in list_distinct(string_split_regex(lower(trim(text)), '\\s+'))] AS hs
-           |  FROM documents)""".stripMargin
-      val unpivot = (0 until 4)
-        .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash // ${1L << (15 * b)}) % 32768 AS band FROM sh")
-        .mkString(" UNION ALL ")
+  /** SimHash banding candidate pairs, parameterized by signature width:
+    * band the `bits`-bit signature into four `bandBits`-bit bands — any
+    * pair within Hamming distance 3 agrees on at least one band
+    * (pigeonhole), so banding finds all near-dups without an all-pairs
+    * scan. Same group-then-expand bucket shape as [[qMinhashPairs]] (one
+    * shuffle on (band_id, band value), signature pipeline runs once); the
+    * final Hamming distance is one codegen'd `bit_count(a XOR b)`.
+    *
+    * Scale: band-bucket density is corpus_size / 2^bandBits, so the
+    * within-bucket pair expansion — the only super-linear term — is a
+    * direct function of bandBits. SCALE.md measured 4.4x at 10x corpus for
+    * the 4x8 parameterization (2^8 band space densifies) vs 2.3x for
+    * 4x15; the 60-bit/4x15 form is therefore the DEFAULT pair gate and
+    * the 32-bit/4x8 form is kept as the compact-signature compat variant.
+    * The pigeonhole guarantee is identical in both. Buckets are hard-capped
+    * by `graft_collect_capped` either way. */
+  private def simhashPairsQ(name: String, bits: Int, bandBits: Int): Q = {
+    val nBands = bits / bandBits
+    require(nBands * bandBits == bits && nBands == 4, s"$bits != 4 x $bandBits")
+    val bandSpace = 1L << bandBits
+    val sigSql =
+      s"""SELECT doc_id,
+         |  CAST(list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1)) > len(hs)
+         |    THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END for b in range(0, $bits)]) AS BIGINT) AS simhash
+         |FROM (SELECT doc_id,
+         |    [${duckHash60("t")} for t in list_distinct(string_split_regex(lower(trim(text)), '\\s+'))] AS hs
+         |  FROM documents)""".stripMargin
+    val unpivot = (0 until nBands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash // ${1L << (bandBits * b)}) % $bandSpace AS band FROM sh")
+      .mkString(" UNION ALL ")
+    Q(name,
       s"""WITH sh AS ($sigSql), long AS ($unpivot),
          |longc AS (SELECT doc_id, simhash, band_id, band FROM
          |  (SELECT *, count(*) OVER (PARTITION BY band_id, band) AS bsz FROM long)
@@ -345,38 +310,49 @@ object Dedup {
          |FROM longc a JOIN longc b
          |  ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
-    }) { (s, d) =>
-    GraftFunctions.register(s)
-    val hashed = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(Portable.words(col("text")))).as("t"))
-      .select(col("doc_id"), Portable.hash60(col("t")).as("h"))
-    val bitCounts = (0 until 60).map(b =>
-      sum(shiftright(col("h"), b) % 2).as(s"b$b")) :+ count(lit(1)).as("n")
-    val sig = hashed.groupBy("doc_id").agg(bitCounts.head, bitCounts.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until 60).map(b =>
-          when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-    val long = sig.selectExpr(
-      "doc_id", "simhash",
-      s"stack(4, ${(0 until 4).map(b => s"$b, shiftright(simhash, ${15 * b}) % 32768").mkString(", ")}) AS (band_id, band)")
-    long.groupBy("band_id", "band")
-      .agg(GraftFunctions.collectCapped(struct(col("doc_id"), col("simhash")), MaxBucket).as("docs"))
-      .filter(size(col("docs")).between(2, MaxBucket))
-      .select(col("docs"), explode(col("docs")).as("a"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-      .limit(20)
+         |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
+      GraftFunctions.register(s)
+      // Explode -> ONE md5 per token row -> `bits` codegen'd bit-count
+      // aggregates (see [[qSimhash]] for why the array formulation loses).
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(Portable.words(col("text")))).as("t"))
+        .select(col("doc_id"), Portable.hash60(col("t")).as("h"))
+      val bitCounts = (0 until bits).map(b =>
+        sum(shiftright(col("h"), b) % 2).as(s"b$b")) :+ count(lit(1)).as("n")
+      val sig = hashed.groupBy("doc_id").agg(bitCounts.head, bitCounts.tail: _*)
+        .select(
+          col("doc_id"),
+          (0 until bits).map(b =>
+            when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      val long = sig.selectExpr(
+        "doc_id", "simhash",
+        s"stack($nBands, ${(0 until nBands).map(b => s"$b, shiftright(simhash, ${bandBits * b}) % $bandSpace").mkString(", ")}) AS (band_id, band)")
+      long.groupBy("band_id", "band")
+        .agg(GraftFunctions.collectCapped(struct(col("doc_id"), col("simhash")), MaxBucket).as("docs"))
+        .filter(size(col("docs")).between(2, MaxBucket))
+        .select(col("docs"), explode(col("docs")).as("a"))
+        .select(col("a"), explode(col("docs")).as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(20)
+    }
   }
+
+  /** Default SimHash pair gate: 60-bit signature, 4x15-bit bands (the
+    * scale-safe parameterization — see [[simhashPairsQ]]). */
+  val qSimhashPairs: Q = simhashPairsQ("q_simhash_pairs", 60, 15)
+
+  /** Compat variant: 32-bit signature, 4x8-bit bands — matches the
+    * classic compact-SimHash layout; densifies past ~10x corpus
+    * (SCALE.md), so it is NOT the default pair path. */
+  val qSimhashPairs32: Q = simhashPairsQ("q_simhash_pairs_32", 32, 8)
 
   /** Near-dedup applied: the surviving corpus after dropping the higher
     * doc_id of every MinHash candidate pair — the "keep one representative"
@@ -754,7 +730,7 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
-    qSimhash, qSimhashPairs, qSimhashWidePairs,
+    qSimhash, qSimhashPairs, qSimhashPairs32,
     qDedupNear, qDedupClusters, qContamination, qDedupKeepBest,
     qDupSpanCoverage, qDupSpanRemoval, qIncrDedup)
 }

@@ -890,24 +890,24 @@ object TextAnalysis {
       |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) BETWEEN 2 AND 20
       |  GROUP BY 1),
       |p1 AS (SELECT syms[i] AS tok_a, syms[i+1] AS tok_b, sum(freq) AS w
-      |  FROM (SELECT string_split(rep[2:-2], ')(') AS syms, freq FROM w0) s,
+      |  FROM (SELECT string_split(substring(rep, 2, length(rep) - 2), ')(') AS syms, freq FROM w0) s,
       |       unnest(range(1, len(syms))) AS r(i) GROUP BY 1, 2),
       |b1 AS (SELECT tok_a, tok_b, w FROM p1 ORDER BY w DESC, tok_a, tok_b LIMIT 1),
       |w1 AS (SELECT replace(rep, '(' || b.tok_a || ')(' || b.tok_b || ')',
       |    '(' || b.tok_a || b.tok_b || ')') AS rep, freq FROM w0, b1 b),
       |p2 AS (SELECT syms[i] AS tok_a, syms[i+1] AS tok_b, sum(freq) AS w
-      |  FROM (SELECT string_split(rep[2:-2], ')(') AS syms, freq FROM w1) s,
+      |  FROM (SELECT string_split(substring(rep, 2, length(rep) - 2), ')(') AS syms, freq FROM w1) s,
       |       unnest(range(1, len(syms))) AS r(i) GROUP BY 1, 2),
       |b2 AS (SELECT tok_a, tok_b, w FROM p2 ORDER BY w DESC, tok_a, tok_b LIMIT 1),
       |w2 AS (SELECT replace(rep, '(' || b.tok_a || ')(' || b.tok_b || ')',
       |    '(' || b.tok_a || b.tok_b || ')') AS rep, freq FROM w1, b2 b),
       |p3 AS (SELECT syms[i] AS tok_a, syms[i+1] AS tok_b, sum(freq) AS w
-      |  FROM (SELECT string_split(rep[2:-2], ')(') AS syms, freq FROM w2) s,
+      |  FROM (SELECT string_split(substring(rep, 2, length(rep) - 2), ')(') AS syms, freq FROM w2) s,
       |       unnest(range(1, len(syms))) AS r(i) GROUP BY 1, 2),
       |b3 AS (SELECT tok_a, tok_b, w FROM p3 ORDER BY w DESC, tok_a, tok_b LIMIT 1)
-      |SELECT CAST(1 AS INT) AS step, tok_a, tok_b, w AS freq FROM b1
-      |UNION ALL SELECT CAST(2 AS INT), tok_a, tok_b, w FROM b2
-      |UNION ALL SELECT CAST(3 AS INT), tok_a, tok_b, w FROM b3""".stripMargin) { (s, d) =>
+      |SELECT CAST(1 AS INT) AS step, tok_a, tok_b, CAST(w AS BIGINT) AS freq FROM b1
+      |UNION ALL SELECT CAST(2 AS INT), tok_a, tok_b, CAST(w AS BIGINT) FROM b2
+      |UNION ALL SELECT CAST(3 AS INT), tok_a, tok_b, CAST(w AS BIGINT) FROM b3""".stripMargin) { (s, d) =>
     bpeMerges(Tables.documents(s, d).select(col("text")), 3)
   }
 
