@@ -42,6 +42,74 @@ final class PidController(
   def reset(): Unit = { integral = 0.0; lastError = 0.0 }
 }
 
+/** Rate-based PID estimator with the semantics of Spark Streaming's
+  * `PIDRateEstimator` — the estimator the reference system's experiments
+  * steer and compare (reference `test-runs-004/README.md` documents spike
+  * runs at PID(-1, -0.2, 0) vs PID(-1, 0, 0); enabled via
+  * `SimpleStreamingApp.scala:42-44`, receiver plumbing
+  * `SubscriberInputDStream.scala:43-48`). Unlike [[PidController]] (a
+  * factor controller on batch overrun), this computes a target ingest RATE
+  * (rows/s) from three terms:
+  *
+  *  - proportional: the change in processing rate since the last batch —
+  *    how far the current admitted rate overshoots what the system just
+  *    demonstrated it can process;
+  *  - integral: the accumulated backlog, expressed as scheduling delay —
+  *    rows queued behind schedule, converted to a rate via
+  *    `schedulingDelay * processingRate / batchInterval`. This is the term
+  *    whose absence the reference's P-only runs document: without it the
+  *    rate converges to the sustainable level but the backlog accumulated
+  *    during a spike is never drained — the query runs permanently late;
+  *  - derivative: the error slope, damping the first reaction to a sudden
+  *    capacity change.
+  *
+  * Pure and deterministic (time is a parameter) for unit testing; the
+  * listener wiring is [[PidRateListener]] with an `estimator` mode.
+  */
+final class PidRateEstimator(
+    val batchIntervalMs: Long,
+    val proportional: Double = 1.0,
+    val integral: Double = 0.2,
+    val derivative: Double = 0.0,
+    val minRate: Double = 100.0) extends Serializable {
+
+  private var firstRun = true
+  private var latestTimeMs = -1L
+  private var latestRate = -1.0
+  private var latestError = -1.0
+
+  /** Target rate (rows/s) after a batch of `numElements` rows that took
+    * `processingDelayMs` to process and started `schedulingDelayMs` behind
+    * schedule. None until a valid batch arrives. */
+  def compute(
+      timeMs: Long,
+      numElements: Long,
+      processingDelayMs: Long,
+      schedulingDelayMs: Long): Option[Double] = this.synchronized {
+    if (timeMs <= latestTimeMs || numElements == 0 || processingDelayMs == 0) None
+    else {
+      val dtSec = (timeMs - latestTimeMs).toDouble / 1000
+      val processingRate = numElements.toDouble / processingDelayMs * 1000
+      val error = latestRate - processingRate
+      val historicalError = schedulingDelayMs.toDouble * processingRate / batchIntervalMs
+      val dError = (error - latestError) / dtSec
+      val newRate =
+        if (firstRun) processingRate
+        else math.max(minRate,
+          latestRate - proportional * error - integral * historicalError - derivative * dError)
+      firstRun = false
+      latestTimeMs = timeMs
+      latestRate = newRate
+      latestError = error
+      Some(newRate)
+    }
+  }
+
+  def reset(): Unit = this.synchronized {
+    firstRun = true; latestTimeMs = -1L; latestRate = -1.0; latestError = -1.0
+  }
+}
+
 /** Streaming listener applying a [[PidController]] to a rate-limit key.
   *
   * Listeners are session-global, so the listener must be pinned to ONE
@@ -54,11 +122,18 @@ final class PidRateListener(
     key: String,
     triggerMs: Long,
     initialLimit: Long,
-    controller: PidController = new PidController())
+    controller: PidController = new PidController(),
+    estimator: Option[PidRateEstimator] = None,
+    runLog: Option[RunLogWriter] = None,
+    streamId: Int = 0)
     extends StreamingQueryListener {
 
   @volatile private var limit: Long = initialLimit
   @volatile private var queryId: java.util.UUID = _
+  // estimator-mode cadence tracking: scheduling delay = how far behind the
+  // trigger cadence the batch completed (the DStream schedulingDelay analog)
+  private var cadenceStartMs = -1L
+  private var nBatches = 0L
   RateLimitRegistry.set(key, initialLimit)
 
   def currentLimit: Long = limit
@@ -78,7 +153,24 @@ final class PidRateListener(
     if (queryId == null) queryId = p.id // self-attach to the first reporter
     if (queryId != p.id) return
     val batchMs = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
-    limit = controller.next(limit, p.numInputRows, batchMs, triggerMs)
+    val now = System.currentTimeMillis()
+    if (cadenceStartMs < 0) cadenceStartMs = now
+    nBatches += 1
+    val schedDelay = math.max(0L, now - (cadenceStartMs + nBatches * triggerMs))
+    val prevLimit = limit
+    estimator match {
+      case Some(est) =>
+        est.compute(now, p.numInputRows, batchMs, schedDelay).foreach { rate =>
+          limit = math.max(1L, (rate * triggerMs / 1000).toLong)
+        }
+      case None =>
+        limit = controller.next(limit, p.numInputRows, batchMs, triggerMs)
+    }
     RateLimitRegistry.set(key, limit)
+    // self-analytics: the reference's PID trace + rate-limit feedback lines
+    runLog.foreach { w =>
+      if (p.numInputRows > 0) w.pid(now, p.numInputRows, batchMs, schedDelay)
+      if (limit != prevLimit) w.feedback(streamId, limit)
+    }
   }
 }

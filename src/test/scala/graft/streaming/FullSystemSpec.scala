@@ -75,4 +75,67 @@ class FullSystemSpec extends SparkSpec {
       server.close()
     }
   }
+
+  test("self-emitted run logs close the reference analysis loop: run → logs → RefLogs → gnuplot") {
+    // The engine's OWN streaming run writes run.log/receiver_0.log in the
+    // reference's line formats; RefLogs (the log-processor re-expression)
+    // must round-trip them, and the gnuplot synthesis must render from the
+    // parsed tables — the full reference lifecycle with no archived logs.
+    val runDir = java.nio.file.Files.createTempDirectory("graft-runlogs")
+    val writer = new RunLogWriter(runDir)
+    val key = "runlog-spec"
+    val listener = new PidRateListener(
+      key, triggerMs = 100L, initialLimit = 4000L,
+      estimator = Some(new PidRateEstimator(100L, 1.0, 0.2, 0.0, minRate = 200.0)),
+      runLog = Some(writer))
+    spark.streams.addListener(listener)
+    val planRows = 3 * 2000L // 3 s × 2000 rows/s
+    try {
+      val q = StreamingStats.run(
+        spark,
+        "sequence = [ { type = fixed, value = 8, rate = 2000, duration = 3 } ]",
+        triggerMs = 100L,
+        rateLimitKey = Some(key),
+        secondsPerTrigger = 3,
+        sink = RunLogs.loggingSink(writer))
+      listener.attach(q)
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      spark.streams.removeListener(listener)
+      graft.sources.RateLimitRegistry.clear(key)
+      writer.close()
+    }
+
+    // round-trip: parse OUR logs with the same parsers that handle the
+    // reference's archived runs
+    val tables = graft.operators.RefLogs.load(spark, runDir.toString)
+
+    // batch-result lines → execution table; totals reconcile with the plan
+    val exec = tables("execution")
+    assert(exec.count() > 0, "no batch result lines parsed")
+    assert(exec.agg(sum("count")).head.getLong(0) === planRows)
+    assert(exec.select("value").distinct().collect().map(_.getInt(0)).toSet === Set(8))
+
+    // PID trace lines → pid table; record totals reconcile too
+    val pid = tables("pid")
+    assert(pid.count() > 0, "no pid lines parsed")
+    assert(pid.agg(sum("records")).head.getLong(0) === planRows)
+
+    // rate-limit feedback lines → feedback table (the estimator must have
+    // adapted at least once over a 3 s run at 100 ms triggers)
+    val fb = tables("feedback")
+    assert(fb.count() > 0, "no feedback lines parsed")
+    assert(fb.select("rate_limit").collect().forall(_.getLong(0) > 0))
+
+    // graph synthesis over the engine's own run: script + referenced data
+    // files render without the reference's archived logs
+    val outDir = java.nio.file.Files.createTempDirectory("graft-runlogs-graph")
+    val script = graft.operators.GnuplotGraph.writeTables(
+      tables, "self-run", outDir.toString)
+    assert(java.nio.file.Files.exists(script))
+    assert(java.nio.file.Files.exists(outDir.resolve("feedback_0.log")))
+    val scriptText = new String(java.nio.file.Files.readAllBytes(script))
+    assert(scriptText.contains("plot"), "gnuplot script has no plot command")
+  }
 }
