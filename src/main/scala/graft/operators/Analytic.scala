@@ -118,18 +118,36 @@ object Analytic {
     * [[qPercentiles]]: `approx_percentile` keeps a fixed-size mergeable
     * quantile sketch per group (map-side combined like any hash
     * aggregate), where the exact form buffers EVERY value of the group in
-    * one task. No SQL oracle is possible for a sketch (rows-only gate);
-    * the error bound vs the exact percentiles is pinned by
-    * `AnalyticSpec`. */
-  val qApproxPercentiles: Q = Q.noOracle("q_approx_percentiles") { (s, d) =>
+    * one task. The sketch values are engine-specific, but the RANK-ERROR
+    * bound is oracle-checkable: with accuracy 10000 the returned element's
+    * rank is within n/10000 of the target, so it must lie between the
+    * exact interpolated quantiles at q ± 0.01 (a 100× slack on the
+    * guarantee). Spark emits the exact median plus ok50/ok90/ok99 flags;
+    * the oracle emits the same exact median with literal 1s — a sketch
+    * outside its bound hash-mismatches. AnalyticSpec pins the tighter
+    * bound. */
+  val qApproxPercentiles: Q = Q(
+    "q_approx_percentiles",
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50_exact,
+      |  1 AS ok50, 1 AS ok90, 1 AS ok99
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    // one exact-percentile buffer carrying every bound: [p49, p50, p51,
+    // p89, p91, p98, p100] — both sketch and bounds come out of ONE
+    // aggregate pass, flags are a post-agg projection
+    def ok(apIdx: Int, loIdx: Int, hiIdx: Int) =
+      when(element_at(col("ap"), apIdx).between(
+        element_at(col("ex"), loIdx), element_at(col("ex"), hiIdx)), 1)
+        .otherwise(0)
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(percentile_approx(col("value"),
-        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("approx_pcts"))
+      .agg(
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+        expr("percentile(value, array(0.49, 0.5, 0.51, 0.89, 0.91, 0.98, 1.0))").as("ex"))
       .select(col("event_type"),
-        element_at(col("approx_pcts"), 1).as("p50"),
-        element_at(col("approx_pcts"), 2).as("p90"),
-        element_at(col("approx_pcts"), 3).as("p99"))
+        round(element_at(col("ex"), 2), 4).as("p50_exact"),
+        ok(1, 1, 3).as("ok50"), ok(2, 4, 5).as("ok90"), ok(3, 6, 7).as("ok99"))
   }
 
   /** Unpivot (melt) — the inverse of the pivot gate: a wide per-flag

@@ -478,14 +478,27 @@ object Relational {
         round(sum("pe"), 2).as("revenue"))
   }
 
-  /** HyperLogLog sketch vs exact distinct — sketches are engine-specific,
-    * so rows-only; the spec bounds the relative error. */
-  val qApproxDistinct: Q = Q.noOracle("q_approx_distinct") { (s, d) =>
+  /** HyperLogLog sketch vs exact distinct. The sketch estimate itself is
+    * engine-specific (DuckDB can't reproduce Spark's HLL++), but the ERROR
+    * BOUND is oracle-checkable: Spark emits the exact count plus a
+    * within_bound flag (|approx − exact| ≤ 4σ, σ = rsd·exact, floor 5 for
+    * tiny groups), and the oracle emits the same exact count with a
+    * literal 1 — an out-of-bound sketch value hash-mismatches the gate. */
+  val qApproxDistinct: Q = Q(
+    "q_approx_distinct",
+    """SELECT o_orderpriority,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+      |  1 AS within_bound
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
         countDistinct("o_custkey").as("exact_customers"),
         approx_count_distinct("o_custkey", 0.02).as("approx_customers"))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        when(abs(col("approx_customers") - col("exact_customers")) <=
+          greatest(lit(5.0), col("exact_customers") * lit(4 * 0.02)), 1)
+          .otherwise(0).as("within_bound"))
   }
 
   /** Build a bloom filter over a key column — distributed aggregate; the
