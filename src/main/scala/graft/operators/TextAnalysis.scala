@@ -354,10 +354,12 @@ object TextAnalysis {
     * the fraction of duplicate bigrams. Highly repetitive docs are
     * boilerplate/spam candidates a training corpus drops.
     *
-    * Shape: explode tokens once; bigrams come from a lag window over
-    * (doc_id, pos) — both shuffle on doc_id (high cardinality, partition-
-    * parallel), never materializing per-doc arrays through interpreted
-    * lambdas. */
+    * Shape: zero shuffles — both signals are functions of one document, so
+    * the whole query is scan → project (top-token count = longest run in
+    * the sorted token array via one aggregate-lambda pass; bigram dup
+    * fraction via array_distinct on the zip_with bigram array). An earlier
+    * explode + lag-window + two-agg + join formulation spent 3 exchanges
+    * on per-row math. */
   val qRepetition: Q = Q(
     "q_repetition",
     """WITH t AS (SELECT doc_id,
@@ -375,26 +377,35 @@ object TextAnalysis {
       |    ELSE round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
       |  END AS dup_bigram_frac
       |FROM g JOIN topc ON g.doc_id = topc.doc_id""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d)
+    // ZERO-shuffle form: both signals are per-document, so they never need
+    // an exchange. Top-token count = longest run in the SORTED token array
+    // (one aggregate-lambda pass, codegen-friendly, no per-doc hash map);
+    // dup-bigram fraction = array_distinct over the zip_with bigram array
+    // (built at ARRAY level — see [[graft.functions.Portable.shingles]]
+    // for the per-element re-evaluation trap this construction avoids).
+    // Replaces a 3-exchange window+agg+join plan: at 100 TB this is scan
+    // → project → project, embarrassingly parallel.
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
       .select(col("doc_id"),
-        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bigrams = toks
-      .withColumn("prev", lag("tok", 1).over(w))
-      .withColumn("bigram",
-        when(col("prev").isNotNull, concat(col("prev"), lit(" "), col("tok"))))
-      .groupBy("doc_id")
-      .agg(count(col("bigram")).as("n_bi"),
-        countDistinct(col("bigram")).as("n_bi_d"))
-    val top = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max("c").as("top_c"), sum("c").as("n_tok"))
-    bigrams.join(top, "doc_id").select(
-      col("doc_id"),
-      round(col("top_c").cast("double") / col("n_tok"), 4).as("top_token_frac"),
-      when(col("n_bi") === 0, lit(0.0))
-        .otherwise(round(lit(1) - col("n_bi_d").cast("double") / col("n_bi"), 4))
-        .as("dup_bigram_frac"))
+        expr("""aggregate(array_sort(w),
+                named_struct('prev', '', 'cur', 0L, 'mx', 0L),
+                (acc, x) -> named_struct(
+                  'prev', x,
+                  'cur', IF(x = acc.prev, acc.cur + 1L, 1L),
+                  'mx', GREATEST(acc.mx, IF(x = acc.prev, acc.cur + 1L, 1L))),
+                acc -> acc.mx)""").as("top_c"),
+        size(col("w")).as("n_tok"),
+        expr("""CASE WHEN size(w) >= 2
+                THEN zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+                              (a, b) -> concat(a, ' ', b))
+                ELSE CAST(array() AS ARRAY<STRING>) END""").as("bg"))
+      .select(col("doc_id"),
+        round(col("top_c").cast("double") / col("n_tok"), 4).as("top_token_frac"),
+        when(size(col("bg")) === 0, lit(0.0))
+          .otherwise(round(
+            lit(1) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 4))
+          .as("dup_bigram_frac"))
   }
 
   /** Document chunking: split each document into fixed-size character
