@@ -922,6 +922,64 @@ object TextAnalysis {
     bpeMerges(Tables.documents(s, d).select(col("text")), 3)
   }
 
+  /** BPE ENCODE — the apply side of [[qBpeMerges]]'s train side, closing
+    * the tokenizer loop: learn the 3 merges from the corpus, then encode
+    * every training-eligible word by replaying the merge chain in learned
+    * order, and report per-document token accounting (words, BPE tokens,
+    * mean tokens/word — the compression the learned vocabulary buys).
+    *
+    * The learned merge table is a 3-row MODEL: collected to the driver
+    * and folded into the encode expression as literals — the same
+    * broadcast seat as IVF centroids or a bloom filter, not a data-plane
+    * collect. The encode itself is a narrow per-row replace chain (no
+    * shuffle until the per-doc aggregate); token count is the `(`
+    * delimiter count, avoiding a split→array materialization. At 100 TB
+    * the encode pass is scan-bound and the model is O(vocab), exactly how
+    * production tokenizers apply. */
+  val qBpeEncode: Q = Q(
+    "q_bpe_encode", {
+      // reuse the training CTE chain (w0..b3), then replay the merges in
+      // order over each eligible word and aggregate per document
+      val trainSql = qBpeMerges.oracle.get
+      val upToB3 = trainSql.substring(0, trainSql.indexOf("SELECT CAST(1 AS INT)")).trim
+      s"""$upToB3,
+         |ew AS (SELECT doc_id, regexp_replace(word, '(.)', '(\\1)', 'g') AS rep
+         |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+${"$"}') AND length(word) BETWEEN 2 AND 20),
+         |enc AS (SELECT doc_id,
+         |    replace(replace(replace(rep,
+         |      '(' || b1.tok_a || ')(' || b1.tok_b || ')', '(' || b1.tok_a || b1.tok_b || ')'),
+         |      '(' || b2.tok_a || ')(' || b2.tok_b || ')', '(' || b2.tok_a || b2.tok_b || ')'),
+         |      '(' || b3.tok_a || ')(' || b3.tok_b || ')', '(' || b3.tok_a || b3.tok_b || ')') AS rep
+         |  FROM ew, b1, b2, b3),
+         |tok AS (SELECT doc_id,
+         |    length(rep) - length(replace(rep, '(', '')) AS n_tok FROM enc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS avg_tokens_per_word
+         |FROM tok GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val merges = bpeMerges(Tables.documents(s, d).select(col("text")), 3)
+      .orderBy("step").collect()
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Portable.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 20))
+    val encoded = merges.foldLeft(regexp_replace(col("word"), "(.)", "($1)")) {
+      (acc, m) =>
+        val a = m.getAs[String]("tok_a"); val b = m.getAs[String]("tok_b")
+        replace(acc, lit(s"($a)($b)"), lit(s"($a$b)"))
+    }
+    words
+      .select(col("doc_id"),
+        (length(encoded) - length(replace(encoded, lit("("), lit("")))).as("n_tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_tok").as("n_tokens"),
+        round(sum("n_tok").cast("double") / count(lit(1)), 4).as("avg_tokens_per_word"))
+  }
+
   /** Adjacent-pair weights over `(rep, freq)` words — see [[qBpeMerges]]. */
   private def bpePairs(words: DataFrame): DataFrame =
     words
@@ -960,5 +1018,5 @@ object TextAnalysis {
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qWeightedSample, qTokenBudgetMix,
     qCorpusStats, qPackSequences, qSourceDivergence, qVocabCoverage,
-    qSparseCosine, qBpeMerges)
+    qSparseCosine, qBpeMerges, qBpeEncode)
 }

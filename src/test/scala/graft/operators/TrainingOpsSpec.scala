@@ -467,6 +467,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
 
+  test("bpe encode: learned merges compress exactly the trained pairs, by hand") {
+    // training corpus "abc abc abd" learns (a,b), (ab,c), (ab,d) — so every
+    // word encodes to ONE token (abc -> (ab)(c) -> (abc); abd likewise):
+    // 3 words, 3 tokens, 1.0 tokens/word. An untouched word ("xyz" shares
+    // no learned pair) stays at one token per character.
+    val enc = TextAnalysis.qBpeEncode
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-enc").toString
+    Seq((1L, "abc abc abd"), (2L, "xyz"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = enc.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 1.0)), s"trained words must fully merge: ${got(1L)}")
+    assert(got(2L) === ((1L, 3L, 3.0)), s"untrained word stays char-split: ${got(2L)}")
+  }
+
   test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
     import spark.implicits._
     // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique
