@@ -449,6 +449,29 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Dedup-run audit: the cluster-SIZE histogram — how many duplicate
+    * clusters of each size the LSH graph produced. This is the first
+    * table an operator reads after a dedup run: a fat tail of giant
+    * clusters means boilerplate/template contamination (or a banding
+    * threshold set too loose), a histogram dominated by size 1 means the
+    * corpus is mostly unique. Two cheap aggregates on top of
+    * [[qDedupClusters]]'s labels; output is O(max cluster size) rows. */
+  val qDedupClusterSizes: Q = Q(
+    "q_dedup_cluster_sizes", {
+      val clustersSql = qDedupClusters.oracle.get
+      s"""WITH clusters AS ($clustersSql),
+         |sizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY sz""".stripMargin
+    }) { (s, d) =>
+    qDedupClusters.build(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"))
+  }
+
   /** Benchmark-contamination check — the decontamination pass every
     * training corpus runs before evaluation: treating one source
     * (`src0`) as the held-out benchmark, score each of its documents by
@@ -731,6 +754,6 @@ object Dedup {
   val all: Seq[Q] = Seq(
     qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
     qSimhash, qSimhashPairs, qSimhashPairs32,
-    qDedupNear, qDedupClusters, qContamination, qDedupKeepBest,
+    qDedupNear, qDedupClusters, qDedupClusterSizes, qContamination, qDedupKeepBest,
     qDupSpanCoverage, qDupSpanRemoval, qIncrDedup)
 }

@@ -175,6 +175,33 @@ object TextAnalysis {
         .otherwise("fr").as("predicted_lang"))
   }
 
+  /** Language-ID accuracy audit — the eval table behind [[qLangId]]: the
+    * labeled×predicted confusion counts plus per-label accuracy. This is
+    * how a curation run decides whether the cheap n-gram classifier is
+    * good enough for a source, or which label pairs it confuses (the
+    * actionable signal: es↔fr confusions say "add stopwords", zh misses
+    * say "codepoint range too narrow"). One hash aggregate over the
+    * classifier's per-row output — same zero-extra-shuffle cost as any
+    * corpus-level metric. */
+  val qLangIdEval: Q = Q(
+    "q_langid_eval", {
+      val langidSql = qLangId.oracle.get
+      s"""WITH pred AS ($langidSql)
+         |SELECT labeled_lang, predicted_lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(count(*) AS DOUBLE) /
+         |    sum(count(*)) OVER (PARTITION BY labeled_lang), 4) AS frac_of_label
+         |FROM pred GROUP BY labeled_lang, predicted_lang""".stripMargin
+    }) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("labeled_lang")
+    qLangId.build(s, d)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / sum("n_docs").over(w), 4)
+          .as("frac_of_label"))
+  }
+
   /** Document fingerprinting: raw and whitespace-normalized content hashes
     * (the canonical-form key used for exact dedup at scale). */
   val qFingerprint: Q = Q(
@@ -1012,7 +1039,7 @@ object TextAnalysis {
   }
 
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCount, qQuality, qGopherRules, qLangId, qFingerprint,
+    qTextStats, qTokenCount, qQuality, qGopherRules, qLangId, qLangIdEval, qFingerprint,
     qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,

@@ -487,6 +487,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(2L) === ((1L, 3L, 3.0)), s"untrained word stays char-split: ${got(2L)}")
   }
 
+  test("dedup cluster-size histogram partitions the corpus exactly") {
+    val hist = Dedup.qDedupClusterSizes.build(spark, sf).collect()
+    val corpus = graft.Tables.documents(spark, sf).count()
+    // every doc is in exactly one cluster: sum(size * n_clusters) == corpus
+    assert(hist.map(_.getLong(2)).sum === corpus)
+    hist.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1),
+        s"n_docs must equal cluster_size * n_clusters: $r")
+    }
+  }
+
+  test("langid eval: per-label fractions sum to 1 and cover every doc") {
+    val rows = TextAnalysis.qLangIdEval.build(spark, sf).collect()
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === corpus)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 0.01, s"$lang fractions sum to $total")
+    }
+  }
+
   test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
     import spark.implicits._
     // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique
