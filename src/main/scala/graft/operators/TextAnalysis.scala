@@ -646,6 +646,62 @@ object TextAnalysis {
           .as("lm_score"))
   }
 
+  /** Trained Naive-Bayes source classifier — the CCNet/fastText-style
+    * MODEL-BASED quality filter next to the generative [[qLmScore]]: treat
+    * one source (`src0`) as the positive class, train per-token
+    * log-likelihood ratios with Laplace smoothing in ONE aggregate over
+    * the corpus, then score every document as the sum of its tokens'
+    * ratios. Positive score ⇒ the classifier thinks the doc came from the
+    * target distribution — exactly how production pipelines score "looks
+    * like Wikipedia/reference text" without labels beyond provenance.
+    *
+    * Scale shape: the model is one vocabulary-sized aggregate (map-side
+    * combined token counts; the smoothing constants ride in via a 1-row
+    * broadcast); scoring is an equi-join of exploded tokens against the
+    * vocab table (big-big, stays partitioned on the token key) and a
+    * per-doc sum — the [[qLmScore]] plan shape exactly. Train and apply
+    * touch the corpus once each; nothing is quadratic in anything. */
+  val qNbSourceScore: Q = Q(
+    "q_nb_source_score",
+    """WITH t AS (SELECT doc_id, source,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT tok,
+      |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_pos,
+      |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS c_neg
+      |  FROM t GROUP BY tok),
+      |tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+      |    count(*) AS v FROM cnt),
+      |model AS (SELECT tok,
+      |    ln((c_pos + 1.0) / (n_pos + v)) - ln((c_neg + 1.0) / (n_neg + v)) AS llr
+      |  FROM cnt CROSS JOIN tot)
+      |SELECT t.doc_id, min(t.source) AS source,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(sum(m.llr), 4) AS nb_score,
+      |  CASE WHEN round(sum(m.llr), 4) > 0 THEN 1 ELSE 0 END AS predicted_pos
+      |FROM t JOIN model m ON t.tok = m.tok
+      |GROUP BY t.doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(Portable.words(col("text"))).as("tok"))
+    val cnt = toks.groupBy("tok").agg(
+      sum(when(col("source") === "src0", 1).otherwise(0)).as("c_pos"),
+      sum(when(col("source") =!= "src0", 1).otherwise(0)).as("c_neg"))
+    val tot = cnt.agg(
+      sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"), count(lit(1)).as("v"))
+    val model = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (log((col("c_pos") + 1.0) / (col("n_pos") + col("v"))) -
+          log((col("c_neg") + 1.0) / (col("n_neg") + col("v")))).as("llr"))
+    toks.join(model, "tok")
+      .groupBy("doc_id")
+      .agg(
+        min("source").as("source"),
+        count(lit(1)).as("n_tokens"),
+        round(sum("llr"), 4).as("nb_score"),
+        when(round(sum("llr"), 4) > 0, 1).otherwise(0).as("predicted_pos"))
+  }
+
   /** Quality-weighted sampling — the DSIR pattern (Xie et al. 2023,
     * arXiv:2302.03169): keep each document with probability proportional
     * to an importance weight, here the self-trained bigram-LM quality
@@ -1043,7 +1099,7 @@ object TextAnalysis {
     qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
-    qStratifiedSample, qBigramLm, qLmScore, qWeightedSample, qTokenBudgetMix,
+    qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qWeightedSample, qTokenBudgetMix,
     qCorpusStats, qPackSequences, qSourceDivergence, qVocabCoverage,
     qSparseCosine, qBpeMerges, qBpeEncode)
 }

@@ -487,6 +487,28 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(2L) === ((1L, 3L, 3.0)), s"untrained word stays char-split: ${got(2L)}")
   }
 
+  test("naive-bayes source classifier separates disjoint vocabularies perfectly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nb-src").toString
+    // src0 speaks only {alpha beta}, src1 only {gamma delta} — with
+    // disjoint vocabularies every llr is decisive and the classifier must
+    // get every doc right
+    (Seq((1L, "alpha beta alpha", "src0"), (2L, "beta alpha", "src0"),
+      (3L, "gamma delta gamma", "src1"), (4L, "delta delta", "src1"))
+      .toDF("doc_id", "text", "source"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.qNbSourceScore.build(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got.size === 4)
+    got.foreach { case (id, (src, score, pred)) =>
+      if (src == "src0") assert(score > 0 && pred === 1, s"doc $id: $score")
+      else assert(score < 0 && pred === 0, s"doc $id: $score")
+    }
+  }
+
   test("dedup cluster-size histogram partitions the corpus exactly") {
     val hist = Dedup.qDedupClusterSizes.build(spark, sf).collect()
     val corpus = graft.Tables.documents(spark, sf).count()
