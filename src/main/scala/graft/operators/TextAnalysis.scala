@@ -675,12 +675,12 @@ object TextAnalysis {
       |model AS (SELECT tok,
       |    ln((c_pos + 1.0) / (n_pos + v)) - ln((c_neg + 1.0) / (n_neg + v)) AS llr
       |  FROM cnt CROSS JOIN tot)
-      |SELECT t.doc_id, min(t.source) AS source,
+      |SELECT t.doc_id, t.source,
       |  CAST(count(*) AS BIGINT) AS n_tokens,
       |  round(sum(m.llr), 4) AS nb_score,
       |  CASE WHEN round(sum(m.llr), 4) > 0 THEN 1 ELSE 0 END AS predicted_pos
       |FROM t JOIN model m ON t.tok = m.tok
-      |GROUP BY t.doc_id""".stripMargin) { (s, d) =>
+      |GROUP BY t.doc_id, t.source""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(Portable.words(col("text"))).as("tok"))
@@ -693,10 +693,12 @@ object TextAnalysis {
       .select(col("tok"),
         (log((col("c_pos") + 1.0) / (col("n_pos") + col("v"))) -
           log((col("c_neg") + 1.0) / (col("n_neg") + col("v")))).as("llr"))
+    // group on (doc_id, source) — source is functionally dependent on
+    // doc_id, and keeping it a KEY (not a string min() aggregate) keeps
+    // the final aggregate hash-based (string-min buffers plan SortAggregate)
     toks.join(model, "tok")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "source")
       .agg(
-        min("source").as("source"),
         count(lit(1)).as("n_tokens"),
         round(sum("llr"), 4).as("nb_score"),
         when(round(sum("llr"), 4) > 0, 1).otherwise(0).as("predicted_pos"))
