@@ -201,6 +201,65 @@ object Similarity {
       .select(col("query_id"), col("q_embedding"), col("cent_id").as("cell"))
   }
 
+  /** Incremental index maintenance — the ANN twin of the incremental
+    * dedup/rollup shape: a NEW ingest batch (vec_id % 5 = 0, ~20%) is
+    * slotted into a FROZEN coarse index built from the historic corpus
+    * only (per-label float-truncated centroids — the deterministic
+    * stand-in for a trained coarse quantizer), with no retraining pass.
+    * Output per new vector: its assigned cell, the assignment cosine, and
+    * whether the cell agrees with the vector's own label — the
+    * drift-audit column an ingest pipeline alerts on (sagging agreement
+    * means the frozen codebook no longer fits the incoming distribution,
+    * time to retrain).
+    *
+    * Scale shape: centroid build is one hash aggregate over the historic
+    * slice (output O(labels × dims)); the batch assignment is a narrow
+    * broadcast argmax (`max_by`, map-side combined) — the corpus is never
+    * re-touched, which is the property that makes per-batch maintenance
+    * viable at 100 TB ingest cadence. */
+  val qKnnIncrAssign: Q = Q(
+    "q_knn_incr_assign",
+    """WITH hist AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+      |newb AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+      |cents AS (SELECT label AS cent_id,
+      |    list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY pos) AS c FROM
+      |  (SELECT label, i AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+      |   FROM hist, range(1, 65) t(i) GROUP BY label, i) GROUP BY label),
+      |scored AS (SELECT n.vec_id, n.label, c.cent_id,
+      |    list_cosine_similarity(CAST(n.embedding AS DOUBLE[]), c.c) AS csim
+      |  FROM newb n CROSS JOIN cents c)
+      |SELECT vec_id, label, cent_id AS assigned_cell, round(csim, 4) AS cosine,
+      |  CASE WHEN label = cent_id THEN 1 ELSE 0 END AS matches_label
+      |FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM scored)
+      |WHERE rn = 1""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val hist = emb.filter(col("vec_id") % 5 =!= 0)
+    val newb = emb.filter(col("vec_id") % 5 === 0)
+    // frozen per-label centroids from the HISTORIC slice only, with the
+    // IVF family's round(6)+float-truncate cross-engine parity discipline
+    val cents = hist
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("cent_id"),
+        transform(col("pm"), p => p.getField("m").cast("float")).as("c_embedding"))
+    newb.crossJoin(broadcast(cents))
+      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
+      .groupBy("vec_id")
+      .agg(
+        any_value(col("label")).as("label"),
+        max_by(struct(col("cent_id"), col("csim")),
+          struct(col("csim"), (-col("cent_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.cent_id").as("assigned_cell"),
+        round(col("best.csim"), 4).as("cosine"),
+        when(col("label") === col("best.cent_id"), 1).otherwise(0).as("matches_label"))
+  }
+
   /** Shared CTE chain (through `pairs`) for the LSH near-dup family:
     * hyperplanes → 16-bit sign buckets → capped buckets → same-bucket
     * candidate pairs with exact cosine. */
@@ -820,5 +879,5 @@ object Similarity {
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
-    qEmbedNormCheck, qKnnRerank)
+    qEmbedNormCheck, qKnnRerank, qKnnIncrAssign)
 }

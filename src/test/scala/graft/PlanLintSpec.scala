@@ -41,7 +41,8 @@ class PlanLintSpec extends SparkSpec {
     *  - q_sparse_cosine: broadcast 1-row corpus doc count (idf);
     *  - q_bpe_merges: broadcast 1-row argmax pair per merge step;
     *  - q_nb_source_score: broadcast 1-row smoothing constants
-    *    (n_pos/n_neg/vocab size).
+    *    (n_pos/n_neg/vocab size);
+    *  - q_knn_incr_assign: broadcast O(labels)-row frozen centroid index.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
@@ -49,7 +50,7 @@ class PlanLintSpec extends SparkSpec {
     "q_embed_pq", "q_knn_pq_adc", "q_knn_ivf_pq", "q_sem_decontam",
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
     "q_time_decay", "q_heavy_hitters", "q_pmi_cooc", "q_sparse_cosine",
-    "q_bpe_merges", "q_nb_source_score")
+    "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the
@@ -60,7 +61,8 @@ class PlanLintSpec extends SparkSpec {
     * listed so a NEW sort aggregate in a hot path still trips the lint. */
   private val sortAggByDesign = Set(
     "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc",
-    "q_knn_ivf_pq", "q_semdedup", "q_sem_decontam", "q_profile")
+    "q_knn_ivf_pq", "q_semdedup", "q_sem_decontam", "q_profile",
+    "q_knn_incr_assign") // frozen-centroid fold: same post-reduction O(labels x dims) struct-collect as q_knn_ivf
 
   test("no query plans an unlisted cartesian product or nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>

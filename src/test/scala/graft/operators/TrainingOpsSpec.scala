@@ -487,6 +487,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got(2L) === ((1L, 3L, 3.0)), s"untrained word stays char-split: ${got(2L)}")
   }
 
+  test("incremental index assign: covers exactly the new batch, cells from the frozen index") {
+    val rows = Similarity.qKnnIncrAssign.build(spark, sf).collect()
+    val emb = graft.Tables.embeddings(spark, sf)
+    val batchIds = emb.filter(org.apache.spark.sql.functions.expr("vec_id % 5 = 0"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val labels = emb.select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === batchIds,
+      "every new-batch vector assigned exactly once, corpus untouched")
+    rows.foreach { r =>
+      assert(labels.contains(r.getInt(2)), s"cell outside frozen index: $r")
+      val cos = r.getDouble(3)
+      assert(cos >= -1.0001 && cos <= 1.0001, s"cosine out of range: $r")
+    }
+    // the audit flag is exactly (assigned_cell == label) — the synthetic
+    // labels are not cosine-coherent, so assert the flag's definition, not
+    // a coherence bar
+    rows.foreach { r =>
+      assert(r.getInt(4) === (if (r.getInt(2) == r.getInt(1)) 1 else 0), s"flag wrong: $r")
+    }
+  }
+
   test("naive-bayes source classifier separates disjoint vocabularies perfectly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("nb-src").toString
