@@ -34,7 +34,8 @@ import graft.operators.LogAnalytics.formatters
   * covered by FanOutSpec (T10); a single TCP endpoint is a funnel by
   * definition.
   */
-final class FanOutServer(log: String => Unit) {
+final class FanOutServer(log: String => Unit,
+    runLog: Option[RunLogWriter] = None) {
 
   private val server = new ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -86,11 +87,15 @@ final class FanOutServer(log: String => Unit) {
         if (credit == 0L) {
           dropped.addAndGet(values.size.toLong)
           log(formatters.drop(timeMs, values.size.toLong, id))
+          // reference receiver congestion-strategy line: full drop, ratio 1.0
+          runLog.foreach(_.ratio(id, 1.0))
         } else if (values.size > credit) {
           write(values.take(credit.toInt))
           delivered.addAndGet(credit)
           dropped.addAndGet(values.size - credit)
           log(formatters.drop(timeMs, values.size - credit, id))
+          runLog.foreach(_.ratio(id,
+            math.rint((values.size - credit).toDouble / values.size * 1000) / 1000))
           demand.addAndGet(-credit)
         } else {
           write(values)

@@ -20,7 +20,10 @@ class FullSystemSpec extends SparkSpec {
 
   test("HTTP plan → streaming query → TCP delivery → drop accounting") {
     val logLines = scala.collection.mutable.ArrayBuffer.empty[String]
-    val server = new FanOutServer(l => logLines.synchronized { logLines += l; () })
+    val runDir = java.nio.file.Files.createTempDirectory("graft-fanout-logs")
+    val runLog = new RunLogWriter(runDir)
+    val server = new FanOutServer(
+      l => logLines.synchronized { logLines += l; () }, Some(runLog))
     val started = new CountDownLatch(1)
     @volatile var query: org.apache.spark.sql.streaming.StreamingQuery = null
     val endpoint = new PlanEndpoint((_, _, planText) => {
@@ -68,6 +71,18 @@ class FullSystemSpec extends SparkSpec {
       val drops = LogAnalytics.droppedValues(
         logLines.synchronized(logLines.toSeq).toDF("value"))
       assert(drops.agg(sum("count")).head.getLong(0) === 80L)
+      // congestion ratio lines round-trip through the reference receiver
+      // parser: at least one partial/full drop logged, every ratio in (0,1],
+      // client id 0
+      runLog.close()
+      val ratios = graft.operators.RefLogs.ratio(
+        graft.operators.RefLogs.lines(spark, s"$runDir/receiver_0.log")).collect()
+      assert(ratios.nonEmpty, "no ratio lines emitted for the dropped burst")
+      ratios.foreach { r =>
+        assert(r.getInt(1) === 0)
+        val v = r.getDouble(2)
+        assert(v > 0.0 && v <= 1.0, s"ratio out of range: $v")
+      }
     } finally {
       endpoint.close()
       if (query != null) query.stop()
