@@ -117,7 +117,10 @@ object ScaleSmoke {
       operators.Features.qQualityGate, operators.Features.qQuantileBins,
       operators.Features.qPmiCooc,
       operators.TextAnalysis.qSparseCosine, operators.Analytic.qNearestEvent,
-      operators.TextAnalysis.qBpeMerges, operators.Features.qTypeDrift)
+      operators.TextAnalysis.qBpeMerges, operators.Features.qTypeDrift,
+      operators.TextAnalysis.qRepetition, operators.TextAnalysis.qBpeEncode,
+      operators.TextAnalysis.qNbSourceScore, operators.TextAnalysis.qLangIdEval,
+      operators.Dedup.qDedupClusterSizes, operators.Similarity.qKnnIncrAssign)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {
