@@ -48,6 +48,44 @@ object StreamCuration {
       horizon)
       .observe("curation_kept", count(lit(1)).as("rows_kept"))
 
+  /** Model-based filtering on a live stream — the batch-train →
+    * stream-apply production shape: a token→LLR model trained OFFLINE by
+    * [[graft.operators.TextAnalysis.qNbSourceScore]]'s aggregate (or any
+    * (tok, llr) table) scores each streaming document as the sum of its
+    * tokens' ratios. The model is a STATIC frame broadcast into each
+    * micro-batch's join, so the stream side never shuffles for the model
+    * and the per-doc sum aggregates within the batch scope (stateless —
+    * a document is scored once, on arrival).
+    *
+    * Apply INSIDE `foreachBatch` (the micro-batch scope, like
+    * [[StreamingStats.batchStats]]): per-doc aggregation on an unbounded
+    * stream would demand watermarked state for rows that are in fact
+    * complete on arrival. Expects a `doc_id` key and `text`.
+    *
+    * Returns (original columns..., n_scored_tokens, nb_score, keep) where
+    * keep applies `threshold`. Rows whose tokens all miss the vocabulary
+    * score 0.0 (neutral) rather than dropping — a cold-start stream must
+    * not silently lose out-of-vocabulary documents. */
+  def scoreWithModel(
+      docs: DataFrame,
+      model: DataFrame, // (tok: String, llr: Double)
+      threshold: Double = 0.0): DataFrame = {
+    val toks = docs
+      .withColumn("tok", explode(graft.functions.Portable.words(col("text"))))
+    val scored = toks
+      .join(broadcast(model), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(
+        first(struct(docs.columns.filter(_ != "doc_id").map(col): _*)).as("__doc"),
+        count(col("llr")).as("n_scored_tokens"),
+        coalesce(sum(col("llr")), lit(0.0)).as("nb_score"))
+    scored.select(
+      (col("doc_id") +:
+        docs.columns.filter(_ != "doc_id").map(c => col(s"__doc.$c")) :+
+        col("n_scored_tokens") :+ col("nb_score") :+
+        (col("nb_score") > threshold).as("keep")): _*)
+  }
+
   /** Per-source tumbling-window audit of a curated stream: kept docs and
     * kept tokens per (window, source) — the dataset-card counters,
     * emitted incrementally. Chains a second stateful operator after the
