@@ -664,16 +664,23 @@ object Analytic {
     * indistinguishable from recomputing over everything. Delta batch:
     * `event_id % 10 = 0`, the same deterministic stand-in `q_incr_dedup`
     * uses. The streaming twin is `streaming/StreamRollup`, which drives
-    * the same merge per micro-batch. */
+    * the same merge per micro-batch. The merge arithmetic stays DECIMAL
+    * (exact, associative); only the gate's OUTPUT column is
+    * `round(CAST(x AS DOUBLE), 6)` on both engines — DECIMAL(38,*) is
+    * HUGEINT-backed in DuckDB and hash-mismatches in the driver bridge
+    * despite equal values (round-6 finding). */
   val qIncrRollup: Q = Q(
     "q_incr_rollup",
     """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |    AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
     val events = Tables.events(s, d)
     mergeRollup(
       dailyRollup(events.filter(col("event_id") % 10 =!= 0)),
       dailyRollup(events.filter(col("event_id") % 10 === 0)))
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("sum_value").cast("double"), 6).as("sum_value"))
   }
 
   /** Nearest-in-time join: for each purchase, the same user's click

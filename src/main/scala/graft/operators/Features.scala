@@ -147,16 +147,21 @@ object Features {
     * double (`exp()` would be libm-dependent and break bit parity — same
     * reasoning as `q_weighted_sample`); terms quantize to DECIMAL(18,6)
     * before the sum so partial aggregates merge exactly in any order.
-    * Anchor = broadcast 1-row max; the aggregate is one map-side-combined
-    * shuffle on user_id. */
+    * The OUTPUT column is `round(CAST(sum AS DOUBLE), 6)` on both engines:
+    * DECIMAL(38,*) is HUGEINT-backed in DuckDB and crosses the driver's
+    * hash bridge differently than Spark's decimal (the round-6 mismatch),
+    * while the exact decimal sums cast to the identical double. Anchor =
+    * broadcast 1-row max; the aggregate is one map-side-combined shuffle
+    * on user_id. */
   val qTimeDecay: Q = Q(
     "q_time_decay",
     """WITH ev AS (SELECT user_id, value,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
       |mx AS (SELECT max(secs) AS mx FROM ev)
       |SELECT user_id, count(*) AS n_events,
-      |  CAST(sum(CAST(value * power(0.5, CAST((mx - secs) // 3600 AS DOUBLE))
-      |    AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS decayed_value
+      |  round(CAST(sum(CAST(value * power(0.5,
+      |    CAST((mx - secs) // 3600 AS DOUBLE)) AS DECIMAL(18,6)))
+      |    AS DOUBLE), 6) AS decayed_value
       |FROM ev, mx GROUP BY user_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("value"), unix_timestamp(col("ts")).as("secs"))
@@ -174,7 +179,7 @@ object Features {
           .cast("decimal(18,6)"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        sum("term").cast("decimal(38,6)").as("decayed_value"))
+        round(sum("term").cast("double"), 6).as("decayed_value"))
   }
 
   /** Robust outlier detection — per event_type median and MAD (median

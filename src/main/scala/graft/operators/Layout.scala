@@ -257,18 +257,22 @@ object Layout {
   /** Aggregate over the compacted layout: values identical to the raw
     * table (the oracle reads it) — compaction changes file count, never
     * results. `LayoutCompactionSpec` pins the mechanics: 64 fragments in,
-    * byte-sized file count out, zero row drift. The DECIMAL value sum
-    * follows the `q_incr_rollup` exactness pattern so the gate is
-    * hash-exact. */
+    * byte-sized file count out, zero row drift. The value sum runs in
+    * DECIMAL (exact, associative — the `q_incr_rollup` pattern) and the
+    * OUTPUT is `round(CAST(x AS DOUBLE), 6)` on both engines: DECIMAL(38,*)
+    * output columns hash-mismatch in the driver's HUGEINT bridge despite
+    * equal values (round-6 finding). */
   val qCompaction: Q = Q(
     "q_compaction",
     """SELECT event_type, count(*) AS cnt,
-      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |    AS sum_value
       |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
     s.read.parquet(ensureCompacted(s, d))
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+          .as("sum_value"))
   }
 
   /** Co-located join over the bucketed layout: orders x customer on the

@@ -52,10 +52,10 @@ class FeaturesSpec extends SparkSpec {
     val ev = Seq((1L, 10.0, 7200L), (1L, 10.0, 3600L)).toDF("user_id", "value", "secs")
     val row = Features.timeDecay(ev).collect().head
     assert(row.getAs[Long]("n_events") === 2L)
-    assert(row.getDecimal(2).doubleValue() === 15.0)
+    assert(row.getAs[Double]("decayed_value") === 15.0)
     // sub-hour ages floor to 0 → undecayed
     val ev2 = Seq((1L, 4.0, 100L), (1L, 6.0, 3599L)).toDF("user_id", "value", "secs")
-    assert(Features.timeDecay(ev2).collect().head.getDecimal(2).doubleValue() === 10.0)
+    assert(Features.timeDecay(ev2).collect().head.getAs[Double]("decayed_value") === 10.0)
   }
 
   test("outliers: planted 3-MAD violator is the only flag") {

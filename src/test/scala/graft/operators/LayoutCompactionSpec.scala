@@ -44,7 +44,8 @@ class LayoutCompactionSpec extends SparkSpec {
     val raw = graft.Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+          .as("sum_value"))
       .orderBy("event_type").collect()
     assert(got.sameElements(raw),
       s"compacted aggregate drifted: ${got.mkString(",")} vs ${raw.mkString(",")}")
