@@ -50,44 +50,75 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Expected column set per table. Time/timestamp columns may legitimately
-    * drift in physical type across testdata regenerations (the loaders
-    * adapt), so validate checks names only for those and exact dtypes
-    * elsewhere.
+  /** Expected (column, Spark simpleString dtype) per table. Time/timestamp
+    * columns may legitimately drift in physical type across testdata
+    * regenerations (the loaders adapt — events.ts has shipped as
+    * TIMESTAMP(NANOS), TIMESTAMP_NTZ, and TIMESTAMP), so those carry a
+    * `None` dtype and are checked by name only.
     */
-  private val expectedCols: Map[String, Seq[String]] = Map(
-    "region"     -> Seq("r_regionkey", "r_name"),
-    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
-    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
-    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
-    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
-    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-                        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
-    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
-    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
-    "embeddings" -> Seq("vec_id", "embedding", "label"))
+  private val timeCols = Set("ts", "o_orderdate", "l_shipdate")
+  private val expectedSchema: Map[String, Seq[(String, String)]] = Map(
+    "region"     -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation"     -> Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+    "customer"   -> Seq("c_custkey" -> "bigint", "c_name" -> "string", "c_nationkey" -> "int",
+                        "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier"   -> Seq("s_suppkey" -> "bigint", "s_name" -> "string", "s_nationkey" -> "int",
+                        "s_acctbal" -> "double"),
+    "part"       -> Seq("p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
+                        "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double"),
+    "orders"     -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint", "o_orderstatus" -> "string",
+                        "o_totalprice" -> "double", "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem"   -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+                        "l_linenumber" -> "int", "l_quantity" -> "double", "l_extendedprice" -> "double",
+                        "l_discount" -> "double", "l_tax" -> "double", "l_returnflag" -> "string",
+                        "l_linestatus" -> "string", "l_shipdate" -> "timestamp"),
+    "events"     -> Seq("event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+                        "event_type" -> "string", "value" -> "double", "props" -> "string"),
+    "documents"  -> Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+                        "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int"))
 
   /** Fail fast (one clear line) if the driver regenerated testdata with a
     * different shape, instead of surfacing as dozens of downstream analysis
     * errors. Schema reads are metadata-only — this costs milliseconds.
-    * Additionally forces the `events` loader branch to resolve, so an
-    * unsupported ts dtype fails here, not mid-query.
+    *
+    * Severity split, chosen from the round-5 postmortem: a COLUMN-NAME
+    * drift breaks every query that touches the table, so it aborts here;
+    * a dtype drift in a non-time column (the round-5 class, e.g. value
+    * DOUBLE→FLOAT) is loudly reported on stderr but does NOT abort — most
+    * queries still run and the per-query gates localize the damage,
+    * whereas aborting would zero the whole verify run. Time columns are
+    * names-only (the loaders adapt; nanosAsLong is set BEFORE any raw
+    * load so a TIMESTAMP(NANOS) generation reads as long instead of
+    * erroring). Additionally forces the `events` loader branch to
+    * resolve, so an unsupported ts dtype fails here, not mid-query.
     */
   def validate(s: SparkSession, dir: String): Unit = {
-    val problems = names.flatMap { t =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checks = names.map { t =>
       try {
-        val got = load(s, dir, t).schema.fieldNames.toSeq
-        val want = expectedCols(t)
-        if (got != want) Some(s"$t: columns $got != expected $want") else None
+        val got = load(s, dir, t).schema
+          .map(f => f.name -> f.dataType.simpleString)
+        val want = expectedSchema(t)
+        if (got.map(_._1) != want.map(_._1))
+          (Some(s"$t: columns ${got.map(_._1)} != expected ${want.map(_._1)}"), None)
+        else {
+          val drifted = got.zip(want).collect {
+            case ((n, g), (_, w)) if !timeCols(n) && g != w => s"$t.$n: $g != expected $w"
+          }
+          (None, if (drifted.isEmpty) None else Some(drifted.mkString("; ")))
+        }
       } catch {
-        case e: Exception => Some(s"$t: unreadable (${e.getMessage})")
+        case e: Exception => (Some(s"$t: unreadable (${e.getMessage})"), None)
       }
-    } ++ (try { events(s, dir).schema; None } catch {
+    } :+ ((try { events(s, dir).schema; None } catch {
       case e: Exception => Some(s"events loader: ${e.getMessage}")
-    })
-    require(problems.isEmpty,
-      s"testdata schema drift under $dir:\n  " + problems.mkString("\n  "))
+    }, None))
+    checks.flatMap(_._2).foreach(w =>
+      System.err.println(s"[tables] WARNING dtype drift under $dir: $w"))
+    val fatal = checks.flatMap(_._1)
+    require(fatal.isEmpty,
+      s"testdata schema drift under $dir:\n  " + fatal.mkString("\n  "))
   }
 }
 

@@ -34,6 +34,42 @@ class TablesValidateSpec extends SparkSpec {
     assert(micros === 1700000000123456L, s"expected ns/1000 truncation, got $micros")
   }
 
+  test("validate survives a TIMESTAMP(NANOS) generation on a fresh session") {
+    // Round-6 advice: validate used to raw-load events BEFORE any
+    // nanosAsLong conf was set, so on a nanos generation (one of the three
+    // the events() docstring enumerates) the schema read threw and the
+    // whole verify run aborted. The fixture is a real TIMESTAMP(NANOS)
+    // parquet (pyarrow-written, logical-type NANOS, no arrow schema).
+    val dir = java.nio.file.Files.createTempDirectory("graft-nanos").toString
+    Tables.names.filterNot(_ == "events").foreach { t =>
+      Tables.load(spark, sf, t).write.parquet(s"$dir/$t.parquet")
+    }
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("src/test/resources/nanos_events/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong") // fresh-session state
+    Tables.validate(spark, dir) // must not throw
+    // and the adapted loader surface is usable end-to-end
+    val micros = Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .orderBy(col("ts")).head.getLong(0)
+    assert(micros === 1700000000123456L, s"expected ns/1000 truncation, got $micros")
+  }
+
+  test("non-time dtype drift warns but does not abort the run") {
+    // The round-5 failure class (events.value DOUBLE→FLOAT): queries still
+    // run, per-query gates localize the damage — validate must report it
+    // loudly but NOT zero the whole verify run by throwing.
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    Tables.names.filterNot(_ == "events").foreach { t =>
+      Tables.load(spark, sf, t).write.parquet(s"$dir/$t.parquet")
+    }
+    Tables.events(spark, sf)
+      .withColumn("value", col("value").cast("float"))
+      .write.parquet(s"$dir/events.parquet")
+    Tables.validate(spark, dir) // must not throw
+  }
+
   test("validate rejects a tampered table shape with a one-line diagnosis") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tamper").toString
     // copy the real layout, then break one table's column set
