@@ -80,7 +80,12 @@ final class PidRateEstimator(
 
   /** Target rate (rows/s) after a batch of `numElements` rows that took
     * `processingDelayMs` to process and started `schedulingDelayMs` behind
-    * schedule. None until a valid batch arrives. */
+    * schedule. None until the SECOND valid batch: the first valid batch
+    * only seeds `latestRate = processingRate` with `latestError = 0` and
+    * emits nothing — the upstream estimator's contract. Seeding the error
+    * from the -1.0 sentinel instead (the round-6 bug) made the second
+    * batch's dError a huge spurious positive, so any derivative gain
+    * slashed the rate toward minRate with no capacity change. */
   def compute(
       timeMs: Long,
       numElements: Long,
@@ -93,15 +98,19 @@ final class PidRateEstimator(
       val error = latestRate - processingRate
       val historicalError = schedulingDelayMs.toDouble * processingRate / batchIntervalMs
       val dError = (error - latestError) / dtSec
-      val newRate =
-        if (firstRun) processingRate
-        else math.max(minRate,
-          latestRate - proportional * error - integral * historicalError - derivative * dError)
-      firstRun = false
       latestTimeMs = timeMs
-      latestRate = newRate
-      latestError = error
-      Some(newRate)
+      if (firstRun) {
+        firstRun = false
+        latestRate = processingRate
+        latestError = 0.0
+        None
+      } else {
+        val newRate = math.max(minRate,
+          latestRate - proportional * error - integral * historicalError - derivative * dError)
+        latestRate = newRate
+        latestError = error
+        Some(newRate)
+      }
     }
   }
 

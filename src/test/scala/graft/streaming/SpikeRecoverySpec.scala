@@ -111,6 +111,21 @@ class SpikeRecoverySpec extends SparkSpec {
       s"expected an order-of-magnitude gap: P=${delaysP.last}, PI=${delaysPI.last}")
   }
 
+  test("first valid batch seeds the estimator and emits nothing") {
+    // Upstream-parity contract: batch 1 only stores latestRate =
+    // processingRate with latestError = 0 and returns None. The round-6 bug
+    // seeded latestError from the -1.0 sentinel, so with any derivative
+    // gain the second batch saw a huge spurious dError and slashed a
+    // steady-state stream toward minRate with no capacity change.
+    val est = new PidRateEstimator(
+      1000L, proportional = 1.0, integral = 0.2, derivative = 1.0, minRate = 100.0)
+    assert(est.compute(1000L, 10000L, 1000L, 0L).isEmpty, "first batch must not emit")
+    // steady state exactly at capacity: the emitted rate must hold, not crash
+    val r2 = est.compute(2000L, 10000L, 1000L, 0L)
+    assert(r2.exists(r => math.abs(r - 10000.0) < 500.0),
+      s"spurious derivative cut on a steady stream: $r2")
+  }
+
   test("derivative term sharpens the first reaction to a sudden capacity drop") {
     def firstCut(d: Double): Double = {
       val (rates, _) = simulate(
