@@ -661,8 +661,10 @@ object TextAnalysis {
     * vocab table (big-big, stays partitioned on the token key) and a
     * per-doc sum — the [[qLmScore]] plan shape exactly. Train and apply
     * touch the corpus once each; nothing is quadratic in anything. */
-  val qNbSourceScore: Q = Q(
-    "q_nb_source_score",
+  /** Shared by [[qNbSourceScore]] and [[qNbStreamScore]]: the stream-apply
+    * path must be indistinguishable from the batch apply, so both gates
+    * face the identical oracle. */
+  private val NbScoreOracle: String =
     """WITH t AS (SELECT doc_id, source,
       |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
       |  FROM documents),
@@ -680,7 +682,12 @@ object TextAnalysis {
       |  round(sum(m.llr), 4) AS nb_score,
       |  CASE WHEN round(sum(m.llr), 4) > 0 THEN 1 ELSE 0 END AS predicted_pos
       |FROM t JOIN model m ON t.tok = m.tok
-      |GROUP BY t.doc_id, t.source""".stripMargin) { (s, d) =>
+      |GROUP BY t.doc_id, t.source""".stripMargin
+
+  /** Per-token LLR model of [[qNbSourceScore]] — ONE vocabulary-sized
+    * aggregate over the corpus (map-side combined), smoothing constants
+    * via a 1-row broadcast. */
+  private def nbModel(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(Portable.words(col("text"))).as("tok"))
@@ -689,19 +696,73 @@ object TextAnalysis {
       sum(when(col("source") =!= "src0", 1).otherwise(0)).as("c_neg"))
     val tot = cnt.agg(
       sum("c_pos").as("n_pos"), sum("c_neg").as("n_neg"), count(lit(1)).as("v"))
-    val model = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .select(col("tok"),
         (log((col("c_pos") + 1.0) / (col("n_pos") + col("v"))) -
           log((col("c_neg") + 1.0) / (col("n_neg") + col("v")))).as("llr"))
+  }
+
+  val qNbSourceScore: Q = Q(
+    "q_nb_source_score", NbScoreOracle) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(Portable.words(col("text"))).as("tok"))
     // group on (doc_id, source) — source is functionally dependent on
     // doc_id, and keeping it a KEY (not a string min() aggregate) keeps
     // the final aggregate hash-based (string-min buffers plan SortAggregate)
-    toks.join(model, "tok")
+    toks.join(nbModel(s, d), "tok")
       .groupBy("doc_id", "source")
       .agg(
         count(lit(1)).as("n_tokens"),
         round(sum("llr"), 4).as("nb_score"),
         when(round(sum("llr"), 4) > 0, 1).otherwise(0).as("predicted_pos"))
+  }
+
+  /** The SAME trained model applied through the STREAMING path — the
+    * batch-train → stream-apply production shape made oracle-exact: the
+    * documents table is replayed as a real file-source stream
+    * (`Trigger.AvailableNow`), each micro-batch scored inside
+    * `foreachBatch` by [[graft.streaming.StreamCuration.scoreWithModel]]
+    * (broadcast model join, per-batch doc aggregate), and the gate faces
+    * the IDENTICAL DuckDB oracle as [[qNbSourceScore]] — so
+    * train-batch → apply-stream is pinned indistinguishable from
+    * train-batch → apply-batch, hash-for-hash.
+    *
+    * The driver-side collect is gate plumbing only (the replay must hand
+    * Verify one DataFrame); production writes each scored micro-batch
+    * straight to a sink. Docs with zero in-vocabulary tokens are filtered
+    * to mirror the batch gate's inner join (scoreWithModel itself keeps
+    * them, flagged `is_oov` — none exist on the training corpus). */
+  val qNbStreamScore: Q = Q(
+    "q_nb_stream_score", NbScoreOracle) { (s, d) =>
+    import org.apache.spark.sql.types._
+    // localCheckpoint: train ONCE, not once per micro-batch re-plan
+    val model = nbModel(s, d).localCheckpoint()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]
+    val q = s.readStream.schema(Tables.documents(s, d).schema)
+      // the table is one parquet FILE; the file-stream source wants a
+      // directory, so stream the sf dir filtered down to this table
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.streaming.StreamCuration.scoreWithModel(batch, model)
+          .filter(col("n_scored_tokens") > 0)
+          .select(col("doc_id"), col("source"),
+            col("n_scored_tokens").as("n_tokens"),
+            round(col("nb_score"), 4).as("nb_score"),
+            when(round(col("nb_score"), 4) > 0, 1).otherwise(0).as("predicted_pos"))
+          .collect().foreach(rows.add)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_tokens", LongType), StructField("nb_score", DoubleType),
+      StructField("predicted_pos", IntegerType)))
+    s.createDataFrame(new java.util.ArrayList(rows), outSchema)
   }
 
   /** Quality-weighted sampling — the DSIR pattern (Xie et al. 2023,
@@ -1101,7 +1162,8 @@ object TextAnalysis {
     qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
-    qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qWeightedSample, qTokenBudgetMix,
+    qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
+    qWeightedSample, qTokenBudgetMix,
     qCorpusStats, qPackSequences, qSourceDivergence, qVocabCoverage,
     qSparseCosine, qBpeMerges, qBpeEncode)
 }

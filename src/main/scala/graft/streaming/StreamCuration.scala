@@ -62,10 +62,13 @@ object StreamCuration {
     * stream would demand watermarked state for rows that are in fact
     * complete on arrival. Expects a `doc_id` key and `text`.
     *
-    * Returns (original columns..., n_scored_tokens, nb_score, keep) where
-    * keep applies `threshold`. Rows whose tokens all miss the vocabulary
-    * score 0.0 (neutral) rather than dropping — a cold-start stream must
-    * not silently lose out-of-vocabulary documents. */
+    * Returns (original columns..., n_scored_tokens, nb_score, is_oov,
+    * keep). Rows whose tokens all miss the vocabulary score 0.0, carry
+    * `is_oov = true`, and KEEP — the model has no evidence about them, and
+    * a cold-start stream must not silently lose out-of-vocabulary
+    * documents. In-vocabulary rows keep iff `nb_score > threshold`. A
+    * consumer that wants the strict gate filters `keep && !is_oov`; one
+    * that wants to quarantine cold-start docs routes on `is_oov`. */
   def scoreWithModel(
       docs: DataFrame,
       model: DataFrame, // (tok: String, llr: Double)
@@ -83,7 +86,8 @@ object StreamCuration {
       (col("doc_id") +:
         docs.columns.filter(_ != "doc_id").map(c => col(s"__doc.$c")) :+
         col("n_scored_tokens") :+ col("nb_score") :+
-        (col("nb_score") > threshold).as("keep")): _*)
+        (col("n_scored_tokens") === 0L).as("is_oov") :+
+        (col("n_scored_tokens") === 0L || col("nb_score") > threshold).as("keep")): _*)
   }
 
   /** Per-source tumbling-window audit of a curated stream: kept docs and

@@ -113,7 +113,7 @@ class StreamCurationSpec extends SparkSpec {
 
     // live feed scored per micro-batch via foreachBatch
     val in = MemoryStream[SrcDoc]
-    val out = scala.collection.mutable.Map.empty[Long, (Long, Double, Boolean)]
+    val out = scala.collection.mutable.Map.empty[Long, (Long, Double, Boolean, Boolean)]
     val q = in.toDF().writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -122,6 +122,7 @@ class StreamCurationSpec extends SparkSpec {
             out(r.getAs[Long]("doc_id")) = (
               r.getAs[Long]("n_scored_tokens"),
               r.getAs[Double]("nb_score"),
+              r.getAs[Boolean]("is_oov"),
               r.getAs[Boolean]("keep"))
           }
         }
@@ -135,8 +136,11 @@ class StreamCurationSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    assert(out(10L)._2 > 0 && out(10L)._3, s"positive doc: ${out(10L)}")
-    assert(out(11L)._2 < 0 && !out(11L)._3, s"negative doc: ${out(11L)}")
-    assert(out(12L) === ((0L, 0.0, false)), s"OOV doc must be neutral: ${out(12L)}")
+    assert(out(10L)._2 > 0 && !out(10L)._3 && out(10L)._4, s"positive doc: ${out(10L)}")
+    assert(out(11L)._2 < 0 && !out(11L)._3 && !out(11L)._4, s"negative doc: ${out(11L)}")
+    // OOV: neutral score, flagged, and KEPT — the model has no evidence, so
+    // a cold-start stream never silently loses the document; strict
+    // consumers filter keep && !is_oov instead
+    assert(out(12L) === ((0L, 0.0, true, true)), s"OOV doc must be flagged+kept: ${out(12L)}")
   }
 }
