@@ -193,6 +193,54 @@ object Bench {
       }
     }
     progress(f"spike recovery: $spikeSec%.2fs for 30 s of spiked data")
+    progress("stream soak: 120 s sustained 50k rows/s, stateful window agg")
+
+    // Soak (the reference's "memory is stable" endurance analysis,
+    // test-runs-001): 120 s of sustained 50k rows/s through the STATEFUL
+    // event-time pipeline (watermarked tumbling windows), six times the
+    // headline's 20 s window. Two things must hold for the 100 TB claim:
+    // batch durations stay FLAT (no per-batch cost creep from accumulating
+    // state/lineage) and the state store stays BOUNDED (watermark evicts
+    // closed windows, so state rows plateau at rate x horizon, never grow
+    // with run length). Both are read from StreamingQueryProgress and
+    // reported; wall-clock ≈ plan duration is the real-time-parity bar.
+    val (soakSec, soakBatches, soakFlat, soakStateRowsMax, soakStateRowsLast) = {
+      System.gc()
+      val src = spark.readStream.format("plan-gen")
+        .option("plan",
+          "sequence = [ { type = fixed, value = 7, rate = 50000, duration = 120 } ]")
+        .option("streamId", 0)
+        .option("secondsPerTrigger", 5)
+        .option("numPartitions", spark.sparkContext.defaultParallelism)
+        .load()
+      val q = streaming.StreamingStats.windowedStats(
+        streaming.StreamingStats.withHanoiCost(src))
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(5000L))
+        .format("noop")
+        .start()
+      val sec = time { q.processAllAvailable(); q.stop() }
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val durs = prog.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue.toDouble))
+      val stateRows = prog.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      // tail-vs-head batch-duration ratio, first batch (cold) excluded:
+      // ~1.0 = flat, >1.5 = per-batch cost creep
+      def mean(xs: Seq[Double]): Double = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+      val warm = durs.drop(1)
+      val flat =
+        if (warm.size < 4) -1.0
+        else mean(warm.takeRight(5)) / math.max(mean(warm.take(5)), 1.0)
+      (sec, durs.size,
+        flat,
+        if (stateRows.isEmpty) -1L else stateRows.max,
+        if (stateRows.isEmpty) -1L else stateRows.last)
+    }
+    progress(f"soak: $soakSec%.2fs for 120 s of data, $soakBatches batches, " +
+      f"tail/head duration ratio $soakFlat%.2f, " +
+      f"state rows max=$soakStateRowsMax last=$soakStateRowsLast")
 
     // total = sum of per-query timings (streaming counted once, via the
     // headline key; the individual runs are informational extras)
@@ -205,8 +253,10 @@ object Bench {
     // "parsed": null because the tail cut the line mid-JSON.
     val qsAll = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val soakJson =
+      f""""stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast"""
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,$soakJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -231,7 +281,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.valuesIterator.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
