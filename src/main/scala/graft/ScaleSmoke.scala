@@ -17,17 +17,20 @@ import org.apache.spark.sql.functions._
   * a legitimate 45× pair blow-up, not a plan regression) and nudges
   * `embedding` by a copy-specific epsilon for the same reason. Run on
   * demand:
-  * `sbt "runMain graft.ScaleSmoke [workDir]"` (not part of the driver
-  * bench or the test suite — it takes minutes by design).
+  * `sbt "runMain graft.ScaleSmoke [workDir] [queries] [copies]"` (not part
+  * of the driver bench or the test suite — it takes minutes by design).
+  * `copies` (default 10) sets the scale multiple: the round-7 100× smoke
+  * (`copies = 100`, SCALE.md's 100× column) probes the superlinear rows a
+  * further decade out, where a cap that merely postponed quadratic growth
+  * would be unmissable.
   */
 object ScaleSmoke {
 
-  private val Copies = 10
-
-  def synthesize(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val nDocs = docs.count()
-    (0 until Copies).map { k =>
+    (0 until copies).map { k =>
       docs.select(
         (col("doc_id") + lit(k * nDocs)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"c$k$$1").as("text"),
@@ -38,7 +41,7 @@ object ScaleSmoke {
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val nVec = emb.count()
-    (0 until Copies).map { k =>
+    (0 until copies).map { k =>
       emb.select(
         (col("vec_id") + lit(k * nVec)).as("vec_id"),
         transform(col("embedding"), x => (x + lit(k * 1e-3f)).cast("float")).as("embedding"),
@@ -46,7 +49,7 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    synthesizeEvents(spark, baseDir, outDir)
+    synthesizeEvents(spark, baseDir, outDir, copies)
   }
 
   /** 10x events: user ids offset per copy so per-user event counts (and
@@ -54,14 +57,15 @@ object ScaleSmoke {
     * USERS, the per-key work does not; that is what linear scaling of a
     * user-partitioned plan means. Separate method so a workDir synthesized
     * before events were part of the smoke upgrades in place. */
-  def synthesizeEvents(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  def synthesizeEvents(spark: SparkSession, baseDir: String, outDir: String,
+      copies: Int): Unit = {
     // read the raw ns-epoch ts as LONG and write it back as LONG — the
     // copy must present the same schema to Tables.events as the original
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$baseDir/events.parquet")
     val nEv = ev.count()
     val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
-    (0 until Copies).map { k =>
+    (0 until copies).map { k =>
       ev.select(
         (col("event_id") + lit(k * nEv)).as("event_id"), col("ts"),
         (col("user_id") + lit(k * nUser)).as("user_id"),
@@ -83,12 +87,13 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
     if (!new java.io.File(s"$workDir/documents.parquet").exists()) {
-      System.err.println(s"[scale] synthesizing ${Copies}x corpus at $workDir")
-      synthesize(spark, baseDir, workDir)
+      System.err.println(s"[scale] synthesizing ${copies}x corpus at $workDir")
+      synthesize(spark, baseDir, workDir, copies)
     } else if (!new java.io.File(s"$workDir/events.parquet").exists()) {
-      System.err.println(s"[scale] adding ${Copies}x events to existing $workDir")
-      synthesizeEvents(spark, baseDir, workDir)
+      System.err.println(s"[scale] adding ${copies}x events to existing $workDir")
+      synthesizeEvents(spark, baseDir, workDir, copies)
     }
 
     // by-name: the timer must cover build() too — q_dedup_clusters runs
@@ -131,7 +136,7 @@ object ScaleSmoke {
     // warmup both dirs so codegen/JIT is paid before measurement
     family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))
 
-    println(f"${"query"}%-22s ${"sf0.1_ms"}%10s ${"sf1_ms"}%10s ${"ratio"}%7s")
+    println(f"${"query"}%-22s ${"sf0.1_ms"}%10s ${s"${copies}x_ms"}%10s ${"ratio"}%7s")
     family.foreach { q =>
       val small = force(q.build(spark, baseDir))
       val big = force(q.build(spark, workDir))
