@@ -58,6 +58,18 @@ class FeaturesSpec extends SparkSpec {
     assert(Features.timeDecay(ev2).collect().head.getAs[Double]("decayed_value") === 10.0)
   }
 
+  test("quantile_bins_approx: sketch edges and bin counts inside bounds") {
+    val rows = Features.qQuantileBinsApprox.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("ok_edges") === 1, s"edge out of rank bound: $r")
+      assert(r.getAs[Int]("ok_counts") === 1, s"bin count out of bound: $r")
+    }
+    // n must reconcile with the raw table — the binning pass drops nothing
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.events(spark, sf).count(), s"row loss: $total")
+  }
+
   test("outliers: planted 3-MAD violator is the only flag") {
     val ev = Seq(("a", 9.0), ("a", 10.0), ("a", 10.0), ("a", 11.0), ("a", 1000.0))
       .toDF("event_type", "value")
