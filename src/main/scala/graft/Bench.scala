@@ -241,6 +241,45 @@ object Bench {
     progress(f"soak: $soakSec%.2fs for 120 s of data, $soakBatches batches, " +
       f"tail/head duration ratio $soakFlat%.2f, " +
       f"state rows max=$soakStateRowsMax last=$soakStateRowsLast")
+    progress("dedup-state soak: 60 s, 50k unique keys/s through dropDuplicatesWithinWatermark")
+
+    // Dedup-state soak — the window soak's state plateaus at a handful of
+    // rows (one per open window), which proves eviction but not pressure.
+    // This leg is the WORST case for dedup state: every row a distinct key
+    // (uuid), so the state store must absorb rate × watermark-horizon keys
+    // (~50k × 15 s ≈ 750k rows) and PLATEAU there while total input grows
+    // unboundedly — the difference between "state = what's in the horizon"
+    // and "state = everything ever seen". max ≈ last and max ≪ total
+    // input is the boundedness evidence.
+    val (dsoakSec, dsoakRows, dsoakStateMax, dsoakStateLast) = {
+      System.gc()
+      val src = spark.readStream.format("plan-gen")
+        .option("plan",
+          "sequence = [ { type = fixed, value = 1, rate = 50000, duration = 60 } ]")
+        .option("streamId", 0)
+        .option("secondsPerTrigger", 5)
+        .option("numPartitions", spark.sparkContext.defaultParallelism)
+        .load()
+      val q = src.withColumn("k", org.apache.spark.sql.functions.expr("uuid()"))
+        .withWatermark("event_time", "10 seconds")
+        .dropDuplicatesWithinWatermark("k")
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(5000L))
+        .format("noop")
+        .start()
+      val sec = time { q.processAllAvailable(); q.stop() }
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      val rows = prog.map(_.numInputRows).sum
+      val state = prog.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+      (sec, rows,
+        if (state.isEmpty) -1L else state.max,
+        if (state.isEmpty) -1L else state.last)
+    }
+    progress(f"dedup soak: $dsoakSec%.2fs, $dsoakRows rows in, " +
+      f"state rows max=$dsoakStateMax last=$dsoakStateLast " +
+      f"(bounded: max ≪ $dsoakRows)")
 
     // total = sum of per-query timings (streaming counted once, via the
     // headline key; the individual runs are informational extras)
@@ -254,7 +293,7 @@ object Bench {
     val qsAll = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val soakJson =
-      f""""stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast"""
+      f""""stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
     val detail =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,$soakJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
