@@ -872,6 +872,36 @@ object TextAnalysis {
         / count(lit(1)), 4).as("exact_dup_rate"))
   }
 
+  /** Deterministic training-shard assignment — the pipeline's final
+    * "write the shards" step: every document routed to one of 16 shards
+    * by the engine-portable content hash of its id, audited as per-shard
+    * doc/token/char totals. Hash routing (not round-robin or ranges)
+    * makes the assignment reproducible across reruns, engines, and
+    * partitionings, and statistically balanced without a shuffle-heavy
+    * balance pass; the audit row IS the balance evidence, and the oracle
+    * reproduces every count exactly (the [[qHashSample]] md5-prefix
+    * idiom). At production the write is
+    * `.repartition(n, col("shard_id")).write.partitionBy("shard_id")` —
+    * one narrow scan plus one 16-group map-side-combined aggregate here,
+    * no extra pass. */
+  val qShardAssign: Q = Q(
+    "q_shard_assign",
+    """SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+      |    AS BIGINT) % 16 AS INT) AS shard_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("shard_id",
+        (Portable.hash60(col("doc_id").cast("string")) % 16).cast("int"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+  }
+
   /** Sequence packing: assign documents to fixed 2048-token training
     * windows — the pretraining batcher's packing step, made deterministic
     * (and oracle-able) by hash-sharding docs and packing each shard in
@@ -1164,6 +1194,6 @@ object TextAnalysis {
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
     qWeightedSample, qTokenBudgetMix,
-    qCorpusStats, qPackSequences, qSourceDivergence, qVocabCoverage,
+    qCorpusStats, qPackSequences, qShardAssign, qSourceDivergence, qVocabCoverage,
     qSparseCosine, qBpeMerges, qBpeEncode)
 }

@@ -256,6 +256,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!out.contains(3L)) // no bigrams → no score row
   }
 
+  test("q_shard_assign: hash-routed shards are complete, exact, and deterministic") {
+    import graft.functions.Portable
+    val docs = (1L to 40L).map(id => (id, s"tok$id two three"))
+    val dir = writeDocs(docs)
+    val rows = TextAnalysis.qShardAssign.build(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // complete: every doc lands in exactly one shard, token/char sums exact
+    assert(rows.values.map(_._1).sum === 40L)
+    assert(rows.values.map(_._2).sum === 40L * 3)
+    assert(rows.values.map(_._3).sum === docs.map(_._2.length.toLong).sum)
+    // deterministic: shard counts reproduce the portable hash exactly
+    val expected = docs.groupBy(d => (Portable.hash60Local(d._1.toString) % 16).toInt)
+      .view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (shard, (n, _, _)) =>
+      assert(expected(shard) === n, s"shard $shard: got $n want ${expected(shard)}")
+    }
+  }
+
   test("q_pack_sequences rolls to a new window when a shard's cumsum crosses 2048") {
     import graft.functions.Portable
     // Three docs of ~1100 tokens each, all in the SAME shard (ids picked by
