@@ -125,7 +125,9 @@ object ScaleSmoke {
       operators.TextAnalysis.qBpeMerges, operators.Features.qTypeDrift,
       operators.TextAnalysis.qRepetition, operators.TextAnalysis.qBpeEncode,
       operators.TextAnalysis.qNbSourceScore, operators.TextAnalysis.qLangIdEval,
-      operators.Dedup.qDedupClusterSizes, operators.Similarity.qKnnIncrAssign)
+      operators.Dedup.qDedupClusterSizes, operators.Similarity.qKnnIncrAssign,
+      operators.TextAnalysis.qNbStreamScore, operators.Features.qQuantileBinsApprox,
+      operators.TextAnalysis.qShardAssign)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {

@@ -739,11 +739,19 @@ object TextAnalysis {
     // localCheckpoint: train ONCE, not once per micro-batch re-plan
     val model = nbModel(s, d).localCheckpoint()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]
-    val q = s.readStream.schema(Tables.documents(s, d).schema)
-      // the table is one parquet FILE; the file-stream source wants a
-      // directory, so stream the sf dir filtered down to this table
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(d)
+    // The file-stream source wants a DIRECTORY. A Spark-written table at
+    // $d/documents.parquet IS one — stream it directly. The driver
+    // testdata ships it as a single FILE, which the source rejects as a
+    // basePath — stream the sf dir filtered down to that one leaf file
+    // instead. (A bare pathGlobFilter on a directory-layout table matches
+    // NO leaf file and silently streams zero rows — caught by the 10×
+    // smoke, whose synthesized corpus is directory-layout.)
+    val tablePath = s"$d/documents.parquet"
+    val reader = s.readStream.schema(Tables.documents(s, d).schema)
+    val src =
+      if (new java.io.File(tablePath).isDirectory) reader.parquet(tablePath)
+      else reader.option("pathGlobFilter", "documents.parquet").parquet(d)
+    val q = src
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
