@@ -396,6 +396,43 @@ object Dedup {
       .select("doc_id")
   }
 
+  /** Cross-source duplication matrix: every LSH candidate pair attributed
+    * to its (source, source) cell — the provenance audit that tells a
+    * corpus curator WHERE near-duplication comes from (a mirror site
+    * duplicating another crawl, a source duplicating itself) and which
+    * source pairs to prioritize for dedup or exclusion. Source pairs are
+    * emitted order-normalized (least/greatest) so A~B and B~A land in one
+    * cell.
+    *
+    * Scale shape: starts from the shared candidate-pair prefix (built
+    * once per corpus snapshot — [[sharedPairs]]), then two keyed joins of
+    * the pair list against the narrow (doc_id, source) projection and one
+    * #sources²-bounded aggregate. Never doc×doc; cost is O(pairs), which
+    * LSH already bounded. */
+  val qCrossSourceDups: Q = Q(
+    "q_cross_source_dups", {
+      val pairsSql = qMinhashPairs.oracle.get
+      s"""WITH pairs AS ($pairsSql)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    sharedPairs(s, d)
+      .join(docs.withColumnRenamed("source", "sa"), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(docs.withColumnRenamed("source", "sb"), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Connected-component dedup clustering: every document labeled with the
     * smallest doc_id reachable through the LSH candidate-pair graph — the
     * step [[qDedupNear]]'s pair-loser prune approximates. Pair losers
@@ -776,6 +813,7 @@ object Dedup {
   val all: Seq[Q] = Seq(
     qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
     qSimhash, qSimhashPairs, qSimhashPairs32,
-    qDedupNear, qDedupClusters, qDedupClusterSizes, qContamination, qDedupKeepBest,
+    qDedupNear, qDedupClusters, qDedupClusterSizes, qCrossSourceDups,
+    qContamination, qDedupKeepBest,
     qDupSpanCoverage, qDupSpanRemoval, qIncrDedup)
 }

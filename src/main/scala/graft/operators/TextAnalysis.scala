@@ -910,6 +910,88 @@ object TextAnalysis {
         sum("n_chars").as("n_chars"))
   }
 
+  /** Deterministic global shuffle — the training-order manifest: every
+    * document gets a (shard, position) slot, position being its rank
+    * within the shard under a salted engine-portable hash order. Together
+    * with [[qShardAssign]]'s routing this materializes the exact order a
+    * trainer reads the corpus in — reproducible across reruns, engines,
+    * and cluster layouts, the property an RNG-based `orderBy(rand())`
+    * shuffle loses the moment partitioning changes. The position salt (7)
+    * is independent of the shard hash, so within-shard order is
+    * uncorrelated with shard routing.
+    *
+    * Scale shape: one hash shuffle on the shard key, then a per-shard
+    * sort — parallelism = shard count, the knob a production run sizes to
+    * O(output files) (thousands); 16 here, sized to the test corpus.
+    * No global sort, no driver-side state, and a re-run over a grown
+    * corpus only perturbs order within shards (stable assignment). */
+  val qGlobalShuffle: Q = Q(
+    "q_global_shuffle",
+    """SELECT doc_id,
+      |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS INT)
+      |    AS shard_id,
+      |  row_number() OVER (
+      |    PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 16
+      |    ORDER BY CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
+      |      doc_id) AS position
+      |FROM documents""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("shard_id").orderBy("ord", "doc_id")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        (Portable.hash60(col("doc_id").cast("string")) % 16).cast("int").as("shard_id"),
+        Portable.hash60(7, col("doc_id").cast("string")).as("ord"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("ord")
+  }
+
+  /** Token budget for [[qTemperatureMix]]'s epoch math: how many tokens
+    * one training pass draws across all sources. */
+  private val TempBudget = 20000.0
+
+  /** Temperature-scaled source mixing (α = 0.5): the multilingual-corpus
+    * sampling rule p_i ∝ n_i^α that upweights small sources without
+    * letting any source dominate — α=1 is proportional (big sources
+    * drown small ones), α=0 is uniform (tiny sources overfit); √n is the
+    * standard middle ground. Emits, per source, the natural share, the
+    * temperature share, and the epochs-per-pass each source runs at a
+    * fixed token budget — epochs > 1 means that source repeats within
+    * one pass, the overfitting signal a mixture designer watches.
+    *
+    * Scale shape: one map-side-combined token aggregate per source, a
+    * 1-row denominator fold broadcast back over the #sources-row table —
+    * corpus touched once, everything after is O(#sources). α is fixed at
+    * 0.5 so both engines compute the weight as sqrt (bit-identical IEEE),
+    * not pow; the 4-decimal round absorbs the denominator's float
+    * summation-order difference (the [[qSourceDivergence]] precedent). */
+  val qTemperatureMix: Q = Q(
+    "q_temperature_mix",
+    s"""WITH tot AS (SELECT source,
+       |    CAST(sum(len(regexp_extract_all(text, '$TokenPatSql'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |den AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |    sum(sqrt(CAST(n_tokens AS DOUBLE))) AS tot_sqrt FROM tot)
+       |SELECT source, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 4) AS nat_share,
+       |  round(sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt, 4) AS temp_share,
+       |  round(sqrt(CAST(n_tokens AS DOUBLE)) / tot_sqrt * $TempBudget / n_tokens, 4) AS epochs
+       |FROM tot, den""".stripMargin) { (s, d) =>
+    val tot = Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+    val den = tot.agg(
+      sum("n_tokens").as("tot_tokens"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("tot_sqrt"))
+    tot.crossJoin(broadcast(den))
+      .select(
+        col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 4).as("nat_share"),
+        round(sqrt(col("n_tokens").cast("double")) / col("tot_sqrt"), 4).as("temp_share"),
+        round(sqrt(col("n_tokens").cast("double")) / col("tot_sqrt")
+          * lit(TempBudget) / col("n_tokens"), 4).as("epochs"))
+  }
+
   /** Sequence packing: assign documents to fixed 2048-token training
     * windows — the pretraining batcher's packing step, made deterministic
     * (and oracle-able) by hash-sharding docs and packing each shard in
@@ -1201,7 +1283,8 @@ object TextAnalysis {
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
-    qWeightedSample, qTokenBudgetMix,
-    qCorpusStats, qPackSequences, qShardAssign, qSourceDivergence, qVocabCoverage,
+    qWeightedSample, qTokenBudgetMix, qTemperatureMix,
+    qCorpusStats, qPackSequences, qShardAssign, qGlobalShuffle,
+    qSourceDivergence, qVocabCoverage,
     qSparseCosine, qBpeMerges, qBpeEncode)
 }

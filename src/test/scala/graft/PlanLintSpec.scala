@@ -42,7 +42,9 @@ class PlanLintSpec extends SparkSpec {
     *  - q_bpe_merges: broadcast 1-row argmax pair per merge step;
     *  - q_nb_source_score: broadcast 1-row smoothing constants
     *    (n_pos/n_neg/vocab size);
-    *  - q_knn_incr_assign: broadcast O(labels)-row frozen centroid index.
+    *  - q_knn_incr_assign: broadcast O(labels)-row frozen centroid index;
+    *  - q_temperature_mix: broadcast 1-row mixing-denominator fold
+    *    (total tokens + total √tokens).
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
@@ -50,7 +52,8 @@ class PlanLintSpec extends SparkSpec {
     "q_embed_pq", "q_knn_pq_adc", "q_knn_ivf_pq", "q_sem_decontam",
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
     "q_time_decay", "q_heavy_hitters", "q_pmi_cooc", "q_sparse_cosine",
-    "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign")
+    "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
+    "q_temperature_mix")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the

@@ -569,6 +569,44 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_global_shuffle: contiguous per-shard positions covering the corpus, deterministic") {
+    val rows = TextAnalysis.qGlobalShuffle.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === corpus)
+    assert(rows.map(_._1).distinct.length === rows.length, "a doc appears twice")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val pos = rs.map(_._3).sorted
+      assert(pos.head == 1L && pos.last == rs.length.toLong,
+        s"shard $shard positions not contiguous 1..${rs.length}")
+    }
+    val again = TextAnalysis.qGlobalShuffle.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet === again.toSet, "shuffle order is not deterministic")
+  }
+
+  test("q_temperature_mix: shares sum to 1 and the temperature flattens the mix") {
+    val rows = TextAnalysis.qTemperatureMix.build(spark, sf).collect()
+    assert(rows.length >= 2, "needs at least two sources to mix")
+    val nat = rows.map(_.getDouble(2))
+    val temp = rows.map(_.getDouble(3))
+    assert(math.abs(nat.sum - 1.0) < 0.01, s"nat shares sum to ${nat.sum}")
+    assert(math.abs(temp.sum - 1.0) < 0.01, s"temp shares sum to ${temp.sum}")
+    // α=0.5 compresses the distribution toward uniform: the biggest source
+    // loses share, the smallest gains
+    assert(temp.max <= nat.max + 1e-9, "temperature should shrink the max share")
+    assert(temp.min >= nat.min - 1e-9, "temperature should grow the min share")
+  }
+
+  test("q_cross_source_dups accounts for every LSH candidate pair, order-normalized") {
+    val pairs = Dedup.qMinhashPairs.build(spark, sf).count()
+    val cells = Dedup.qCrossSourceDups.build(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum === pairs,
+      "matrix cell counts must partition the candidate-pair set")
+    cells.foreach(r => assert(r.getString(0) <= r.getString(1),
+      s"cell (${r.getString(0)}, ${r.getString(1)}) not order-normalized"))
+  }
+
   test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
     import spark.implicits._
     // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique
