@@ -127,7 +127,9 @@ object ScaleSmoke {
       operators.TextAnalysis.qNbSourceScore, operators.TextAnalysis.qLangIdEval,
       operators.Dedup.qDedupClusterSizes, operators.Similarity.qKnnIncrAssign,
       operators.TextAnalysis.qNbStreamScore, operators.Features.qQuantileBinsApprox,
-      operators.TextAnalysis.qShardAssign)
+      operators.TextAnalysis.qShardAssign,
+      operators.TextAnalysis.qGlobalShuffle, operators.TextAnalysis.qTemperatureMix,
+      operators.Dedup.qCrossSourceDups)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {
