@@ -129,7 +129,8 @@ object ScaleSmoke {
       operators.TextAnalysis.qNbStreamScore, operators.Features.qQuantileBinsApprox,
       operators.TextAnalysis.qShardAssign,
       operators.TextAnalysis.qGlobalShuffle, operators.TextAnalysis.qTemperatureMix,
-      operators.Dedup.qCrossSourceDups)
+      operators.Dedup.qCrossSourceDups,
+      operators.TextAnalysis.qNbCalibration, operators.Dedup.qDedupDegree)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {

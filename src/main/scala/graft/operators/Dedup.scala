@@ -433,6 +433,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Candidate-graph degree histogram: how many documents have 0, 1, 2, …
+    * LSH candidate partners — the dedup-run health check that surfaces
+    * hub documents (boilerplate templates, navigation chrome) whose high
+    * degree means pair expansion, cluster growth, and keep-one decisions
+    * all concentrate on them. Degree-0 docs are included (the corpus mass
+    * dedup never touches), so the histogram partitions the corpus.
+    *
+    * Scale shape: the shared pair prefix, one doc_id-keyed count over the
+    * unioned endpoints, a left join against the narrow id projection, and
+    * a #distinct-degrees-sized aggregate — O(pairs + docs). */
+  val qDedupDegree: Q = Q(
+    "q_dedup_degree", {
+      val pairsSql = qMinhashPairs.oracle.get
+      s"""WITH pairs AS ($pairsSql),
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+         |  (SELECT doc_a AS doc_id FROM pairs
+         |   UNION ALL SELECT doc_b AS doc_id FROM pairs) GROUP BY doc_id)
+         |SELECT coalesce(deg.degree, 0) AS degree,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+         |GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+    val p = sharedPairs(s, d)
+    val deg = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Connected-component dedup clustering: every document labeled with the
     * smallest doc_id reachable through the LSH candidate-pair graph — the
     * step [[qDedupNear]]'s pair-loser prune approximates. Pair losers
@@ -814,6 +846,6 @@ object Dedup {
     qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
     qSimhash, qSimhashPairs, qSimhashPairs32,
     qDedupNear, qDedupClusters, qDedupClusterSizes, qCrossSourceDups,
-    qContamination, qDedupKeepBest,
+    qDedupDegree, qContamination, qDedupKeepBest,
     qDupSpanCoverage, qDupSpanRemoval, qIncrDedup)
 }

@@ -773,6 +773,38 @@ object TextAnalysis {
     s.createDataFrame(new java.util.ArrayList(rows), outSchema)
   }
 
+  /** Calibration table for the trained NB source classifier: documents
+    * bucketed by fixed-width score bin (LLR/20), each bin reporting how
+    * many docs actually carry the positive label — the reliability
+    * diagram a curator reads before picking a filter threshold (unit-LLR
+    * bins: the corpus scores span roughly [-5, 3], so integer bins give
+    * a ~8-row table). A
+    * well-ordered classifier shows pos_frac rising monotonically with the
+    * bin; a flat or folded curve means the score is not separating and
+    * any threshold is arbitrary. Fixed-width bins (not quantiles) keep
+    * the gate tie-free and bit-portable: the bin key is floor of the
+    * already-4-decimal-rounded score, identical in both engines.
+    *
+    * Scale shape: [[qNbSourceScore]]'s scoring pass (corpus touched once,
+    * vocabulary-keyed join) plus one #bins-sized aggregate. */
+  val qNbCalibration: Q = Q(
+    "q_nb_calibration",
+    s"""WITH scored AS ($NbScoreOracle)
+       |SELECT CAST(floor(nb_score) AS BIGINT) AS score_bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  round(CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 4) AS pos_frac
+       |FROM scored GROUP BY 1""".stripMargin) { (s, d) =>
+    qNbSourceScore.build(s, d)
+      .groupBy(floor(col("nb_score")).cast("long").as("score_bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("source") === "src0", 1).otherwise(0)).cast("long").as("n_pos"),
+        round(sum(when(col("source") === "src0", 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("pos_frac"))
+  }
+
   /** Quality-weighted sampling — the DSIR pattern (Xie et al. 2023,
     * arXiv:2302.03169): keep each document with probability proportional
     * to an importance weight, here the self-trained bigram-LM quality
@@ -1283,6 +1315,7 @@ object TextAnalysis {
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
+    qNbCalibration,
     qWeightedSample, qTokenBudgetMix, qTemperatureMix,
     qCorpusStats, qPackSequences, qShardAssign, qGlobalShuffle,
     qSourceDivergence, qVocabCoverage,

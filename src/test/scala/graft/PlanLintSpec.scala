@@ -44,7 +44,9 @@ class PlanLintSpec extends SparkSpec {
     *    (n_pos/n_neg/vocab size);
     *  - q_knn_incr_assign: broadcast O(labels)-row frozen centroid index;
     *  - q_temperature_mix: broadcast 1-row mixing-denominator fold
-    *    (total tokens + total √tokens).
+    *    (total tokens + total √tokens);
+    *  - q_nb_calibration: inherits q_nb_source_score's broadcast 1-row
+    *    smoothing constants.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
@@ -53,7 +55,7 @@ class PlanLintSpec extends SparkSpec {
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
     "q_time_decay", "q_heavy_hitters", "q_pmi_cooc", "q_sparse_cosine",
     "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
-    "q_temperature_mix")
+    "q_temperature_mix", "q_nb_calibration")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the

@@ -607,6 +607,27 @@ class TrainingOpsSpec extends SparkSpec {
       s"cell (${r.getString(0)}, ${r.getString(1)}) not order-normalized"))
   }
 
+  test("q_dedup_degree histogram partitions the corpus and counts every pair endpoint twice") {
+    val pairs = Dedup.qMinhashPairs.build(spark, sf).count()
+    val hist = Dedup.qDedupDegree.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(hist.map(_._2).sum === corpus, "degree histogram must partition the corpus")
+    assert(hist.map { case (deg, n) => deg * n }.sum === 2 * pairs,
+      "sum of degrees must be twice the pair count")
+  }
+
+  test("q_nb_calibration bins cover every scored doc and pos_frac is a fraction") {
+    val scored = TextAnalysis.qNbSourceScore.build(spark, sf).count()
+    val rows = TextAnalysis.qNbCalibration.build(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === scored, "bins must partition the scored set")
+    rows.foreach { r =>
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0, s"pos_frac $frac out of range")
+      assert(r.getLong(2) <= r.getLong(1), "n_pos cannot exceed n_docs")
+    }
+  }
+
   test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
     import spark.implicits._
     // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique
