@@ -39,6 +39,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.HilbertIndex].getName,
         functions.GraftFunctions.HilbertName),
       (exprs: Seq[Expression]) => functions.GraftFunctions.mkHilbert(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(functions.GraftFunctions.Hash60Name),
+      new ExpressionInfo(classOf[functions.Md5Hash60].getName,
+        functions.GraftFunctions.Hash60Name),
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkHash60(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(functions.GraftFunctions.Md5SlicesName),
+      new ExpressionInfo(classOf[functions.Md5Slices].getName,
+        functions.GraftFunctions.Md5SlicesName),
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkMd5Slices(exprs)))
     // binned range join (opt-in via spark.graft.rangeJoin.binWidth):
     // rewrites point-in-interval joins to an equi-join on a bin key so
     // they shuffle instead of nested-looping — see plans/BinnedRangeJoin

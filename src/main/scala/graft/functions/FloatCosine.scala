@@ -89,6 +89,8 @@ object GraftFunctions {
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
   val HilbertName = "graft_hilbert"
+  val Hash60Name = "graft_hash60"
+  val Md5SlicesName = "graft_md5_slices"
 
   /** Build a [[CollectCapped]] from SQL arguments: the cap must be a
     * foldable integer (it sizes aggregation buffers at plan time).
@@ -129,6 +131,24 @@ object GraftFunctions {
         e.eval().asInstanceOf[Number].longValue)
     new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
       exprs(0), asLong(exprs(1)), asLong(exprs(2)))
+  }
+
+  /** Build a [[Md5Hash60]] from SQL arguments, with arity validation. */
+  private[graft] def mkHash60(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"$Hash60Name takes exactly 1 argument, got ${exprs.length}")
+    Md5Hash60(exprs.head)
+  }
+
+  /** Build a [[Md5Slices]] from SQL arguments: the slice geometry must be
+    * plan-time literals (it fixes the output array shape). */
+  private[graft] def mkMd5Slices(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      s"$Md5SlicesName takes exactly 4 arguments (expr, n, len, stride), got ${exprs.length}")
+    require(exprs.tail.forall(_.foldable),
+      s"$Md5SlicesName slice geometry (n, len, stride) must be literal integers")
+    val Seq(n, len, stride) = exprs.tail.map(_.eval().asInstanceOf[Number].intValue)
+    Md5Slices(exprs.head, n, len, stride)
   }
 
   /** Build a [[HilbertIndex]] from SQL arguments, with arity validation. */
@@ -192,6 +212,20 @@ object GraftFunctions {
         hId,
         new ExpressionInfo(classOf[HilbertIndex].getName, HilbertName),
         (exprs: Seq[Expression]) => mkHilbert(exprs))
+    }
+    val h60Id = FunctionIdentifier(Hash60Name)
+    if (!registry.functionExists(h60Id)) {
+      registry.registerFunction(
+        h60Id,
+        new ExpressionInfo(classOf[Md5Hash60].getName, Hash60Name),
+        (exprs: Seq[Expression]) => mkHash60(exprs))
+    }
+    val msId = FunctionIdentifier(Md5SlicesName)
+    if (!registry.functionExists(msId)) {
+      registry.registerFunction(
+        msId,
+        new ExpressionInfo(classOf[Md5Slices].getName, Md5SlicesName),
+        (exprs: Seq[Expression]) => mkMd5Slices(exprs))
     }
   }
 

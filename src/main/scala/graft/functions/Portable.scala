@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.functions._
 
 /** Engine-portable building blocks: every function here has a textually
@@ -14,9 +14,28 @@ import org.apache.spark.sql.functions._
 object Portable {
 
   /** Deterministic 60-bit hash: first 15 hex digits of md5, as a long.
-    * DuckDB: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. */
+    * DuckDB: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
+    *
+    * Implemented as the fused native expression [[Md5Hash60]] (one
+    * codegen'd digest + nibble read) rather than the equivalent
+    * conv∘substring∘md5 chain — same values ([[hash60Sql]] is the
+    * reference formulation, parity pinned by Md5HashSpec), but no 32-char
+    * hex string materialization or base-16 string parse per row on the
+    * per-token/per-shingle hot paths. */
   def hash60(c: Column): Column =
+    GraftShims.column(Md5Hash60(GraftShims.expression(c.cast("binary"))))
+
+  /** The SQL-function formulation of [[hash60]] — kept as the executable
+    * spec of the portable hash (it IS the DuckDB oracle text, translated);
+    * Md5HashSpec asserts the native expression matches it bit-for-bit. */
+  private[graft] def hash60Sql(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** All `n` MinHash slice components from one digest (slice i = hex
+    * digits [1+2i, 1+2i+14), the [[minhash]] component) as ARRAY<BIGINT> —
+    * the per-shingle signature stage fused into one native call. */
+  def minhashSlices(c: Column, n: Int): Column =
+    GraftShims.column(Md5Slices(GraftShims.expression(c.cast("binary")), n, 14, 2))
 
   /** Seeded variant: hash60(seed || '|' || x). */
   def hash60(seed: Int, c: Column): Column =

@@ -119,11 +119,16 @@ object Dedup {
   /** The 8 minhash signature components per document (the stage
     * [[qMinhashBands]] bands up and [[qMinhashJaccardEst]] audits). */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    // ONE fused native digest+slice call per shingle (Md5Slices) instead
+    // of md5-to-hex plus 8 substring+conv base-16 parses; identical
+    // values (Md5HashSpec pins parity with the conv formulation the
+    // DuckDB oracle mirrors).
     val hashed = withShingles(s, d)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("m"))
+      .select(col("doc_id"),
+        Portable.minhashSlices(col("shingle"), NumHashes).as("sl"))
     val mins = (0 until NumHashes).map(i =>
-      min(conv(substring(col("m"), 1 + 2 * i, 14), 16, 10).cast("long")).as(s"mh$i"))
+      min(element_at(col("sl"), i + 1)).as(s"mh$i"))
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 

@@ -10,4 +10,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ Expression bridge for graft's native expressions used
+    * directly from the Column API (no registry round-trip — e.g. the
+    * portable-hash hot path, where the expression replaces a
+    * conv∘substring∘md5 chain in every call site). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
