@@ -130,7 +130,9 @@ object ScaleSmoke {
       operators.TextAnalysis.qShardAssign,
       operators.TextAnalysis.qGlobalShuffle, operators.TextAnalysis.qTemperatureMix,
       operators.Dedup.qCrossSourceDups,
-      operators.TextAnalysis.qNbCalibration, operators.Dedup.qDedupDegree)
+      operators.TextAnalysis.qNbCalibration, operators.Dedup.qDedupDegree,
+      operators.Similarity.qKnnStreamAssign, operators.Similarity.qEmbedDimStats,
+      operators.TextAnalysis.qTokFertility)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {

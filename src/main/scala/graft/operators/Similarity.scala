@@ -217,8 +217,7 @@ object Similarity {
     * broadcast argmax (`max_by`, map-side combined) — the corpus is never
     * re-touched, which is the property that makes per-batch maintenance
     * viable at 100 TB ingest cadence. */
-  val qKnnIncrAssign: Q = Q(
-    "q_knn_incr_assign",
+  private val IncrAssignOracle: String =
     """WITH hist AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
       |newb AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
       |cents AS (SELECT label AS cent_id,
@@ -232,32 +231,89 @@ object Similarity {
       |  CASE WHEN label = cent_id THEN 1 ELSE 0 END AS matches_label
       |FROM (SELECT *, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn FROM scored)
-      |WHERE rn = 1""".stripMargin) { (s, d) =>
+      |WHERE rn = 1""".stripMargin
+
+  val qKnnIncrAssign: Q = Q(
+    "q_knn_incr_assign", IncrAssignOracle) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val hist = emb.filter(col("vec_id") % 5 =!= 0)
-    val newb = emb.filter(col("vec_id") % 5 === 0)
-    // frozen per-label centroids from the HISTORIC slice only, with the
-    // IVF family's round(6)+float-truncate cross-engine parity discipline
-    val cents = hist
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos")
-      .agg(round(avg(col("v").cast("double")), 6).as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("cent_id"),
-        transform(col("pm"), p => p.getField("m").cast("float")).as("c_embedding"))
-    newb.crossJoin(broadcast(cents))
-      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
-      .groupBy("vec_id")
+    // frozen index from the HISTORIC slice only; the new batch assigned
+    // by the shared streaming kernel (one implementation, two paths)
+    val cents = graft.streaming.StreamAnn.labelCentroids(emb.filter(col("vec_id") % 5 =!= 0))
+    graft.streaming.StreamAnn.assign(emb.filter(col("vec_id") % 5 === 0), cents)
+  }
+
+  /** The SAME frozen-index assignment applied through the STREAMING
+    * path — the ANN twin of `q_nb_stream_score`'s batch-train →
+    * stream-apply shape, made oracle-exact: the embeddings table is
+    * replayed as a real file-source stream (`Trigger.AvailableNow`), each
+    * micro-batch's new-ingest slice (vec_id % 5 = 0) assigned inside
+    * `foreachBatch` by [[graft.streaming.StreamAnn.assign]] against the
+    * ONE frozen centroid index, and the gate faces the IDENTICAL DuckDB
+    * oracle as [[qKnnIncrAssign]] — pinning stream-apply
+    * indistinguishable from batch-apply, hash-for-hash. The driver-side
+    * collect is gate plumbing only (the replay must hand Verify one
+    * DataFrame); production writes each assigned micro-batch straight to
+    * the index's postings sink. */
+  val qKnnStreamAssign: Q = Q(
+    "q_knn_stream_assign", IncrAssignOracle) { (s, d) =>
+    import org.apache.spark.sql.types._
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    // the frozen index is built ONCE from history, not once per batch
+    val cents = graft.streaming.StreamAnn
+      .labelCentroids(emb.filter(col("vec_id") % 5 =!= 0)).localCheckpoint()
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]
+    val tablePath = s"$d/embeddings.parquet"
+    val reader = s.readStream.schema(emb.schema)
+    val src =
+      if (new java.io.File(tablePath).isDirectory) reader.parquet(tablePath)
+      else reader.option("pathGlobFilter", "embeddings.parquet").parquet(d)
+    val q = src
+      .filter(col("vec_id") % 5 === 0)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.streaming.StreamAnn.assign(batch, cents).collect().foreach(rows.add)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType),
+      StructField("assigned_cell", IntegerType), StructField("cosine", DoubleType),
+      StructField("matches_label", IntegerType)))
+    s.createDataFrame(new java.util.ArrayList(rows), outSchema)
+  }
+
+  /** Per-dimension embedding health audit — the table an embedding-ingest
+    * pipeline alerts on before any index build: dimension-wise mean/spread
+    * plus the dead-dimension fraction (|v| < 0.01) and a low-variance
+    * flag. Dead or collapsed dimensions waste index bits (PQ subspaces,
+    * LSH hyperplanes) and usually mean an upstream encoder bug.
+    *
+    * Scale shape: posexplode → ONE (pos)-keyed hash aggregate, map-side
+    * combined; output is O(dims) rows regardless of corpus size. */
+  val qEmbedDimStats: Q = Q(
+    "q_embed_dim_stats",
+    """SELECT i AS pos,
+      |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_v,
+      |  round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 4) AS std_v,
+      |  round(CAST(sum(CASE WHEN abs(CAST(embedding[i] AS DOUBLE)) < 0.01
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dead_frac,
+      |  CASE WHEN round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 4) < 0.05
+      |    THEN 1 ELSE 0 END AS is_low_var
+      |FROM embeddings, range(1, 65) t(i) GROUP BY i""".stripMargin) { (s, d) =>
+    val v = col("v").cast("double")
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy((col("pos0") + 1).as("pos"))
       .agg(
-        any_value(col("label")).as("label"),
-        max_by(struct(col("cent_id"), col("csim")),
-          struct(col("csim"), (-col("cent_id")).as("tie"))).as("best"))
-      .select(col("vec_id"), col("label"),
-        col("best.cent_id").as("assigned_cell"),
-        round(col("best.csim"), 4).as("cosine"),
-        when(col("label") === col("best.cent_id"), 1).otherwise(0).as("matches_label"))
+        round(avg(v), 4).as("mean_v"),
+        round(stddev_pop(v), 4).as("std_v"),
+        round(sum(when(abs(v) < 0.01, 1).otherwise(0)).cast("double") / count(lit(1)), 4)
+          .as("dead_frac"),
+        when(round(stddev_pop(v), 4) < 0.05, 1).otherwise(0).as("is_low_var"))
   }
 
   /** Shared CTE chain (through `pairs`) for the LSH near-dup family:
@@ -879,5 +935,6 @@ object Similarity {
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
-    qEmbedNormCheck, qKnnRerank, qKnnIncrAssign)
+    qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
+    qEmbedDimStats)
 }

@@ -49,6 +49,40 @@ object TextAnalysis {
         size(split(trim(col("text")), "\\s+")).as("n_words"))
   }
 
+  /** Tokenizer fertility per language — tokens-per-word and
+    * chars-per-token under the BPE-ish regex tokenizer. The standard
+    * tokenizer-evaluation table: a language whose fertility is far above
+    * the corpus norm is being shredded into sub-word confetti (its
+    * documents cost disproportionate sequence length per unit of text),
+    * the signal that drives vocabulary rebalancing before a big
+    * pretraining run.
+    *
+    * Scale shape: one narrow corpus scan (both counts are per-row regexp
+    * work fused in the same projection) into a lang-keyed hash aggregate,
+    * map-side combined; output is O(languages). */
+  val qTokFertility: Q = Q(
+    "q_tok_fertility",
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+       |  CAST(sum(len(regexp_extract_all(text, '$TokenPatSql'))) AS BIGINT) AS n_tokens,
+       |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_words,
+       |  round(CAST(sum(len(regexp_extract_all(text, '$TokenPatSql'))) AS DOUBLE)
+       |    / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS fertility,
+       |  round(CAST(sum(length(text)) AS DOUBLE)
+       |    / sum(len(regexp_extract_all(text, '$TokenPatSql'))), 4) AS chars_per_token
+       |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+    val nTok = size(regexp_extract_all(col("text"), lit(TokenPat), lit(0)))
+    val nWords = size(split(trim(col("text")), "\\s+"))
+    Tables.documents(s, d)
+      .select(col("lang"), nTok.as("t"), nWords.as("w"), length(col("text")).as("c"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("t").as("n_tokens"),
+        sum("w").as("n_words"),
+        round(sum("t").cast("double") / sum("w"), 4).as("fertility"),
+        round(sum("c").cast("double") / sum("t"), 4).as("chars_per_token"))
+  }
+
   private[graft] val Stop = "(?:the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)"
 
   /** Quality scoring: stopword ratio, punctuation ratio, length gate —
@@ -1310,7 +1344,8 @@ object TextAnalysis {
   }
 
   val all: Seq[Q] = Seq(
-    qTextStats, qTokenCount, qQuality, qGopherRules, qLangId, qLangIdEval, qFingerprint,
+    qTextStats, qTokenCount, qTokFertility, qQuality, qGopherRules, qLangId, qLangIdEval,
+    qFingerprint,
     qDedupExact,
     qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
