@@ -976,6 +976,46 @@ object TextAnalysis {
         sum("n_chars").as("n_chars"))
   }
 
+  /** The SAME shard routing applied through the STREAMING path and read
+    * back OFF DISK — the pipeline's landing step made oracle-exact: the
+    * documents table is replayed as a file-source stream, each
+    * micro-batch written by [[graft.streaming.StreamShardRouter]] into
+    * `batch=<id>/shard_id=<k>/` parquet (idempotent per batch,
+    * partition-pruned per shard), and the gate aggregates the LANDED
+    * files back into exactly [[qShardAssign]]'s per-shard audit — facing
+    * the identical DuckDB oracle, so stream-route → disk → read-back is
+    * pinned indistinguishable from the batch routing, hash-for-hash. */
+  val qStreamShardRoute: Q = Q(
+    "q_stream_shard_route", {
+      // same oracle as q_shard_assign (registered below); duplicated via
+      // reference at registration time
+      """SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+        |    AS BIGINT) % 16 AS INT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+    val outDir = s"/tmp/graft_shards/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // clean slate: stale batches from a previous run must not double-count
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val schema = Tables.documents(s, d).schema
+    val tablePath = s"$d/documents.parquet"
+    val reader = s.readStream.schema(schema)
+    val src =
+      if (new java.io.File(tablePath).isDirectory) reader.parquet(tablePath)
+      else reader.option("pathGlobFilter", "documents.parquet").parquet(d)
+    graft.streaming.StreamShardRouter.route(src, outDir).awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("shard_id").cast("int").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+  }
+
   /** Deterministic global shuffle — the training-order manifest: every
     * document gets a (shard, position) slot, position being its rank
     * within the shard under a salted engine-portable hash order. Together
@@ -1352,7 +1392,7 @@ object TextAnalysis {
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
     qNbCalibration,
     qWeightedSample, qTokenBudgetMix, qTemperatureMix,
-    qCorpusStats, qPackSequences, qShardAssign, qGlobalShuffle,
+    qCorpusStats, qPackSequences, qShardAssign, qStreamShardRoute, qGlobalShuffle,
     qSourceDivergence, qVocabCoverage,
     qSparseCosine, qBpeMerges, qBpeEncode)
 }

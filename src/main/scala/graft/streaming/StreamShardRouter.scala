@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.Portable
+
+/** The pipeline's landing step on the streaming side: route a curated
+  * document stream into hash-stable training shards ON DISK, micro-batch
+  * by micro-batch — the incremental version of `q_shard_assign`'s batch
+  * routing.
+  *
+  * Layout: `outDir/batch=<id>/shard_id=<k>/part-*.parquet`.
+  *  - The batch subdirectory makes replay IDEMPOTENT: foreachBatch is
+  *    at-least-once, and a re-delivered batch overwrites its own
+  *    directory rather than appending duplicates (the `StreamRollup`
+  *    idempotence discipline applied to file output).
+  *  - The shard partition makes a trainer's per-shard read a
+  *    partition-pruned scan — reading shard 3 touches only
+  *    `shard_id=3/` directories, never the other 15/16ths of the data.
+  *  - Routing is the engine-portable doc_id hash, so a document lands in
+  *    the same shard across reruns, engines, and cluster layouts.
+  *
+  * Scale shape: the shard column is a narrow per-row projection; the
+  * write is the only exchange (partitionBy fan-out). State is zero —
+  * routing is stateless — so the 100 TB version is the same code with a
+  * bigger shard count. */
+object StreamShardRouter {
+
+  /** Deterministic shard id from the engine-portable doc_id hash. */
+  def withShard(docs: DataFrame, numShards: Int = 16): DataFrame =
+    docs.withColumn("shard_id",
+      (Portable.hash60(col("doc_id").cast("string")) % numShards).cast("int"))
+
+  /** Start routing `docs` (a streaming DataFrame with `doc_id`) into
+    * `outDir`. Returns the query; callers await termination. */
+  def route(docs: DataFrame, outDir: String, numShards: Int = 16): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        withShard(batch, numShards)
+          .write.mode("overwrite").partitionBy("shard_id")
+          .parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+}
