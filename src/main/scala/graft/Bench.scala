@@ -106,6 +106,26 @@ object Bench {
         progress(f"[pass $pass] ${q.name}: $t%.2fs")
       }
     }
+    // Sketch-only percentile timing: the q_approx_percentiles GATE carries
+    // the exact percentile next to the sketch (to oracle-check the rank
+    // bound), so its row above reports exact-percentile cost. This row is
+    // the flag-free ObjectHashAggregate sketch plan — the cost class the
+    // approximation exists to buy at 100 TB. Same 2-pass/min discipline.
+    results("q_approx_percentiles_sketch") =
+      (1 to 2).map(_ => time(force(
+        operators.Analytic.approxPercentilesSketch(spark, sfDir)))).min
+    progress(f"q_approx_percentiles_sketch: ${results("q_approx_percentiles_sketch")}%.2fs")
+
+    // Build-once/serve-many split for the persisted IVF index: the
+    // registry row above measures the SERVE path (the index is memoized
+    // after pass 1), but the build cost was folded into pass 1's number.
+    // Time them separately: a from-scratch rebuild (codebook train +
+    // assign + cell-partitioned write), then two pure serves off the
+    // fresh index.
+    val ivfBuildSec = time { operators.Similarity.rebuildIvfIndex(spark, sfDir) }
+    val ivfServeSec = (1 to 2).map(_ => time(force(
+      SparkEntry.registry.find(_.name == "q_knn_ivf_persist").get.build(spark, sfDir)))).min
+    progress(f"knn_ivf_persist build: $ivfBuildSec%.2fs, serve: $ivfServeSec%.2fs")
     progress("batch queries done; streaming headline")
 
     // Streaming headline: 50k rows/s for 20 s through the full pipeline.
@@ -193,6 +213,47 @@ object Bench {
       }
     }
     progress(f"spike recovery: $spikeSec%.2fs for 30 s of spiked data")
+    progress("spike recovery, estimator mode (PIDRateEstimator parity)")
+
+    // The same spike leg driven by the ESTIMATOR (PidRateEstimator) — the
+    // reference-parity implementation of Spark Streaming's
+    // PIDRateEstimator with the documented gains (reference
+    // test-runs-004: PID(-1, -0.2, 0) — here proportional=1.0,
+    // integral=0.2, derivative=0 under Spark's subtractive convention).
+    // The controller leg above steers a batch-overrun factor loop; this
+    // leg steers an absolute rows/s target from processing rate +
+    // scheduling-delay backlog, the semantics the reference's experiments
+    // actually compare. Same plan, same bar: ≤ 2× the 30 s data duration.
+    val spikeEstSec = {
+      System.gc()
+      val spikePlan =
+        """sequence = [
+          |  { type = fixed, value = 7, rate = 20000, duration = 10 }
+          |  { type = fixed, value = 8, rate = 20000, duration = 10 }
+          |  { type = fixed, value = 7, rate = 20000, duration = 10 }
+          |]""".stripMargin
+      val key = "bench-spike-est"
+      val listener = new streaming.PidRateListener(
+        key, triggerMs = 1000L, initialLimit = 20000L,
+        estimator = Some(new streaming.PidRateEstimator(
+          batchIntervalMs = 1000L, proportional = 1.0,
+          integral = 0.2, derivative = 0.0)))
+      spark.streams.addListener(listener)
+      try time {
+        val q = streaming.StreamingStats.run(
+          spark, spikePlan,
+          triggerMs = 1000L,
+          rateLimitKey = Some(key),
+          sink = (stats, _) => { stats.collect(); () })
+        listener.attach(q)
+        q.processAllAvailable()
+        q.stop()
+      } finally {
+        spark.streams.removeListener(listener)
+        sources.RateLimitRegistry.clear(key)
+      }
+    }
+    progress(f"spike recovery (estimator): $spikeEstSec%.2fs for 30 s of spiked data")
     progress("stream soak: 120 s sustained 50k rows/s, stateful window agg")
 
     // Soak (the reference's "memory is stable" endurance analysis,
@@ -295,7 +356,7 @@ object Bench {
     val soakJson =
       f""""stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,$soakJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,$soakJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -314,13 +375,14 @@ object Bench {
       "q_knn_pq_adc", "q_knn_ivf_pq", "q_embed_clusters", "q_semdedup",
       "q_dup_span_coverage", "q_dup_span_removal", "q_incr_dedup", "q_knn_rerank",
       "q_merge_upsert", "q_char_entropy",
+      "q_approx_percentiles", "q_approx_percentiles_sketch", "q_knn_ivf_persist",
       "q_stream_batch_stats", "stream_ingest_50k")
     val qsLine = results
       .filter { case (k, v) => headline.contains(k) || v < 0 }
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.valuesIterator.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

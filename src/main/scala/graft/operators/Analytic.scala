@@ -150,6 +150,26 @@ object Analytic {
         ok(1, 1, 3).as("ok50"), ok(2, 4, 5).as("ok90"), ok(3, 6, 7).as("ok99"))
   }
 
+  /** Bench-only sketch path of [[qApproxPercentiles]]: ONLY the
+    * `approx_percentile` aggregate — the plan a 100 TB run actually
+    * executes (fixed-size mergeable sketch per group, ObjectHashAggregate,
+    * map-side combined). The registry gate deliberately carries the exact
+    * percentile alongside the sketch to oracle-check the rank-error bound,
+    * which puts the gate's bench timing in the exact-percentile cost
+    * class; this builder gives the sketch its own timing so the "approx"
+    * row reports the cost the approximation exists to buy. Not a gate:
+    * sketch values are engine-specific (no DuckDB oracle applies). */
+  private[graft] def approxPercentilesSketch(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"))
+      .select(col("event_type"),
+        element_at(col("ap"), 1).as("p50_approx"),
+        element_at(col("ap"), 2).as("p90_approx"),
+        element_at(col("ap"), 3).as("p99_approx"))
+
   /** Unpivot (melt) — the inverse of the pivot gate: a wide per-flag
     * aggregate narrowed to (key, metric, value) rows. Spark's native
     * `unpivot` is a zero-shuffle projection (each input row expands to

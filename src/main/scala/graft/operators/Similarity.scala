@@ -169,8 +169,43 @@ object Similarity {
     * timing should measure (the production separation the whole IVF
     * design exists for). */
   private val ivfPersistDone = scala.collection.mutable.Set.empty[String]
+
+  /** Cheap content fingerprint for the dataset at `path`: an MD5 over the
+    * FULL path plus each underlying file's (name, mtime, length). Keying
+    * the index memo and directory on this instead of a sanitized path
+    * fixes two staleness holes: (a) a dataset regenerated in-place within
+    * one JVM gets a fresh fingerprint, so the index rebuilds instead of
+    * serving stale postings; (b) distinct paths whose sanitized forms
+    * collide (`/data/x` vs `/data_x`) get distinct directories. */
+  private[graft] def dataFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val leaves =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(c => s"${c.getName}:${c.lastModified}:${c.length}")
+      else Array(s"${f.lastModified}:${f.length}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((path + "|" + leaves.mkString(",")).getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Bench hook: drop the memoized index for `d` and rebuild it from
+    * scratch, returning the index dir — isolates the BUILD cost (codebook
+    * train + assign + cell-partitioned write) from the SERVE cost the
+    * build-once/serve-many design exists for. */
+  private[graft] def rebuildIvfIndex(s: SparkSession, d: String): String = {
+    val dir = synchronized {
+      val dd = s"/tmp/graft_ivf/${dataFingerprint(s"$d/embeddings.parquet")}"
+      ivfPersistDone -= dd
+      val p = new org.apache.hadoop.fs.Path(dd)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      dd
+    }
+    ensureIvfIndex(s, d)
+    dir
+  }
+
   private def ensureIvfIndex(s: SparkSession, d: String): String = synchronized {
-    val dir = s"/tmp/graft_ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val dir = s"/tmp/graft_ivf/${dataFingerprint(s"$d/embeddings.parquet")}"
     if (!ivfPersistDone(dir)) {
       val emb = Tables.embeddings(s, d)
       val cents = ivfCodebook(emb)
@@ -203,9 +238,22 @@ object Similarity {
     val codebook = s.read.parquet(s"$dir/codebook")
     val postings = s.read.parquet(s"$dir/postings")
     val probes = ivfProbes(Tables.embeddings(s, d), codebook)
+      .withColumn("cell", col("cell").cast("int"))
+    // The probed-cell list is a PLAN PARAMETER, resolved eagerly like the
+    // codebook count: distinct cells number at most queries × nprobe and
+    // never more than the √n cell count (≈31k ints even at 10^9 vectors),
+    // so collecting them is O(√n) driver work by construction — NOT a
+    // data-sized collect. Pushing them as a STATIC IN-filter makes the
+    // scan's PartitionFilters carry the probed cells at PLANNING time —
+    // the inverted-file seek this layout exists for. (The broadcast-join
+    // route alone relies on dynamic partition pruning, which AQE declines
+    // here: the probes build side contains its own shuffle, so the DPP
+    // subquery's exchange never sameResult-matches the materialized
+    // broadcast stage and the filter falls back to `true`.)
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    postings.select(col("vec_id").as("neighbor_id"), col("embedding"),
-        col("cell").cast("long").as("cell"))
+    postings.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+      .filter(col("cell").isin(probedCells.toSeq: _*))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosExpr)

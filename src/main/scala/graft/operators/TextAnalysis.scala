@@ -68,7 +68,8 @@ object TextAnalysis {
        |  round(CAST(sum(len(regexp_extract_all(text, '$TokenPatSql'))) AS DOUBLE)
        |    / sum(len(string_split_regex(trim(text), '\\s+'))), 4) AS fertility,
        |  round(CAST(sum(length(text)) AS DOUBLE)
-       |    / sum(len(regexp_extract_all(text, '$TokenPatSql'))), 4) AS chars_per_token
+       |    / greatest(sum(len(regexp_extract_all(text, '$TokenPatSql'))), 1),
+       |    4) AS chars_per_token
        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
     val nTok = size(regexp_extract_all(col("text"), lit(TokenPat), lit(0)))
     val nWords = size(split(trim(col("text")), "\\s+"))
@@ -80,7 +81,12 @@ object TextAnalysis {
         sum("t").as("n_tokens"),
         sum("w").as("n_words"),
         round(sum("t").cast("double") / sum("w"), 4).as("fertility"),
-        round(sum("c").cast("double") / sum("t"), 4).as("chars_per_token"))
+        // n_words >= 1 always (split of a trimmed string yields >= 1
+        // element), but n_tokens CAN be 0 on an all-whitespace corpus —
+        // and Spark's Divide returns NULL where DuckDB returns inf, a
+        // cross-engine hash divergence. greatest(..., 1) on BOTH engines.
+        round(sum("c").cast("double") / greatest(sum("t"), lit(1)), 4)
+          .as("chars_per_token"))
   }
 
   private[graft] val Stop = "(?:the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)"
@@ -985,6 +991,8 @@ object TextAnalysis {
     * files back into exactly [[qShardAssign]]'s per-shard audit — facing
     * the identical DuckDB oracle, so stream-route → disk → read-back is
     * pinned indistinguishable from the batch routing, hash-for-hash. */
+  private val shardRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   val qStreamShardRoute: Q = Q(
     "q_stream_shard_route", {
       // same oracle as q_shard_assign (registered below); duplicated via
@@ -997,7 +1005,11 @@ object TextAnalysis {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1""".stripMargin
     }) { (s, d) =>
-    val outDir = s"/tmp/graft_shards/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // per-JVM + per-build unique dir: two concurrent JVMs (bench + test)
+    // over the same dataset must not race on delete/write, and the
+    // sanitized-path collision (/data/x vs /data_x) can't alias runs
+    val runId = s"${ProcessHandle.current().pid()}_${shardRunCounter.incrementAndGet()}"
+    val outDir = s"/tmp/graft_shards/run_$runId"
     // clean slate: stale batches from a previous run must not double-count
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

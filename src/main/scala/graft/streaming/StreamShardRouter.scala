@@ -33,9 +33,20 @@ object StreamShardRouter {
       (Portable.hash60(col("doc_id").cast("string")) % numShards).cast("int"))
 
   /** Start routing `docs` (a streaming DataFrame with `doc_id`) into
-    * `outDir`. Returns the query; callers await termination. */
-  def route(docs: DataFrame, outDir: String, numShards: Int = 16): StreamingQuery =
-    docs.writeStream
+    * `outDir`. Returns the query; callers await termination.
+    *
+    * Idempotence contract: a re-delivered batch overwrites its own
+    * `batch=<id>` directory, so replay is exactly-once-equivalent ONLY
+    * when batch ids are stable across runs — which requires a durable
+    * `checkpointLocation`. Pass one for any restartable production query;
+    * with the default (`None` → Spark's temporary checkpoint) each fresh
+    * run renumbers batches from 0, so callers starting a fresh query over
+    * an existing `outDir` must clear it first (as `q_stream_shard_route`
+    * does) or stale `batch=<n>` directories from a previous run
+    * double-count on read-back. */
+  def route(docs: DataFrame, outDir: String, numShards: Int = 16,
+            checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         withShard(batch, numShards)
@@ -43,5 +54,7 @@ object StreamShardRouter {
           .parquet(s"$outDir/batch=$batchId")
         ()
       }
-      .start()
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 }

@@ -46,7 +46,10 @@ class PlanLintSpec extends SparkSpec {
     *  - q_temperature_mix: broadcast 1-row mixing-denominator fold
     *    (total tokens + total √tokens);
     *  - q_nb_calibration: inherits q_nb_source_score's broadcast 1-row
-    *    smoothing constants.
+    *    smoothing constants;
+    *  - q_knn_ivf_persist: the same broadcast √n codebook as q_knn_ivf —
+    *    the probe step reads the codebook back from parquet, but the
+    *    probe join is still a constant-width broadcast of O(√n) rows.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
@@ -55,7 +58,7 @@ class PlanLintSpec extends SparkSpec {
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
     "q_time_decay", "q_heavy_hitters", "q_pmi_cooc", "q_sparse_cosine",
     "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
-    "q_temperature_mix", "q_nb_calibration")
+    "q_temperature_mix", "q_nb_calibration", "q_knn_ivf_persist")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.SparkSpec
+
+/** The persisted IVF index's entire value claim is that Spark's partition
+  * pruning IS the inverted-file seek: postings land cell-partitioned
+  * (`cell=<id>/`), probes broadcast, and the scan reads ONLY the probed
+  * cells' directories. The docstring (Similarity.scala qKnnIvfPersist)
+  * promises the scan's PartitionFilters carry the probed-cell predicate —
+  * this spec pins it, the way PartitionPruningSpec pins
+  * q_partition_prune: the filter must be present at the scan AND the
+  * executed scan must read fewer files than the index holds.
+  *
+  * The probe predicate comes from another query (the broadcast probes
+  * side), so this is DYNAMIC partition pruning — the filter is a
+  * DynamicPruningExpression resolved from the reused broadcast at
+  * runtime, not a static literal. */
+class IvfPersistPruningSpec extends SparkSpec {
+
+  test("q_knn_ivf_persist: postings scan carries a cell partition filter and prunes files") {
+    val df = Similarity.qKnnIvfPersist.build(spark, sf)
+    df.collect() // execute so dynamic pruning resolves and metrics populate
+
+    // AQE nests scans inside QueryStageExec wrappers that `collect` does
+    // not descend into — walk them (and subqueries) explicitly
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other =>
+          other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+      }
+    val postingsScan = allScans(df.queryExecution.executedPlan).find { s =>
+      s.relation.location.rootPaths.exists(_.toString.contains("graft_ivf")) &&
+        s.relation.location.rootPaths.exists(_.toString.contains("postings"))
+    }.getOrElse(fail("no postings FileSourceScanExec in the executed plan"))
+
+    assert(postingsScan.partitionFilters.map(_.toString.toLowerCase)
+        .exists(f => f.contains("cell") || f.contains("dynamicpruning")),
+      s"postings scan has no cell partition filter: ${postingsScan.partitionFilters}")
+
+    val totalFiles = postingsScan.relation.location.inputFiles.length
+    val readFiles = postingsScan.metrics("numFiles").value
+    assert(readFiles > 0, "scan read no files")
+    assert(readFiles < totalFiles,
+      s"scan read all $totalFiles postings files — partition pruning did not engage " +
+        "(the inverted-file seek degraded to a full index scan)")
+  }
+}
