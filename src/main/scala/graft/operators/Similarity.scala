@@ -263,6 +263,153 @@ object Similarity {
         round(col("sim"), 4).as("cosine"), col("rank"))
   }
 
+  /** Two-level (hierarchical) IVF — the BUILD-COST fix for the flat
+    * index: flat IVF assigns every vector against all √n cells
+    * (O(n·√n) distances); here a first level of ⌊√⌊√n⌋⌋ ≈ n^¼ "super
+    * cells" routes each vector, and leaf assignment only compares
+    * against that super cell's ≈n^¼ sub-centroids — O(n·n^¼) total,
+    * the standard coarse-quantizer hierarchy (IMI/2-level IVF). Leaf
+    * count stays ≈√n, so SERVE cost is unchanged; only the build
+    * cheapens (at n=10^9: ~3×10^13 distance ops flat vs ~3×10^11
+    * two-level).
+    *
+    * Deterministic for the oracle, same discipline as [[qKnnIvf]]:
+    * stride-seeded super cells, sub-seeds = the `subs` smallest vec_ids
+    * per super cell, ONE refinement pass (per-(leaf, dim) means
+    * rounded to 6 decimals + float-truncated — re-synchronizing both
+    * engines' codebooks bit-for-bit), every argmax tie-broken by
+    * smallest id. All sizing integers derive from count(*) via nested
+    * ⌊√·⌋ and integer division ONLY (no pow(), whose libm rounding
+    * could diverge across engines).
+    *
+    * Scale shape: both assignment passes are broadcast map-side-combined
+    * argmaxes (one exchange row per vector, nothing all-pairs); the
+    * refinement is a hash aggregate on (leaf, dim); sub-seed selection
+    * is a per-super-cell top-`subs` (WindowGroupLimit — at production
+    * scale a per-cell reservoir sample replaces the rank, the one spot
+    * where this layout still touches O(cell) rows in one task's sort). */
+  val qKnnIvf2: Q = Q(
+    "q_knn_ivf2",
+    s"""WITH par AS (SELECT n, leaves, k1, (leaves + k1 - 1) // k1 AS subs,
+       |    GREATEST(1, n // k1) AS stride1 FROM
+       |  (SELECT n, leaves,
+       |     GREATEST(1, CAST(floor(sqrt(CAST(leaves AS DOUBLE))) AS BIGINT)) AS k1 FROM
+       |   (SELECT n, GREATEST(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS leaves
+       |    FROM (SELECT count(*) AS n FROM embeddings)))),
+       |tseed AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id % (SELECT stride1 FROM par) = 0),
+       |tassign AS (SELECT vec_id, top FROM (
+       |  SELECT e.vec_id, t.tid AS top, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.c) DESC, t.tid) AS rn
+       |  FROM embeddings e CROSS JOIN tseed t) WHERE rn = 1),
+       |sseed AS (SELECT a.vec_id AS leaf, a.top AS l_top, CAST(e.embedding AS DOUBLE[]) AS c
+       |  FROM (SELECT vec_id, top, row_number() OVER (PARTITION BY top ORDER BY vec_id) AS rn
+       |        FROM tassign) a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE a.rn <= (SELECT subs FROM par)),
+       |a0 AS (SELECT vec_id, top, leaf FROM (
+       |  SELECT ta.vec_id, ta.top, s.leaf, row_number() OVER (PARTITION BY ta.vec_id
+       |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c) DESC, s.leaf) AS rn
+       |  FROM tassign ta JOIN embeddings e ON e.vec_id = ta.vec_id
+       |    JOIN sseed s ON s.l_top = ta.top) WHERE rn = 1),
+       |lref AS (SELECT leaf, min(l_top) AS l_top,
+       |    list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY pos) AS c FROM
+       |  (SELECT a.leaf, a.top AS l_top, t.i AS pos,
+       |     round(avg(CAST(e.embedding[t.i] AS DOUBLE)), 6) AS m
+       |   FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id, range(1, 65) t(i)
+       |   GROUP BY a.leaf, a.top, t.i) GROUP BY leaf),
+       |afin AS (SELECT vec_id, leaf FROM (
+       |  SELECT ta.vec_id, l.leaf, row_number() OVER (PARTITION BY ta.vec_id
+       |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), l.c) DESC, l.leaf) AS rn
+       |  FROM tassign ta JOIN embeddings e ON e.vec_id = ta.vec_id
+       |    JOIN lref l ON l.l_top = ta.top) WHERE rn = 1),
+       |probes2 AS (SELECT query_id, leaf FROM (
+       |  SELECT ta.vec_id AS query_id, l.leaf, row_number() OVER (PARTITION BY ta.vec_id
+       |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), l.c) DESC, l.leaf) AS rn
+       |  FROM tassign ta JOIN embeddings e ON e.vec_id = ta.vec_id
+       |    JOIN lref l ON l.l_top = ta.top
+       |  WHERE ta.vec_id < $NumQueries) WHERE rn <= 4),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(nb.embedding AS DOUBLE[])) AS sim
+       |  FROM probes2 p JOIN afin a ON a.leaf = p.leaf AND a.vec_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings nb ON nb.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |  (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM scored)
+       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    // sizing integers: nested integer-sqrt + integer division only —
+    // bit-identical across engines (sqrt is IEEE-exact; pow is not)
+    val n = emb.count()
+    val leaves = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val k1 = math.max(1L, math.floor(math.sqrt(leaves.toDouble)).toLong)
+    val subs = (leaves + k1 - 1) / k1
+    val stride1 = math.max(1L, n / k1)
+
+    val topSeeds = emb.filter(col("vec_id") % stride1 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
+    // level-1 routing: O(n · k1) broadcast argmax
+    val topAssigned = ivfAssign(emb, topSeeds).withColumnRenamed("cell", "top")
+
+    // sub-seeds: the `subs` smallest vec_ids per super cell (checkpointed —
+    // O(leaves) rows — so downstream joins don't share scan lineage)
+    val wSeed = Window.partitionBy("top").orderBy("vec_id")
+    val subSeeds = topAssigned.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= subs)
+      .select(col("vec_id").as("leaf"), col("top").as("l_top"),
+        col("embedding").as("l_embedding"))
+      .localCheckpoint()
+
+    // leaf assignment WITHIN the super cell: the broadcast side carries
+    // l_top, so the equi-join on top routes each vector to only its own
+    // cell's sub-centroids — O(n · subs) distances, map-side argmax
+    def leafAssign(cents: DataFrame): DataFrame =
+      topAssigned.join(broadcast(cents), col("top") === col("l_top"))
+        .withColumn("lsim", GraftFunctions.cosine(col("l_embedding"), col("embedding")))
+        .groupBy("vec_id")
+        .agg(any_value(col("embedding")).as("embedding"),
+          any_value(col("top")).as("top"),
+          max_by(col("leaf"), struct(col("lsim"), (-col("leaf")).as("tie"))).as("leaf"))
+
+    // one refinement pass: per-(leaf, dim) means, round+float-truncate
+    val refined = leafAssign(subSeeds)
+      .select(col("leaf"), col("top"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("leaf", "pos")
+      .agg(any_value(col("top")).as("l_top"),
+        round(avg(col("v").cast("double")), 6).as("m"))
+      .groupBy("leaf")
+      .agg(any_value(col("l_top")).as("l_top"),
+        array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("leaf"), col("l_top"),
+        transform(col("pm"), p => p.getField("m").cast("float")).as("l_embedding"))
+      .localCheckpoint()
+
+    val finalAssign = leafAssign(refined)
+
+    // probes: rank the query's OWN super cell's refined leaves, take 4
+    val wProbe = Window.partitionBy("query_id").orderBy(col("lsim").desc, col("leaf"))
+    val probes = topAssigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"), col("top"))
+      .join(broadcast(refined), col("top") === col("l_top"))
+      .withColumn("lsim", GraftFunctions.cosine(col("l_embedding"), col("q_embedding")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= 4)
+      .select(col("query_id"), col("q_embedding"), col("leaf"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    finalAssign.select(col("vec_id").as("neighbor_id"), col("embedding"), col("leaf"))
+      .join(broadcast(probes), Seq("leaf"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
   /** Cell assignment against a broadcast codebook: max_by over
     * (sim, -cent_id) is an argmax AGGREGATE — it partial-aggregates
     * map-side, so the exchange carries one row per vector and nothing
@@ -1047,5 +1194,5 @@ object Similarity {
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
-    qEmbedDimStats, qKnnIvfPersist)
+    qEmbedDimStats, qKnnIvfPersist, qKnnIvf2)
 }

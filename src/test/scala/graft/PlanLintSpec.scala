@@ -49,7 +49,10 @@ class PlanLintSpec extends SparkSpec {
     *    smoothing constants;
     *  - q_knn_ivf_persist: the same broadcast √n codebook as q_knn_ivf —
     *    the probe step reads the codebook back from parquet, but the
-    *    probe join is still a constant-width broadcast of O(√n) rows.
+    *    probe join is still a constant-width broadcast of O(√n) rows;
+    *  - q_knn_ivf2: the level-1 routing pass broadcasts the O(n^¼)
+    *    super-cell seed set (the whole point of the hierarchy — the
+    *    broadcast is SMALLER than flat IVF's √n codebook).
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
@@ -58,7 +61,8 @@ class PlanLintSpec extends SparkSpec {
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
     "q_time_decay", "q_heavy_hitters", "q_pmi_cooc", "q_sparse_cosine",
     "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
-    "q_temperature_mix", "q_nb_calibration", "q_knn_ivf_persist")
+    "q_temperature_mix", "q_nb_calibration", "q_knn_ivf_persist",
+    "q_knn_ivf2")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the
@@ -70,7 +74,8 @@ class PlanLintSpec extends SparkSpec {
   private val sortAggByDesign = Set(
     "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc",
     "q_knn_ivf_pq", "q_semdedup", "q_sem_decontam", "q_profile",
-    "q_knn_incr_assign") // frozen-centroid fold: same post-reduction O(labels x dims) struct-collect as q_knn_ivf
+    "q_knn_incr_assign", // frozen-centroid fold: same post-reduction O(labels x dims) struct-collect as q_knn_ivf
+    "q_knn_ivf2") // leaf-refinement reassembly: the same O(leaves x dims) ordered struct-collect
 
   test("no query plans an unlisted cartesian product or nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>
