@@ -132,7 +132,12 @@ object ScaleSmoke {
       operators.Dedup.qCrossSourceDups,
       operators.TextAnalysis.qNbCalibration, operators.Dedup.qDedupDegree,
       operators.Similarity.qKnnStreamAssign, operators.Similarity.qEmbedDimStats,
-      operators.TextAnalysis.qTokFertility)
+      operators.TextAnalysis.qTokFertility,
+      // flat vs two-level IVF: at 100x embeddings (200k vectors) the
+      // assignment work is 200k x 447 cosines flat vs 200k x (21+22)
+      // two-level - the smoke ratio pair is the O(n*sqrt(n)) vs
+      // O(n*n^0.25) build-cost evidence
+      operators.Similarity.qKnnIvf, operators.Similarity.qKnnIvf2)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {

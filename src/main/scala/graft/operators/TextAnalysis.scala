@@ -1008,12 +1008,20 @@ object TextAnalysis {
     // per-JVM + per-build unique dir: two concurrent JVMs (bench + test)
     // over the same dataset must not race on delete/write, and the
     // sanitized-path collision (/data/x vs /data_x) can't alias runs
-    val runId = s"${ProcessHandle.current().pid()}_${shardRunCounter.incrementAndGet()}"
-    val outDir = s"/tmp/graft_shards/run_$runId"
-    // clean slate: stale batches from a previous run must not double-count
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val pid = ProcessHandle.current().pid()
+    val outDir = s"/tmp/graft_shards/run_${pid}_${shardRunCounter.incrementAndGet()}"
+    // reap dirs left by DEAD pids so the unique-dir scheme doesn't
+    // accumulate in /tmp; live pids (including this one — an earlier
+    // build's DataFrame may still be lazily read) keep theirs
+    val root = new java.io.File("/tmp/graft_shards")
+    Option(root.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("run_"))
+      .filter { f =>
+        f.getName.stripPrefix("run_").split('_').headOption
+          .flatMap(_.toLongOption)
+          .exists(p => p != pid && !ProcessHandle.of(p).isPresent)
+      }
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
     val schema = Tables.documents(s, d).schema
     val tablePath = s"$d/documents.parquet"
     val reader = s.readStream.schema(schema)
