@@ -194,7 +194,8 @@ object Similarity {
     * build-once/serve-many design exists for. */
   private[graft] def rebuildIvfIndex(s: SparkSession, d: String): String = {
     val dir = synchronized {
-      val dd = s"/tmp/graft_ivf/${dataFingerprint(s"$d/embeddings.parquet")}"
+      val dd = s"/tmp/graft_ivf/${dataFingerprint(s"$d/embeddings.parquet")}" +
+        s"_${ProcessHandle.current().pid()}"
       ivfPersistDone -= dd
       val p = new org.apache.hadoop.fs.Path(dd)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -205,8 +206,21 @@ object Similarity {
   }
 
   private def ensureIvfIndex(s: SparkSession, d: String): String = synchronized {
-    val dir = s"/tmp/graft_ivf/${dataFingerprint(s"$d/embeddings.parquet")}"
+    // pid in the dir name: the memo is JVM-scoped, so cross-JVM sharing
+    // never happened anyway — but two JVMs writing/serving ONE shared dir
+    // could race rebuild-vs-serve (the advice-flagged shards race). Each
+    // JVM owns its dir; dirs of dead pids are reaped on build.
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_ivf/${dataFingerprint(s"$d/embeddings.parquet")}_$pid"
     if (!ivfPersistDone(dir)) {
+      Option(new java.io.File("/tmp/graft_ivf").listFiles()).toSeq.flatten
+        .filter { f =>
+          f.getName.split('_').lastOption.flatMap(_.toLongOption) match {
+            case Some(p) => p != pid && !ProcessHandle.of(p).isPresent
+            case None    => true // legacy un-suffixed layout: reap
+          }
+        }
+        .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
       val emb = Tables.embeddings(s, d)
       val cents = ivfCodebook(emb)
       cents.write.mode("overwrite").parquet(s"$dir/codebook")
