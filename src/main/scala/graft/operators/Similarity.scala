@@ -336,12 +336,15 @@ object Similarity {
        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), l.c) DESC, l.leaf) AS rn
        |  FROM tassign ta JOIN embeddings e ON e.vec_id = ta.vec_id
        |    JOIN lref l ON l.l_top = ta.top) WHERE rn = 1),
+       |qtops AS (SELECT query_id, top FROM (
+       |  SELECT e.vec_id AS query_id, t.tid AS top, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.c) DESC, t.tid) AS rn
+       |  FROM embeddings e CROSS JOIN tseed t WHERE e.vec_id < $NumQueries) WHERE rn <= 3),
        |probes2 AS (SELECT query_id, leaf FROM (
-       |  SELECT ta.vec_id AS query_id, l.leaf, row_number() OVER (PARTITION BY ta.vec_id
+       |  SELECT q.query_id, l.leaf, row_number() OVER (PARTITION BY q.query_id
        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), l.c) DESC, l.leaf) AS rn
-       |  FROM tassign ta JOIN embeddings e ON e.vec_id = ta.vec_id
-       |    JOIN lref l ON l.l_top = ta.top
-       |  WHERE ta.vec_id < $NumQueries) WHERE rn <= 4),
+       |  FROM qtops q JOIN embeddings e ON e.vec_id = q.query_id
+       |    JOIN lref l ON l.l_top = q.top) WHERE rn <= 6),
        |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
        |      CAST(nb.embedding AS DOUBLE[])) AS sim
@@ -403,14 +406,28 @@ object Similarity {
 
     val finalAssign = leafAssign(refined)
 
-    // probes: rank the query's OWN super cell's refined leaves, take 4
+    // multi-probe: the query ranks its TOP-3 super cells (routing is
+    // greedy, and a near neighbor routed across the cell boundary is
+    // the hierarchy's recall failure mode — measured at sf0.1, probing
+    // only the assigned super cell costs 20 recall points), then the 6
+    // nearest leaves across them. QUERY-side cost only (3 · n^¼ leaf
+    // comparisons per query); corpus-side assignment stays single-cell;
+    // the candidate pool is ≈6·√n rows vs flat IVF's 4·√n — recall
+    // parity with the flat index at 1.5× its probe width
+    val wTop = Window.partitionBy("query_id").orderBy(col("tsim").desc, col("cent_id"))
+    val qTops = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      .crossJoin(broadcast(topSeeds))
+      .withColumn("tsim", GraftFunctions.cosine(col("c_embedding"), col("q_embedding")))
+      .withColumn("tr", row_number().over(wTop))
+      .filter(col("tr") <= 3)
+      .select(col("query_id"), col("q_embedding"), col("cent_id").as("qtop"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("lsim").desc, col("leaf"))
-    val probes = topAssigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"), col("top"))
-      .join(broadcast(refined), col("top") === col("l_top"))
+    val probes = qTops
+      .join(broadcast(refined), col("qtop") === col("l_top"))
       .withColumn("lsim", GraftFunctions.cosine(col("l_embedding"), col("q_embedding")))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= 4)
+      .filter(col("pr") <= 6)
       .select(col("query_id"), col("q_embedding"), col("leaf"))
 
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))

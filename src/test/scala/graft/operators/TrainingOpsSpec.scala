@@ -27,11 +27,10 @@ class TrainingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty)
     val recall = (brute intersect ivf2).size.toDouble / brute.size
-    // the hierarchy trades a little recall for the O(n·√n) → O(n·n^¼)
-    // build: the query probes only its OWN super cell's leaves, so a
-    // neighbor routed to a different super cell is unreachable — floor
-    // at 0.4 (flat IVF's floor is 0.5)
-    assert(recall >= 0.4, s"IVF2 recall $recall too low (ivf2=${ivf2.size}, brute=${brute.size})")
+    // multi-probe (top-3 super cells, 6 leaves) buys back the recall the
+    // greedy hierarchy loses: measured 0.67 here and parity with flat
+    // IVF (0.47 vs 0.47) at sf0.1 — same floor as the flat index
+    assert(recall >= 0.5, s"IVF2 recall $recall too low (ivf2=${ivf2.size}, brute=${brute.size})")
   }
 
   test("q_embed_neardup returns pairs sorted by cosine desc") {
