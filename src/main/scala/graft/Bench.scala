@@ -126,6 +126,10 @@ object Bench {
     val ivfServeSec = (1 to 2).map(_ => time(force(
       SparkEntry.registry.find(_.name == "q_knn_ivf_persist").get.build(spark, sfDir)))).min
     progress(f"knn_ivf_persist build: $ivfBuildSec%.2fs, serve: $ivfServeSec%.2fs")
+    val ivf2BuildSec = time { operators.Similarity.rebuildIvf2Index(spark, sfDir) }
+    val ivf2ServeSec = (1 to 2).map(_ => time(force(
+      SparkEntry.registry.find(_.name == "q_knn_ivf2_persist").get.build(spark, sfDir)))).min
+    progress(f"knn_ivf2_persist build: $ivf2BuildSec%.2fs, serve: $ivf2ServeSec%.2fs")
     progress("batch queries done; streaming headline")
 
     // Streaming headline: 50k rows/s for 20 s through the full pipeline.
@@ -356,7 +360,7 @@ object Bench {
     val soakJson =
       f""""stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,$soakJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,$soakJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -382,7 +386,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.valuesIterator.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,7 +76,13 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse("/tmp/graft_scale_sf1")
-    val baseDir = "/root/testdata/sf0.1"
+    // optional 4th arg: the base corpus to multiply and compare against.
+    // Passing an already-synthesized workDir here COMPOSES decades — e.g.
+    // base = the 100x corpus with copies = 10 yields a 1000x corpus (the
+    // copy markers re-prefix every word, so uniqueness per (outer, inner)
+    // copy is preserved), and the printed ratio is the 100x -> 1000x
+    // decade directly.
+    val baseDir = args.lift(3).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -148,7 +154,7 @@ object ScaleSmoke {
     // warmup both dirs so codegen/JIT is paid before measurement
     family.foreach(q => force(q.build(spark, "/root/testdata/sf0.01")))
 
-    println(f"${"query"}%-22s ${"sf0.1_ms"}%10s ${s"${copies}x_ms"}%10s ${"ratio"}%7s")
+    println(f"${"query"}%-22s ${"base_ms"}%10s ${s"${copies}x_ms"}%10s ${"ratio"}%7s")
     family.foreach { q =>
       val small = force(q.build(spark, baseDir))
       val big = force(q.build(spark, workDir))

@@ -205,6 +205,24 @@ object Similarity {
     dir
   }
 
+  /** Reap index dirs owned by DEAD pids (name convention `<fp>_<pid>`),
+    * plus legacy un-suffixed dirs, so the per-pid unique-dir scheme stays
+    * bounded in /tmp. Live pids keep theirs — that isolation is the point
+    * (two JVMs sharing one dir could race rebuild-vs-serve). */
+  private def reapDeadDirs(root: String, pid: Long): Unit =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter { f =>
+        f.getName.split('_').lastOption.flatMap(_.toLongOption) match {
+          case Some(p) => p != pid && !ProcessHandle.of(p).isPresent
+          case None    => true // legacy un-suffixed layout: reap
+        }
+      }
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+
+  /** Test hook: the (built) index dir for `d` in this JVM. */
+  private[graft] def ivfIndexDir(s: SparkSession, d: String): String =
+    ensureIvfIndex(s, d)
+
   private def ensureIvfIndex(s: SparkSession, d: String): String = synchronized {
     // pid in the dir name: the memo is JVM-scoped, so cross-JVM sharing
     // never happened anyway — but two JVMs writing/serving ONE shared dir
@@ -213,14 +231,7 @@ object Similarity {
     val pid = ProcessHandle.current().pid()
     val dir = s"/tmp/graft_ivf/${dataFingerprint(s"$d/embeddings.parquet")}_$pid"
     if (!ivfPersistDone(dir)) {
-      Option(new java.io.File("/tmp/graft_ivf").listFiles()).toSeq.flatten
-        .filter { f =>
-          f.getName.split('_').lastOption.flatMap(_.toLongOption) match {
-            case Some(p) => p != pid && !ProcessHandle.of(p).isPresent
-            case None    => true // legacy un-suffixed layout: reap
-          }
-        }
-        .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+      reapDeadDirs("/tmp/graft_ivf", pid)
       val emb = Tables.embeddings(s, d)
       val cents = ivfCodebook(emb)
       cents.write.mode("overwrite").parquet(s"$dir/codebook")
@@ -302,8 +313,10 @@ object Similarity {
     * is a per-super-cell top-`subs` (WindowGroupLimit — at production
     * scale a per-cell reservoir sample replaces the rank, the one spot
     * where this layout still touches O(cell) rows in one task's sort). */
-  val qKnnIvf2: Q = Q(
-    "q_knn_ivf2",
+  /** The full two-level IVF pipeline in DuckDB SQL — shared verbatim by
+    * [[qKnnIvf2]] and [[qKnnIvf2Persist]] (persistence must not change a
+    * result bit, so the oracle is identical). */
+  private val DuckIvf2Sql: String =
     s"""WITH par AS (SELECT n, leaves, k1, (leaves + k1 - 1) // k1 AS subs,
        |    GREATEST(1, n // k1) AS stride1 FROM
        |  (SELECT n, leaves,
@@ -355,7 +368,11 @@ object Similarity {
        |  (SELECT query_id, neighbor_id, sim, row_number() OVER
        |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |   FROM scored)
-       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+       |WHERE rank <= $K""".stripMargin
+
+  /** Builds the two-level index: (topSeeds, refined leaf codebook, final
+    * leaf assignment). See [[qKnnIvf2]] for the full design notes. */
+  private def ivf2Index(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     // sizing integers: nested integer-sqrt + integer division only —
@@ -405,15 +422,19 @@ object Similarity {
       .localCheckpoint()
 
     val finalAssign = leafAssign(refined)
+    (topSeeds, refined, finalAssign)
+  }
 
-    // multi-probe: the query ranks its TOP-3 super cells (routing is
-    // greedy, and a near neighbor routed across the cell boundary is
-    // the hierarchy's recall failure mode — measured at sf0.1, probing
-    // only the assigned super cell costs 20 recall points), then the 6
-    // nearest leaves across them. QUERY-side cost only (3 · n^¼ leaf
-    // comparisons per query); corpus-side assignment stays single-cell;
-    // the candidate pool is ≈6·√n rows vs flat IVF's 4·√n — recall
-    // parity with the flat index at 1.5× its probe width
+  /** Multi-probe query routing: the query ranks its TOP-3 super cells
+    * (routing is greedy, and a near neighbor routed across the cell
+    * boundary is the hierarchy's recall failure mode — measured at
+    * sf0.1, probing only the assigned super cell costs 20 recall
+    * points), then the 6 nearest leaves across them. QUERY-side cost
+    * only (3 · n^¼ leaf comparisons per query); corpus-side assignment
+    * stays single-cell; the candidate pool is ≈6·√n rows vs flat IVF's
+    * 4·√n — recall parity with the flat index at 1.5× its probe width. */
+  private def ivf2Probes(emb: DataFrame, topSeeds: DataFrame,
+      refined: DataFrame): DataFrame = {
     val wTop = Window.partitionBy("query_id").orderBy(col("tsim").desc, col("cent_id"))
     val qTops = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
@@ -423,15 +444,18 @@ object Similarity {
       .filter(col("tr") <= 3)
       .select(col("query_id"), col("q_embedding"), col("cent_id").as("qtop"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("lsim").desc, col("leaf"))
-    val probes = qTops
+    qTops
       .join(broadcast(refined), col("qtop") === col("l_top"))
       .withColumn("lsim", GraftFunctions.cosine(col("l_embedding"), col("q_embedding")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= 6)
       .select(col("query_id"), col("q_embedding"), col("leaf"))
+  }
 
+  /** Brute-force scoring within the probed leaves, top-K per query. */
+  private def ivf2Serve(postings: DataFrame, probes: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    finalAssign.select(col("vec_id").as("neighbor_id"), col("embedding"), col("leaf"))
+    postings
       .join(broadcast(probes), Seq("leaf"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosExpr)
@@ -439,6 +463,73 @@ object Similarity {
       .filter(col("rank") <= K)
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
+  val qKnnIvf2: Q = Q("q_knn_ivf2", DuckIvf2Sql) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val (topSeeds, refined, finalAssign) = ivf2Index(s, d)
+    val probes = ivf2Probes(emb, topSeeds, refined)
+    ivf2Serve(
+      finalAssign.select(col("vec_id").as("neighbor_id"), col("embedding"), col("leaf")),
+      probes)
+  }
+
+  /** Build-once / serve-many for the TWO-LEVEL index: the cheap O(n·n^¼)
+    * build lands on disk (top-seed codebook + refined leaf codebook as
+    * small files, postings LEAF-PARTITIONED `leaf=<id>/part-*.parquet`),
+    * and the serve path is pure read: multi-probe against the read-back
+    * codebooks, probed-leaf list pushed as a STATIC partition IN-filter
+    * (a plan parameter — at most queries × 6 leaves, never more than the
+    * √n leaf count), scan only the probed leaves' directories. The
+    * complete production ANN story in one operator: hierarchical build
+    * cost AND partition-pruned serving. Oracle identical to [[qKnnIvf2]]
+    * — persistence must not change a single result bit. */
+  val qKnnIvf2Persist: Q = Q("q_knn_ivf2_persist", DuckIvf2Sql) { (s, d) =>
+    GraftFunctions.register(s)
+    val dir = ensureIvf2Index(s, d)
+    val topSeeds = s.read.parquet(s"$dir/topcodebook")
+    val refined = s.read.parquet(s"$dir/codebook")
+    val postings = s.read.parquet(s"$dir/postings")
+    val probes = ivf2Probes(Tables.embeddings(s, d), topSeeds, refined)
+      .withColumn("leaf", col("leaf").cast("int")) // match the inferred partition-col type
+    val probedLeaves = probes.select("leaf").distinct().collect().map(_.getInt(0))
+    ivf2Serve(
+      postings.select(col("vec_id").as("neighbor_id"), col("embedding"), col("leaf"))
+        .filter(col("leaf").isin(probedLeaves.toSeq: _*)),
+      probes)
+  }
+
+  private val ivf2PersistDone = scala.collection.mutable.Set.empty[String]
+
+  /** Persist the two-level index (same memo/reap discipline as
+    * [[ensureIvfIndex]]). Bench hook [[rebuildIvf2Index]] isolates the
+    * build cost. */
+  private def ensureIvf2Index(s: SparkSession, d: String): String = synchronized {
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_ivf2/${dataFingerprint(s"$d/embeddings.parquet")}_$pid"
+    if (!ivf2PersistDone(dir)) {
+      reapDeadDirs("/tmp/graft_ivf2", pid)
+      val (topSeeds, refined, finalAssign) = ivf2Index(s, d)
+      topSeeds.write.mode("overwrite").parquet(s"$dir/topcodebook")
+      refined.write.mode("overwrite").parquet(s"$dir/codebook")
+      finalAssign.write.mode("overwrite")
+        .partitionBy("leaf").parquet(s"$dir/postings")
+      ivf2PersistDone += dir
+    }
+    dir
+  }
+
+  private[graft] def rebuildIvf2Index(s: SparkSession, d: String): String = {
+    val dir = synchronized {
+      val dd = s"/tmp/graft_ivf2/${dataFingerprint(s"$d/embeddings.parquet")}" +
+        s"_${ProcessHandle.current().pid()}"
+      ivf2PersistDone -= dd
+      val p = new org.apache.hadoop.fs.Path(dd)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      dd
+    }
+    ensureIvf2Index(s, d)
+    dir
   }
 
   /** Cell assignment against a broadcast codebook: max_by over
@@ -1225,5 +1316,5 @@ object Similarity {
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
-    qEmbedDimStats, qKnnIvfPersist, qKnnIvf2)
+    qEmbedDimStats, qKnnIvfPersist, qKnnIvf2, qKnnIvf2Persist)
 }

@@ -52,7 +52,9 @@ class PlanLintSpec extends SparkSpec {
     *    probe join is still a constant-width broadcast of O(√n) rows;
     *  - q_knn_ivf2: the level-1 routing pass broadcasts the O(n^¼)
     *    super-cell seed set (the whole point of the hierarchy — the
-    *    broadcast is SMALLER than flat IVF's √n codebook).
+    *    broadcast is SMALLER than flat IVF's √n codebook);
+    *  - q_knn_ivf2_persist: the same O(n^¼) super-cell broadcast, read
+    *    back from the persisted topcodebook for query routing.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
@@ -62,7 +64,7 @@ class PlanLintSpec extends SparkSpec {
     "q_time_decay", "q_heavy_hitters", "q_pmi_cooc", "q_sparse_cosine",
     "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
     "q_temperature_mix", "q_nb_calibration", "q_knn_ivf_persist",
-    "q_knn_ivf2")
+    "q_knn_ivf2", "q_knn_ivf2_persist")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the

@@ -19,28 +19,28 @@ import graft.SparkSpec
   * runtime, not a static literal. */
 class IvfPersistPruningSpec extends SparkSpec {
 
-  test("q_knn_ivf_persist: postings scan carries a cell partition filter and prunes files") {
-    val df = Similarity.qKnnIvfPersist.build(spark, sf)
-    df.collect() // execute so dynamic pruning resolves and metrics populate
+  // AQE nests scans inside QueryStageExec wrappers that `collect` does
+  // not descend into — walk them (and subqueries) explicitly
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other =>
+        other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
+    }
 
-    // AQE nests scans inside QueryStageExec wrappers that `collect` does
-    // not descend into — walk them (and subqueries) explicitly
-    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p match {
-        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
-        case s: FileSourceScanExec => Seq(s)
-        case other =>
-          other.children.flatMap(allScans) ++ other.subqueries.flatMap(allScans)
-      }
+  private def assertPruned(df: org.apache.spark.sql.DataFrame,
+      indexRoot: String, partCol: String): Unit = {
+    df.collect() // execute so metrics populate
     val postingsScan = allScans(df.queryExecution.executedPlan).find { s =>
-      s.relation.location.rootPaths.exists(_.toString.contains("graft_ivf")) &&
+      s.relation.location.rootPaths.exists(_.toString.contains(indexRoot)) &&
         s.relation.location.rootPaths.exists(_.toString.contains("postings"))
     }.getOrElse(fail("no postings FileSourceScanExec in the executed plan"))
 
     assert(postingsScan.partitionFilters.map(_.toString.toLowerCase)
-        .exists(f => f.contains("cell") || f.contains("dynamicpruning")),
-      s"postings scan has no cell partition filter: ${postingsScan.partitionFilters}")
+        .exists(f => f.contains(partCol) || f.contains("dynamicpruning")),
+      s"postings scan has no $partCol partition filter: ${postingsScan.partitionFilters}")
 
     val totalFiles = postingsScan.relation.location.inputFiles.length
     val readFiles = postingsScan.metrics("numFiles").value
@@ -48,5 +48,13 @@ class IvfPersistPruningSpec extends SparkSpec {
     assert(readFiles < totalFiles,
       s"scan read all $totalFiles postings files — partition pruning did not engage " +
         "(the inverted-file seek degraded to a full index scan)")
+  }
+
+  test("q_knn_ivf_persist: postings scan carries a cell partition filter and prunes files") {
+    assertPruned(Similarity.qKnnIvfPersist.build(spark, sf), "graft_ivf/", "cell")
+  }
+
+  test("q_knn_ivf2_persist: postings scan carries a leaf partition filter and prunes files") {
+    assertPruned(Similarity.qKnnIvf2Persist.build(spark, sf), "graft_ivf2/", "leaf")
   }
 }

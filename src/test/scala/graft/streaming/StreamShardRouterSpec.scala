@@ -63,8 +63,9 @@ class StreamShardRouterSpec extends SparkSpec {
   }
 
   test("persisted IVF postings scan carries the probed-cell partition filter") {
-    Similarity.qKnnIvfPersist.build(spark, sf).collect() // ensure index exists
-    val dir = s"/tmp/graft_ivf/${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // the dir is fingerprint+pid-keyed (round 8) — resolve it via the
+    // operator's own accessor rather than rebuilding the naming by hand
+    val dir = Similarity.ivfIndexDir(spark, sf)
     val probe = spark.read.parquet(s"$dir/postings").filter(col("cell") === 0)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cell"))
