@@ -312,8 +312,9 @@ object Similarity {
     * refinement is a hash aggregate on (leaf, dim); sub-seed selection
     * is a per-super-cell top-`subs` (WindowGroupLimit — at production
     * scale a per-cell reservoir sample replaces the rank, the one spot
-    * where this layout still touches O(cell) rows in one task's sort). */
-  /** The full two-level IVF pipeline in DuckDB SQL — shared verbatim by
+    * where this layout still touches O(cell) rows in one task's sort).
+    *
+    * The SQL below is the full pipeline in DuckDB, shared verbatim by
     * [[qKnnIvf2]] and [[qKnnIvf2Persist]] (persistence must not change a
     * result bit, so the oracle is identical). */
   private val DuckIvf2Sql: String =
