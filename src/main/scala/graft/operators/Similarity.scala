@@ -373,7 +373,7 @@ object Similarity {
 
   /** Builds the two-level index: (topSeeds, refined leaf codebook, final
     * leaf assignment). See [[qKnnIvf2]] for the full design notes. */
-  private def ivf2Index(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def ivf2Index(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     // sizing integers: nested integer-sqrt + integer division only —
