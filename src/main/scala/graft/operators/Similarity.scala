@@ -275,11 +275,15 @@ object Similarity {
     // here: the probes build side contains its own shuffle, so the DPP
     // subquery's exchange never sameResult-matches the materialized
     // broadcast stage and the filter falls back to `true`.)
-    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    // localCheckpoint: the probe set (≤ queries × nprobe rows) is needed
+    // twice — once collected for the static filter, once as the join's
+    // broadcast side — and the checkpoint computes it exactly once
+    val probesCk = probes.localCheckpoint()
+    val probedCells = probesCk.select("cell").distinct().collect().map(_.getInt(0))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     postings.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
       .filter(col("cell").isin(probedCells.toSeq: _*))
-      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(probesCk), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosExpr)
       .withColumn("rank", row_number().over(w))
@@ -491,8 +495,10 @@ object Similarity {
     val topSeeds = s.read.parquet(s"$dir/topcodebook")
     val refined = s.read.parquet(s"$dir/codebook")
     val postings = s.read.parquet(s"$dir/postings")
+    // single evaluation of the probe set (see qKnnIvfPersist's note)
     val probes = ivf2Probes(Tables.embeddings(s, d), topSeeds, refined)
       .withColumn("leaf", col("leaf").cast("int")) // match the inferred partition-col type
+      .localCheckpoint()
     val probedLeaves = probes.select("leaf").distinct().collect().map(_.getInt(0))
     ivf2Serve(
       postings.select(col("vec_id").as("neighbor_id"), col("embedding"), col("leaf"))

@@ -47,14 +47,14 @@ class PlanLintSpec extends SparkSpec {
     *    (total tokens + total √tokens);
     *  - q_nb_calibration: inherits q_nb_source_score's broadcast 1-row
     *    smoothing constants;
-    *  - q_knn_ivf_persist: the same broadcast √n codebook as q_knn_ivf —
-    *    the probe step reads the codebook back from parquet, but the
-    *    probe join is still a constant-width broadcast of O(√n) rows;
     *  - q_knn_ivf2: the level-1 routing pass broadcasts the O(n^¼)
     *    super-cell seed set (the whole point of the hierarchy — the
-    *    broadcast is SMALLER than flat IVF's √n codebook);
-    *  - q_knn_ivf2_persist: the same O(n^¼) super-cell broadcast, read
-    *    back from the persisted topcodebook for query routing.
+    *    broadcast is SMALLER than flat IVF's √n codebook).
+    *
+    * The PERSIST serve paths (q_knn_ivf_persist, q_knn_ivf2_persist) are
+    * deliberately absent: their probe computation runs behind an eager
+    * localCheckpoint at build time, so the served plan the lint sees is
+    * checkpoint-scan → hash joins only — no nested loop to whitelist.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
@@ -63,8 +63,7 @@ class PlanLintSpec extends SparkSpec {
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
     "q_time_decay", "q_heavy_hitters", "q_pmi_cooc", "q_sparse_cosine",
     "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
-    "q_temperature_mix", "q_nb_calibration", "q_knn_ivf_persist",
-    "q_knn_ivf2", "q_knn_ivf2_persist")
+    "q_temperature_mix", "q_nb_calibration", "q_knn_ivf2")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported (struct-ordered max_by/min_by argmins in the
