@@ -380,6 +380,7 @@ object Bench {
       "q_dup_span_coverage", "q_dup_span_removal", "q_incr_dedup", "q_knn_rerank",
       "q_merge_upsert", "q_char_entropy",
       "q_approx_percentiles", "q_approx_percentiles_sketch", "q_knn_ivf_persist",
+      "q_knn_ivf2", "q_knn_ivf2_persist",
       "q_stream_batch_stats", "stream_ingest_50k")
     val qsLine = results
       .filter { case (k, v) => headline.contains(k) || v < 0 }
