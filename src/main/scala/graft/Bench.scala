@@ -111,9 +111,16 @@ object Bench {
     // bound), so its row above reports exact-percentile cost. This row is
     // the flag-free ObjectHashAggregate sketch plan — the cost class the
     // approximation exists to buy at 100 TB. Same 2-pass/min discipline.
-    results("q_approx_percentiles_sketch") =
-      (1 to 2).map(_ => time(force(
-        operators.Analytic.approxPercentilesSketch(spark, sfDir)))).min
+    // same failure discipline as the registry loop: a throwing row
+    // records -1 and the bench keeps going — one bad /tmp state must
+    // never erase the whole run's results
+    def timedOr(label: String)(f: => Unit): Double =
+      try (1 to 2).map(_ => time(f)).min
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $label failed: ${e.getMessage}"); -1.0
+      }
+    results("q_approx_percentiles_sketch") = timedOr("q_approx_percentiles_sketch")(
+      force(operators.Analytic.approxPercentilesSketch(spark, sfDir)))
     progress(f"q_approx_percentiles_sketch: ${results("q_approx_percentiles_sketch")}%.2fs")
 
     // Build-once/serve-many split for the persisted IVF index: the
@@ -122,13 +129,22 @@ object Bench {
     // Time them separately: a from-scratch rebuild (codebook train +
     // assign + cell-partitioned write), then two pure serves off the
     // fresh index.
-    val ivfBuildSec = time { operators.Similarity.rebuildIvfIndex(spark, sfDir) }
-    val ivfServeSec = (1 to 2).map(_ => time(force(
-      SparkEntry.registry.find(_.name == "q_knn_ivf_persist").get.build(spark, sfDir)))).min
+    def onceOr(label: String)(f: => Unit): Double =
+      try time(f)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $label failed: ${e.getMessage}"); -1.0
+      }
+    val ivfBuildSec = onceOr("knn_ivf_persist_build") {
+      operators.Similarity.rebuildIvfIndex(spark, sfDir); ()
+    }
+    val ivfServeSec = timedOr("knn_ivf_persist_serve")(force(
+      SparkEntry.registry.find(_.name == "q_knn_ivf_persist").get.build(spark, sfDir)))
     progress(f"knn_ivf_persist build: $ivfBuildSec%.2fs, serve: $ivfServeSec%.2fs")
-    val ivf2BuildSec = time { operators.Similarity.rebuildIvf2Index(spark, sfDir) }
-    val ivf2ServeSec = (1 to 2).map(_ => time(force(
-      SparkEntry.registry.find(_.name == "q_knn_ivf2_persist").get.build(spark, sfDir)))).min
+    val ivf2BuildSec = onceOr("knn_ivf2_persist_build") {
+      operators.Similarity.rebuildIvf2Index(spark, sfDir); ()
+    }
+    val ivf2ServeSec = timedOr("knn_ivf2_persist_serve")(force(
+      SparkEntry.registry.find(_.name == "q_knn_ivf2_persist").get.build(spark, sfDir)))
     progress(f"knn_ivf2_persist build: $ivf2BuildSec%.2fs, serve: $ivf2ServeSec%.2fs")
     progress("batch queries done; streaming headline")
 
@@ -185,14 +201,16 @@ object Bench {
     // data duration means the pipeline absorbed the spike and re-reached
     // real-time within the run — reported OUTSIDE the per-query total so
     // round-over-round totals stay comparable.
+    // ONE spike plan shared by both legs — the estimator leg's entire
+    // point is steering the SAME workload, so the plans must not drift
+    val spikePlan =
+      """sequence = [
+        |  { type = fixed, value = 7, rate = 20000, duration = 10 }
+        |  { type = fixed, value = 8, rate = 20000, duration = 10 }
+        |  { type = fixed, value = 7, rate = 20000, duration = 10 }
+        |]""".stripMargin
     val spikeSec = {
       System.gc()
-      val spikePlan =
-        """sequence = [
-          |  { type = fixed, value = 7, rate = 20000, duration = 10 }
-          |  { type = fixed, value = 8, rate = 20000, duration = 10 }
-          |  { type = fixed, value = 7, rate = 20000, duration = 10 }
-          |]""".stripMargin
       val key = "bench-spike"
       val pid = new streaming.PidController(
         kp = 0.5, ki = 0.1, minRows = 1000, maxRows = 200000)
@@ -230,12 +248,6 @@ object Bench {
     // actually compare. Same plan, same bar: ≤ 2× the 30 s data duration.
     val spikeEstSec = {
       System.gc()
-      val spikePlan =
-        """sequence = [
-          |  { type = fixed, value = 7, rate = 20000, duration = 10 }
-          |  { type = fixed, value = 8, rate = 20000, duration = 10 }
-          |  { type = fixed, value = 7, rate = 20000, duration = 10 }
-          |]""".stripMargin
       val key = "bench-spike-est"
       val listener = new streaming.PidRateListener(
         key, triggerMs = 1000L, initialLimit = 20000L,

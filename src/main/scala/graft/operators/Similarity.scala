@@ -210,14 +210,7 @@ object Similarity {
     * bounded in /tmp. Live pids keep theirs — that isolation is the point
     * (two JVMs sharing one dir could race rebuild-vs-serve). */
   private def reapDeadDirs(root: String, pid: Long): Unit =
-    Option(new java.io.File(root).listFiles()).toSeq.flatten
-      .filter { f =>
-        f.getName.split('_').lastOption.flatMap(_.toLongOption) match {
-          case Some(p) => p != pid && !ProcessHandle.of(p).isPresent
-          case None    => true // legacy un-suffixed layout: reap
-        }
-      }
-      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    TmpDirs.reap(root, pid, TmpDirs.pidSuffix)
 
   /** Test hook: the (built) index dir for `d` in this JVM. */
   private[graft] def ivfIndexDir(s: SparkSession, d: String): String =
@@ -390,8 +383,13 @@ object Similarity {
 
     val topSeeds = emb.filter(col("vec_id") % stride1 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
-    // level-1 routing: O(n · k1) broadcast argmax
+    // level-1 routing: O(n · k1) broadcast argmax — checkpointed so the
+    // three downstream lineages (sub-seeds, refinement, final assign)
+    // pay the routing pass ONCE, not once each; without this the bench's
+    // build timing would measure ~3× the claimed level-1 cost (same
+    // discipline as ivfCodebook's checkpoint)
     val topAssigned = ivfAssign(emb, topSeeds).withColumnRenamed("cell", "top")
+      .localCheckpoint()
 
     // sub-seeds: the `subs` smallest vec_ids per super cell (checkpointed —
     // O(leaves) rows — so downstream joins don't share scan lineage)

@@ -1009,19 +1009,16 @@ object TextAnalysis {
     // over the same dataset must not race on delete/write, and the
     // sanitized-path collision (/data/x vs /data_x) can't alias runs
     val pid = ProcessHandle.current().pid()
-    val outDir = s"/tmp/graft_shards/run_${pid}_${shardRunCounter.incrementAndGet()}"
-    // reap dirs left by DEAD pids so the unique-dir scheme doesn't
-    // accumulate in /tmp; live pids (including this one — an earlier
-    // build's DataFrame may still be lazily read) keep theirs
-    val root = new java.io.File("/tmp/graft_shards")
-    Option(root.listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("run_"))
-      .filter { f =>
-        f.getName.stripPrefix("run_").split('_').headOption
-          .flatMap(_.toLongOption)
-          .exists(p => p != pid && !ProcessHandle.of(p).isPresent)
-      }
-      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    val run = shardRunCounter.incrementAndGet()
+    val outDir = s"/tmp/graft_shards/run_${pid}_$run"
+    // reap dirs of dead pids, plus this pid's dirs at least two builds
+    // old (their consumers have read back; keeping the previous one
+    // covers a concurrently-building suite's still-lazy DataFrame) —
+    // bounds the per-JVM footprint at 2 routed-corpus copies
+    TmpDirs.reap("/tmp/graft_shards", pid,
+      n => n.stripPrefix("run_").split('_').headOption.flatMap(_.toLongOption),
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 2))
     val schema = Tables.documents(s, d).schema
     val tablePath = s"$d/documents.parquet"
     val reader = s.readStream.schema(schema)

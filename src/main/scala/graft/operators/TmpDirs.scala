@@ -1,0 +1,28 @@
+package graft.operators
+
+/** /tmp hygiene for per-pid scratch and index directories.
+  *
+  * The naming convention `..._<pid>` gives each JVM its own dir — two
+  * JVMs sharing one dir could race rebuild-vs-serve — and this reaper
+  * keeps the scheme bounded: children of `root` owned by DEAD pids (or
+  * in a legacy layout with no parseable pid) are deleted; live pids keep
+  * theirs, except where `reapSamePid` opts specific own dirs in (e.g.
+  * run dirs at least two generations old, whose consumers have finished). */
+object TmpDirs {
+
+  /** Owner pid per the `<anything>_<pid>` suffix convention. */
+  def pidSuffix(name: String): Option[Long] =
+    name.split('_').lastOption.flatMap(_.toLongOption)
+
+  def reap(root: String, pid: Long, pidOf: String => Option[Long],
+      reapSamePid: String => Boolean = _ => false): Unit =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter { f =>
+        pidOf(f.getName) match {
+          case Some(p) if p == pid => reapSamePid(f.getName)
+          case Some(p)             => !ProcessHandle.of(p).isPresent
+          case None                => true // legacy un-suffixed layout
+        }
+      }
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+}

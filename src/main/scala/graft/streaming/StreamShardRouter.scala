@@ -41,8 +41,9 @@ object StreamShardRouter {
     * `checkpointLocation`. Pass one for any restartable production query;
     * with the default (`None` → Spark's temporary checkpoint) each fresh
     * run renumbers batches from 0, so callers starting a fresh query over
-    * an existing `outDir` must clear it first (as `q_stream_shard_route`
-    * does) or stale `batch=<n>` directories from a previous run
+    * an existing `outDir` must either clear it first or sidestep reuse
+    * entirely with a per-run unique `outDir` (as `q_stream_shard_route`
+    * does); otherwise stale `batch=<n>` directories from a previous run
     * double-count on read-back. */
   def route(docs: DataFrame, outDir: String, numShards: Int = 16,
             checkpointLocation: Option[String] = None): StreamingQuery = {

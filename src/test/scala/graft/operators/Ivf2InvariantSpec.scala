@@ -5,15 +5,18 @@ import graft.{SparkSpec, Tables}
 
 /** Structural invariants of the two-level IVF index — properties the
   * 5-query oracle can't see. A regression in any of these (a vector
-  * escaping its super cell, an unbalanced seed selection, an empty
-  * cell) silently degrades recall long before it breaks a hash gate. */
+  * escaping its super cell, a super cell losing all leaves, an
+  * unbalanced seed selection) silently degrades recall long before it
+  * breaks a hash gate. */
 class Ivf2InvariantSpec extends SparkSpec {
 
   private lazy val (topSeeds, refined, finalAssign) =
     Similarity.ivf2Index(spark, sf)
 
+  private lazy val n = Tables.embeddings(spark, sf).count()
+  private lazy val tops = topSeeds.count()
+
   test("every vector is assigned to exactly one leaf of its own super cell") {
-    val n = Tables.embeddings(spark, sf).count()
     assert(finalAssign.count() === n)
     assert(finalAssign.select("vec_id").distinct().count() === n)
     // leaf's super cell must equal the vector's super cell: join the
@@ -25,30 +28,39 @@ class Ivf2InvariantSpec extends SparkSpec {
       "a vector was assigned to a leaf outside its super cell")
   }
 
-  test("every super cell owns at least one leaf and leaf count ≈ √n") {
-    val n = Tables.embeddings(spark, sf).count()
-    val leavesTarget = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
-    val tops = topSeeds.count()
-    val leafCells = refined.count()
-    // each super cell seeds min(subs, members) leaves, so the total lands
-    // within [tops, leavesTarget + tops] (the +tops slack covers ceil)
-    assert(leafCells >= tops, s"$leafCells leaves for $tops super cells")
-    assert(leafCells <= leavesTarget + tops,
-      s"$leafCells leaves overshoots the √n=$leavesTarget target")
+  test("every super cell owns at least one leaf; total leaves bounded by tops × subs") {
+    // each top seed is a corpus vector and argmax(cos(x, x)) = 1.0, so
+    // every super cell has ≥1 member, hence ≥1 sub-seed, hence ≥1
+    // refined leaf: distinct l_top must equal the super-cell count EXACTLY
     val topsWithLeaves = refined.select("l_top").distinct().count()
-    assert(topsWithLeaves === topSeeds.select("cent_id").distinct().count()
-      || topsWithLeaves <= tops, "super cells lost all their leaves")
+    assert(topsWithLeaves === tops,
+      s"only $topsWithLeaves of $tops super cells own leaves")
+    // sizing: each cell seeds at most `subs` leaves (subs = ceil(√n / k1),
+    // recomputed here the same way), so the hard ceiling is tops × subs
+    val leavesTarget = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val k1 = math.max(1L, math.floor(math.sqrt(leavesTarget.toDouble)).toLong)
+    val subs = (leavesTarget + k1 - 1) / k1
+    val leafCells = refined.count()
+    assert(leafCells >= tops && leafCells <= tops * subs,
+      s"$leafCells leaves outside [$tops, ${tops * subs}] for $tops super cells, subs=$subs")
   }
 
-  test("no leaf is empty and no leaf holds more than its super cell") {
+  test("populated leaves partition the corpus and cover every super cell") {
     val bySize = finalAssign.groupBy("leaf").count()
-    val refJoined = refined.select("leaf").join(bySize, Seq("leaf"), "left")
-    // every refined leaf that survived refinement came from ≥1 member at
-    // seed-assignment time; after the final reassignment a leaf MAY end
-    // up empty (members moved to a better-refined sibling), but the
-    // populated leaves must cover every vector exactly once
-    assert(bySize.agg(sum("count")).head().getLong(0) ===
-      Tables.embeddings(spark, sf).count())
-    assert(refJoined.count() === refined.count())
+    // partition: sizes sum to n (no vector lost or double-assigned)
+    assert(bySize.agg(sum("count")).head().getLong(0) === n)
+    // every populated leaf is a refined leaf (no phantom assignments)
+    assert(bySize.join(refined.select("leaf"), Seq("leaf"), "left_anti").count() === 0)
+    // every super cell keeps ≥1 POPULATED leaf after the final
+    // reassignment (its members must land somewhere within the cell)
+    val populatedTops = bySize.join(refined.select("leaf", "l_top"), "leaf")
+      .select("l_top").distinct().count()
+    assert(populatedTops === tops,
+      s"only $populatedTops of $tops super cells have any members after reassignment")
+    // and no single leaf swallowed the corpus (the degenerate index that
+    // would make every probe a full scan)
+    val maxLeaf = bySize.agg(max("count")).head().getLong(0)
+    assert(tops == 1L || maxLeaf < n,
+      s"one leaf holds all $n vectors — the index degenerated to a single bucket")
   }
 }
