@@ -111,14 +111,19 @@ object Bench {
     // bound), so its row above reports exact-percentile cost. This row is
     // the flag-free ObjectHashAggregate sketch plan — the cost class the
     // approximation exists to buy at 100 TB. Same 2-pass/min discipline.
-    // same failure discipline as the registry loop: a throwing row
-    // records -1 and the bench keeps going — one bad /tmp state must
-    // never erase the whole run's results
-    def timedOr(label: String)(f: => Unit): Double =
-      try (1 to 2).map(_ => time(f)).min
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $label failed: ${e.getMessage}"); -1.0
+    // same failure discipline as the registry loop, PER PASS: a throwing
+    // pass logs and is skipped, surviving passes still report their min —
+    // one transient failure must never erase a valid measurement, and one
+    // bad /tmp state must never abort the whole bench
+    def timedOr(label: String, runs: Int = 2)(f: => Unit): Double = {
+      val ok = (1 to runs).flatMap { _ =>
+        try Some(time(f))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $label failed: ${e.getMessage}"); None
+        }
       }
+      if (ok.isEmpty) -1.0 else ok.min
+    }
     results("q_approx_percentiles_sketch") = timedOr("q_approx_percentiles_sketch")(
       force(operators.Analytic.approxPercentilesSketch(spark, sfDir)))
     progress(f"q_approx_percentiles_sketch: ${results("q_approx_percentiles_sketch")}%.2fs")
@@ -129,11 +134,7 @@ object Bench {
     // Time them separately: a from-scratch rebuild (codebook train +
     // assign + cell-partitioned write), then two pure serves off the
     // fresh index.
-    def onceOr(label: String)(f: => Unit): Double =
-      try time(f)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $label failed: ${e.getMessage}"); -1.0
-      }
+    def onceOr(label: String)(f: => Unit): Double = timedOr(label, runs = 1)(f)
     val ivfBuildSec = onceOr("knn_ivf_persist_build") {
       operators.Similarity.rebuildIvfIndex(spark, sfDir); ()
     }

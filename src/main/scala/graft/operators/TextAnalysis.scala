@@ -1011,14 +1011,14 @@ object TextAnalysis {
     val pid = ProcessHandle.current().pid()
     val run = shardRunCounter.incrementAndGet()
     val outDir = s"/tmp/graft_shards/run_${pid}_$run"
-    // reap dirs of dead pids, plus this pid's dirs at least two builds
-    // old (their consumers have read back; keeping the previous one
-    // covers a concurrently-building suite's still-lazy DataFrame) —
-    // bounds the per-JVM footprint at 2 routed-corpus copies
+    // reap dirs of dead pids, plus this pid's dirs at least THREE builds
+    // old (their consumers have read back; keeping two prior generations
+    // covers a concurrently-building suite's or caller's still-lazy
+    // DataFrame) — bounds the per-JVM footprint at 3 routed-corpus copies
     TmpDirs.reap("/tmp/graft_shards", pid,
       n => n.stripPrefix("run_").split('_').headOption.flatMap(_.toLongOption),
       reapSamePid = n =>
-        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 2))
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
     val schema = Tables.documents(s, d).schema
     val tablePath = s"$d/documents.parquet"
     val reader = s.readStream.schema(schema)

@@ -7,7 +7,12 @@ package graft.operators
   * keeps the scheme bounded: children of `root` owned by DEAD pids (or
   * in a legacy layout with no parseable pid) are deleted; live pids keep
   * theirs, except where `reapSamePid` opts specific own dirs in (e.g.
-  * run dirs at least two generations old, whose consumers have finished). */
+  * run dirs several generations old, whose consumers have finished).
+  *
+  * OWNERSHIP ASSUMPTION: `root` must be a namespace this library owns
+  * exclusively (`/tmp/graft_ivf`, `/tmp/graft_ivf2`, `/tmp/graft_shards`)
+  * — a child whose name doesn't parse is treated as OUR legacy layout
+  * and reaped. Never point this at a shared directory. */
 object TmpDirs {
 
   /** Owner pid per the `<anything>_<pid>` suffix convention. */
