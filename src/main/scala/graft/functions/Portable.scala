@@ -41,6 +41,13 @@ object Portable {
   def hash60(seed: Int, c: Column): Column =
     hash60(concat_ws("|", lit(seed), c))
 
+  /** Native match count — `size(regexp_extract_all(c, pattern, 0))`
+    * value-for-value (same java.util.regex find() walk) without
+    * materializing the match array; [[RegexpCount]]. The per-document
+    * token/stopword/punctuation counting hot path. */
+  def regexpCount(c: Column, pattern: String): Column =
+    GraftShims.column(RegexpCount(GraftShims.expression(c), pattern))
+
   /** Driver-side [[hash60]] of a UTF-8 string — same first-15-hex-digits-
     * of-md5 value, for precomputing constant tables (e.g. LSH hyperplanes)
     * once instead of hashing per row. */

@@ -649,8 +649,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val labels = sharedLabels(s, d)
     val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = size(regexp_extract_all(
-      lower(col("text")), lit("\\b" + TextAnalysis.Stop + "\\b"), lit(0)))
+    val nStop = Portable.regexpCount(
+      lower(col("text")), "\\b" + TextAnalysis.Stop + "\\b")
     val qual = Tables.documents(s, d).select(
       col("doc_id"), round(nStop.cast("double") / nWords, 6).as("q"))
     labels.join(qual, "doc_id")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.Portable
 
 /** Feature-engineering and data-quality operators a training-data pipeline
   * runs between curation and training: CDC merge (applying a change batch
@@ -325,8 +326,8 @@ object Features {
   def qualityGate(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = size(regexp_extract_all(
-      lower(col("text")), lit("\\b" + TextAnalysis.Stop + "\\b"), lit(0)))
+    val nStop = Portable.regexpCount(
+      lower(col("text")), "\\b" + TextAnalysis.Stop + "\\b")
     val scored = docs.select(col("doc_id"), col("source"),
       round(nStop.cast("double") / nWords, 4).as("score"))
     val w = Window.partitionBy("source")

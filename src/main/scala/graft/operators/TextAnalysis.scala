@@ -45,7 +45,7 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"),
+        Portable.regexpCount(col("text"), TokenPat).as("n_tokens"),
         size(split(trim(col("text")), "\\s+")).as("n_words"))
   }
 
@@ -71,7 +71,7 @@ object TextAnalysis {
        |    / greatest(sum(len(regexp_extract_all(text, '$TokenPatSql'))), 1),
        |    4) AS chars_per_token
        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
-    val nTok = size(regexp_extract_all(col("text"), lit(TokenPat), lit(0)))
+    val nTok = Portable.regexpCount(col("text"), TokenPat)
     val nWords = size(split(trim(col("text")), "\\s+"))
     Tables.documents(s, d)
       .select(col("lang"), nTok.as("t"), nWords.as("w"), length(col("text")).as("c"))
@@ -103,8 +103,8 @@ object TextAnalysis {
        |  CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END AS length_ok
        |FROM documents""".stripMargin) { (s, d) =>
     val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = size(regexp_extract_all(lower(col("text")), lit("\\b" + Stop + "\\b"), lit(0)))
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nStop = Portable.regexpCount(lower(col("text")), "\\b" + Stop + "\\b")
+    val nPunct = Portable.regexpCount(col("text"), "[^A-Za-z0-9\\s]")
     Tables.documents(s, d)
       .select(
         col("doc_id"),
@@ -153,10 +153,10 @@ object TextAnalysis {
          |   FROM documents))""".stripMargin
     }) { (s, d) =>
     val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val meanWl = size(regexp_extract_all(col("text"), lit("\\S"), lit(0)))
+    val meanWl = Portable.regexpCount(col("text"), "\\S")
       .cast("double") / nWords
-    val nSym = size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
-    val nAlpha = size(regexp_extract_all(col("text"), lit("\\S*[A-Za-z]\\S*"), lit(0)))
+    val nSym = Portable.regexpCount(col("text"), "#|\\.\\.\\.")
+    val nAlpha = Portable.regexpCount(col("text"), "\\S*[A-Za-z]\\S*")
     val stopHits = GopherStops.map(w =>
       when(lower(col("text")).rlike(s"\\b$w\\b"), 1).otherwise(0)).reduce(_ + _)
     val flags = Seq(
@@ -203,9 +203,9 @@ object TextAnalysis {
     val lowered = lower(col("text"))
     val withScores = Tables.documents(s, d)
       .withColumns(Profiles.map { case (l, p) =>
-        s"s_$l" -> size(regexp_extract_all(lowered, lit("\\b" + p + "\\b"), lit(0)))
+        s"s_$l" -> Portable.regexpCount(lowered, "\\b" + p + "\\b")
       }.toMap)
-      .withColumn("s_zh", size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))))
+      .withColumn("s_zh", Portable.regexpCount(col("text"), "[\\x{4e00}-\\x{9fff}]"))
     withScores.select(
       col("doc_id"), col("lang").as("labeled_lang"),
       when(col("s_zh") > 0, "zh")
@@ -393,9 +393,9 @@ object TextAnalysis {
         lit(EmailPat), lit("<EMAIL>")),
         lit(PhonePat), lit("<PHONE>")),
         lit(Ipv4Pat), lit("<IP>")).as("scrubbed"),
-      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_email"),
-      size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("n_ip"),
-      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0))).as("n_phone"))
+      Portable.regexpCount(col("text"), EmailPat).as("n_email"),
+      Portable.regexpCount(col("text"), Ipv4Pat).as("n_ip"),
+      Portable.regexpCount(col("text"), PhonePat).as("n_phone"))
   }
 
   /** Text normalization: the canonical pre-dedup cleanup — lowercase,
@@ -576,7 +576,7 @@ object TextAnalysis {
        |FROM dedup
        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0""".stripMargin) { (s, d) =>
     val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = size(regexp_extract_all(lower(col("text")), lit("\\b" + Stop + "\\b"), lit(0)))
+    val nStop = Portable.regexpCount(lower(col("text")), "\\b" + Stop + "\\b")
     val w = Window.partitionBy("h").orderBy("doc_id")
     Tables.documents(s, d)
       .filter(length(col("text")).between(50, 10000) &&
@@ -587,7 +587,7 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .filter(Portable.hash60(col("doc_id").cast("string")) % 2 === 0)
       .select(col("doc_id"), col("source"),
-        size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"))
+        Portable.regexpCount(col("text"), TokenPat).as("n_tokens"))
   }
 
   /** Stratified (per-language) hash sampling: each language stratum keeps
@@ -912,7 +912,7 @@ object TextAnalysis {
        |FROM kept GROUP BY source""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d).select(
       col("doc_id"), col("source"),
-      size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"))
+      Portable.regexpCount(col("text"), TokenPat).as("n_tokens"))
     val totals = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
     toks.join(broadcast(totals), "source")
       .filter(Portable.hash60(col("doc_id").cast("string")) % 10000 <
@@ -942,7 +942,7 @@ object TextAnalysis {
        |FROM documents""".stripMargin) { (s, d) =>
     Tables.documents(s, d).agg(
       count(lit(1)).as("n_docs"),
-      sum(size(regexp_extract_all(col("text"), lit(TokenPat), lit(0)))).as("n_tokens"),
+      sum(Portable.regexpCount(col("text"), TokenPat)).as("n_tokens"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"),
       round(sum(when(length(col("text")).between(50, 10000), 1).otherwise(0)).cast("double")
@@ -1101,7 +1101,7 @@ object TextAnalysis {
        |FROM tot, den""".stripMargin) { (s, d) =>
     val tot = Tables.documents(s, d)
       .select(col("source"),
-        size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n"))
+        Portable.regexpCount(col("text"), TokenPat).as("n"))
       .groupBy("source").agg(sum("n").as("n_tokens"))
     val den = tot.agg(
       sum("n_tokens").as("tot_tokens"),
@@ -1143,7 +1143,7 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(TokenPat), lit(0))).as("n_tokens"),
+        Portable.regexpCount(col("text"), TokenPat).as("n_tokens"),
         (Portable.hash60(col("doc_id").cast("string")) % 16).as("shard"))
       .withColumn("cum", sum("n_tokens").over(w))
       .withColumn("window_id", floor((col("cum") - col("n_tokens")) / lit(2048)))

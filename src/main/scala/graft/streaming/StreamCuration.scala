@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.Portable
 import graft.operators.TextAnalysis
 
 /** Streaming corpus curation — the batch quality gate + exact dedup +
@@ -25,8 +26,8 @@ object StreamCuration {
     * survivors are emitted on first arrival. */
   def curate(docs: DataFrame, horizon: String = "10 seconds"): DataFrame = {
     val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = size(regexp_extract_all(
-      lower(col("text")), lit("\\b" + TextAnalysis.Stop + "\\b"), lit(0)))
+    val nStop = Portable.regexpCount(
+      lower(col("text")), "\\b" + TextAnalysis.Stop + "\\b")
     docs
       .filter(length(col("text")).between(50, 10000))
       .filter(nStop.cast("double") / nWords >= 0.05)
@@ -101,6 +102,6 @@ object StreamCuration {
       .groupBy(window(col("ts"), windowLen), col("source"))
       .agg(
         count(lit(1)).as("kept_docs"),
-        sum(size(regexp_extract_all(col("text"), lit(TextAnalysis.TokenPat), lit(0))))
+        sum(Portable.regexpCount(col("text"), TextAnalysis.TokenPat))
           .as("kept_tokens"))
 }

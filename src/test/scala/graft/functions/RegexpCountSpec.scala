@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Value-parity of the native match counter against the
+  * `size(regexp_extract_all(...))` formulation it replaces — which is the
+  * literal translation of the DuckDB oracle idiom
+  * `len(regexp_extract_all(...))`. A divergence here would silently break
+  * every token-count / stopword-ratio / langid oracle gate at once. */
+class RegexpCountSpec extends SparkSpec {
+
+  // every pattern the operators actually count with, plus generic shapes
+  private val patterns = Seq(
+    graft.operators.TextAnalysis.TokenPat,
+    "\\b" + graft.operators.TextAnalysis.Stop + "\\b",
+    "[^A-Za-z0-9\\s]", "\\S", "#|\\.\\.\\.", "\\S*[A-Za-z]\\S*",
+    "[\\x{4e00}-\\x{9fff}]", "a+", "\\d{2,}")
+
+  private def adversarial: Seq[String] =
+    Seq("", " ", "a", "hello world", "the a an and of", "é — ümlaut",
+      "日本語テキスト 漢字", "🎉 emoji #tag ... 1.5", "x" * 5000,
+      "tab\tnewline\nmixed 123 456", "aaa", "aaaa", "....", "##")
+
+  test("RegexpCount equals size(regexp_extract_all) on adversarial inputs, every pattern") {
+    import spark.implicits._
+    val df = adversarial.toDF("s")
+    patterns.foreach { p =>
+      val bad = df.select(col("s"),
+          Portable.regexpCount(col("s"), p).as("fast"),
+          size(regexp_extract_all(col("s"), lit(p), lit(0))).as("ref"))
+        .filter(col("fast") =!= col("ref"))
+      assert(bad.isEmpty,
+        s"pattern <$p> diverged: ${bad.take(3).toSeq.mkString(", ")}")
+    }
+  }
+
+  test("RegexpCount equals size(regexp_extract_all) over the documents corpus") {
+    val docs = Tables.documents(spark, sf)
+    patterns.take(4).foreach { p =>
+      val bad = docs.select(
+          Portable.regexpCount(col("text"), p).as("fast"),
+          size(regexp_extract_all(col("text"), lit(p), lit(0))).as("ref"))
+        .filter(col("fast") =!= col("ref"))
+      assert(bad.isEmpty, s"pattern <$p> diverged on documents")
+    }
+  }
+
+  test("interpreted eval matches codegen") {
+    // force the interpreted path via a fresh expression eval
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = RegexpCount(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString("the cat and the hat"),
+        org.apache.spark.sql.types.StringType),
+      "\\bthe\\b")
+    assert(e.eval(null) === 2)
+    assert(RegexpCount(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(""),
+        org.apache.spark.sql.types.StringType), "x").eval(null) === 0)
+  }
+}
