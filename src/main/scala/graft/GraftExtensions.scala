@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.Md5Slices].getName,
         functions.GraftFunctions.Md5SlicesName),
       (exprs: Seq[Expression]) => functions.GraftFunctions.mkMd5Slices(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(functions.GraftFunctions.RegexpCountName),
+      new ExpressionInfo(classOf[functions.RegexpCount].getName,
+        functions.GraftFunctions.RegexpCountName),
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkRegexpCount(exprs)))
     // binned range join (opt-in via spark.graft.rangeJoin.binWidth):
     // rewrites point-in-interval joins to an equi-join on a bin key so
     // they shuffle instead of nested-looping — see plans/BinnedRangeJoin

@@ -91,6 +91,7 @@ object GraftFunctions {
   val HilbertName = "graft_hilbert"
   val Hash60Name = "graft_hash60"
   val Md5SlicesName = "graft_md5_slices"
+  val RegexpCountName = "graft_regexp_count"
 
   /** Build a [[CollectCapped]] from SQL arguments: the cap must be a
     * foldable integer (it sizes aggregation buffers at plan time).
@@ -149,6 +150,16 @@ object GraftFunctions {
       s"$Md5SlicesName slice geometry (n, len, stride) must be literal integers")
     val Seq(n, len, stride) = exprs.tail.map(_.eval().asInstanceOf[Number].intValue)
     Md5Slices(exprs.head, n, len, stride)
+  }
+
+  /** Build a [[RegexpCount]] from SQL arguments: the pattern must be a
+    * plan-time string literal (it is compiled once per expression). */
+  private[graft] def mkRegexpCount(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$RegexpCountName takes exactly 2 arguments (text, pattern), got ${exprs.length}")
+    require(exprs(1).foldable,
+      s"$RegexpCountName pattern must be a literal string")
+    RegexpCount(exprs.head, exprs(1).eval().toString)
   }
 
   /** Build a [[HilbertIndex]] from SQL arguments, with arity validation. */
@@ -226,6 +237,13 @@ object GraftFunctions {
         msId,
         new ExpressionInfo(classOf[Md5Slices].getName, Md5SlicesName),
         (exprs: Seq[Expression]) => mkMd5Slices(exprs))
+    }
+    val rcId = FunctionIdentifier(RegexpCountName)
+    if (!registry.functionExists(rcId)) {
+      registry.registerFunction(
+        rcId,
+        new ExpressionInfo(classOf[RegexpCount].getName, RegexpCountName),
+        (exprs: Seq[Expression]) => mkRegexpCount(exprs))
     }
   }
 

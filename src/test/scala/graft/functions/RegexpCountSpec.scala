@@ -46,6 +46,21 @@ class RegexpCountSpec extends SparkSpec {
     }
   }
 
+  test("SQL registration: graft_regexp_count callable from plain SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("the cat and the hat").toDF("s").createOrReplaceTempView("rc_probe")
+    val n = spark.sql(
+      "SELECT graft_regexp_count(s, '\\\\bthe\\\\b') AS n FROM rc_probe")
+      .head().getInt(0)
+    assert(n === 2)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_regexp_count(s, s) FROM rc_probe").collect()
+    }
+    assert(err.getMessage.contains("literal"),
+      s"non-literal pattern should fail clearly, got: ${err.getMessage}")
+  }
+
   test("interpreted eval matches codegen") {
     // force the interpreted path via a fresh expression eval
     import org.apache.spark.unsafe.types.UTF8String
