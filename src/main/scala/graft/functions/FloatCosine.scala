@@ -153,13 +153,19 @@ object GraftFunctions {
   }
 
   /** Build a [[RegexpCount]] from SQL arguments: the pattern must be a
-    * plan-time string literal (it is compiled once per expression). */
+    * plan-time, non-null STRING literal (it is compiled once per
+    * expression) — checked explicitly so a NULL or non-string literal
+    * fails with this message at analysis, not an NPE or a silently
+    * stringified pattern. */
   private[graft] def mkRegexpCount(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"$RegexpCountName takes exactly 2 arguments (text, pattern), got ${exprs.length}")
-    require(exprs(1).foldable,
+    require(exprs(1).foldable &&
+        exprs(1).dataType == org.apache.spark.sql.types.StringType,
       s"$RegexpCountName pattern must be a literal string")
-    RegexpCount(exprs.head, exprs(1).eval().toString)
+    val pat = exprs(1).eval()
+    require(pat != null, s"$RegexpCountName pattern must be a literal string, got NULL")
+    RegexpCount(exprs.head, pat.toString)
   }
 
   /** Build a [[HilbertIndex]] from SQL arguments, with arity validation. */

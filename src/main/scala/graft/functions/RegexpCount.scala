@@ -27,7 +27,14 @@ object RegexpCountUtil {
   *
   * The pattern is a plan-time constant (compiled once per expression,
   * shipped to generated code as a reference object), which is every use
-  * in this codebase. */
+  * in this codebase.
+  *
+  * Null semantics: null-in → null-out, matching
+  * `size(regexp_extract_all(...))` under the DEFAULT
+  * `spark.sql.legacy.sizeOfNull=false` (since Spark 3.0). Under the
+  * legacy flag the replaced idiom returned -1 for null input; this
+  * expression intentionally does not replicate that deprecated
+  * behavior. */
 case class RegexpCount(child: Expression, pattern: String)
     extends UnaryExpression {
 

@@ -648,9 +648,8 @@ object Dedup {
     }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val labels = sharedLabels(s, d)
-    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = Portable.regexpCount(
-      lower(col("text")), "\\b" + TextAnalysis.Stop + "\\b")
+    val nWords = TextAnalysis.wordCountFloor1(col("text"))
+    val nStop = TextAnalysis.stopCount(col("text"))
     val qual = Tables.documents(s, d).select(
       col("doc_id"), round(nStop.cast("double") / nWords, 6).as("q"))
     labels.join(qual, "doc_id")

@@ -325,9 +325,8 @@ object Features {
   /** Docs at-or-above their source's rank-selected p25 stopword-ratio. */
   def qualityGate(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = Portable.regexpCount(
-      lower(col("text")), "\\b" + TextAnalysis.Stop + "\\b")
+    val nWords = TextAnalysis.wordCountFloor1(col("text"))
+    val nStop = TextAnalysis.stopCount(col("text"))
     val scored = docs.select(col("doc_id"), col("source"),
       round(nStop.cast("double") / nWords, 4).as("score"))
     val w = Window.partitionBy("source")

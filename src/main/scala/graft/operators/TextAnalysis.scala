@@ -91,6 +91,16 @@ object TextAnalysis {
 
   private[graft] val Stop = "(?:the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)"
 
+  /** Shared quality-heuristic columns — ONE definition of the stopword
+    * count and the floor-1 word count for every quality gate (batch
+    * scoring, dedup keep-best, per-source sampling, stream curation), so
+    * a pattern or guard change lands everywhere at once instead of five
+    * copies silently disagreeing. */
+  private[graft] def stopCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Portable.regexpCount(lower(text), "\\b" + Stop + "\\b")
+  private[graft] def wordCountFloor1(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(size(split(trim(text), "\\s+")), lit(1))
+
   /** Quality scoring: stopword ratio, punctuation ratio, length gate —
     * the usual cheap pre-training heuristics. */
   val qQuality: Q = Q(
@@ -102,8 +112,8 @@ object TextAnalysis {
        |    / greatest(length(text), 1), 4) AS punct_ratio,
        |  CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END AS length_ok
        |FROM documents""".stripMargin) { (s, d) =>
-    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = Portable.regexpCount(lower(col("text")), "\\b" + Stop + "\\b")
+    val nWords = wordCountFloor1(col("text"))
+    val nStop = stopCount(col("text"))
     val nPunct = Portable.regexpCount(col("text"), "[^A-Za-z0-9\\s]")
     Tables.documents(s, d)
       .select(
@@ -152,7 +162,7 @@ object TextAnalysis {
          |    len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha
          |   FROM documents))""".stripMargin
     }) { (s, d) =>
-    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
+    val nWords = wordCountFloor1(col("text"))
     val meanWl = Portable.regexpCount(col("text"), "\\S")
       .cast("double") / nWords
     val nSym = Portable.regexpCount(col("text"), "#|\\.\\.\\.")
@@ -575,8 +585,8 @@ object TextAnalysis {
        |  len(regexp_extract_all(text, '$TokenPatSql')) AS n_tokens
        |FROM dedup
        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0""".stripMargin) { (s, d) =>
-    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = Portable.regexpCount(lower(col("text")), "\\b" + Stop + "\\b")
+    val nWords = wordCountFloor1(col("text"))
+    val nStop = stopCount(col("text"))
     val w = Window.partitionBy("h").orderBy("doc_id")
     Tables.documents(s, d)
       .filter(length(col("text")).between(50, 10000) &&

@@ -25,9 +25,8 @@ object StreamCuration {
     * (event-time timestamp); other columns pass through. Append mode:
     * survivors are emitted on first arrival. */
   def curate(docs: DataFrame, horizon: String = "10 seconds"): DataFrame = {
-    val nWords = greatest(size(split(trim(col("text")), "\\s+")), lit(1))
-    val nStop = Portable.regexpCount(
-      lower(col("text")), "\\b" + TextAnalysis.Stop + "\\b")
+    val nWords = TextAnalysis.wordCountFloor1(col("text"))
+    val nStop = TextAnalysis.stopCount(col("text"))
     docs
       .filter(length(col("text")).between(50, 10000))
       .filter(nStop.cast("double") / nWords >= 0.05)
