@@ -64,7 +64,8 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     progress(s"registry warmup at $warmDir (${SparkEntry.registry.size} queries)")
     SparkEntry.registry.foreach { q =>
-      try force(q.build(spark, warmDir)) catch { case _: Throwable => () }
+      try force(q.build(spark, warmDir))
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     progress("streaming warmup")
     locally { // streaming-path warmup (incremental planner + stats codegen)
@@ -92,9 +93,11 @@ object Bench {
         // timing and success tracked separately — a -1.0 failure marker
         // must not be overwritten by the elapsed time of the failed attempt
         val t0 = System.nanoTime()
+        // NonFatal only: an OutOfMemoryError/VM error must abort the
+        // bench, not be recorded as one failed row on a corrupted JVM
         val ok =
           try { force(q.build(spark, sfDir)); true }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             false
           }
@@ -118,7 +121,7 @@ object Bench {
     def timedOr(label: String, runs: Int = 2)(f: => Unit): Double = {
       val ok = (1 to runs).flatMap { _ =>
         try Some(time(f))
-        catch { case e: Throwable =>
+        catch { case e if scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $label failed: ${e.getMessage}"); None
         }
       }

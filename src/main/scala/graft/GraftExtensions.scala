@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CollectCapped, FloatCosine}
+import graft.functions.{CollectCapped, FloatCosine, MinKCollect}
 
 /** SparkSessionExtensions hook: install graft's native functions and
   * optimizer rules at session build time
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(functions.GraftFunctions.CollectCappedName),
       new ExpressionInfo(classOf[CollectCapped].getName, functions.GraftFunctions.CollectCappedName),
       (exprs: Seq[Expression]) => functions.GraftFunctions.mkCollectCapped(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier(functions.GraftFunctions.MinKName),
+      new ExpressionInfo(classOf[MinKCollect].getName, functions.GraftFunctions.MinKName),
+      (exprs: Seq[Expression]) => functions.GraftFunctions.mkMinK(exprs)))
     ext.injectFunction((
       FunctionIdentifier(functions.GraftFunctions.BloomAggName),
       new ExpressionInfo(

@@ -29,6 +29,83 @@ import org.apache.spark.sql.types.DataType
   * oracle-exact. Which elements are retained in an overflowing group is
   * otherwise arbitrary (like `collect_list` ordering itself).
   */
+/** Deterministic bounded top-k: retains the `k` SMALLEST elements per
+  * group under the element type's natural ordering, in both the partial
+  * (map-side) and merge paths — per-group state is O(k) regardless of
+  * group size, and the result is a pure function of the group's SET of
+  * elements (unlike [[CollectCapped]], whose survivors are
+  * partitioning-dependent).
+  *
+  * This is the distributed reservoir for deterministic per-group
+  * sampling: order by a portable hash of the row id
+  * (`struct(graft_hash60(id), id, payload)` — the id tie-break makes the
+  * ordering total) and the k smallest ARE a uniform pseudo-random sample,
+  * reproducible on any engine that can sort by the same hash. Replaces
+  * the `row_number() OVER (PARTITION BY g ORDER BY …) <= k` formulation,
+  * which shuffles every candidate row and sorts whole groups in single
+  * tasks — the one O(group) sort a 100 TB build cannot afford on skewed
+  * groups. Result array is ascending-sorted. */
+case class MinKCollect(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends Collect[mutable.ArrayBuffer[Any]] with UnaryLike[Expression] {
+
+  require(k > 0, s"graft_min_k k must be positive, got $k")
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(child.dataType)
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
+    mutable.ArrayBuffer.empty
+
+  override protected def convertToBufferElement(value: Any): Any =
+    InternalRow.copyValue(value)
+
+  override protected lazy val bufferElementType: DataType = child.dataType
+
+  /** Insert keeping the buffer ascending-sorted and bounded at `k`. */
+  private def insert(buffer: mutable.ArrayBuffer[Any], v: Any): Unit =
+    if (buffer.length < k || ordering.lt(v, buffer(buffer.length - 1))) {
+      var lo = 0
+      var hi = buffer.length
+      while (lo < hi) { // binary search for the insertion point
+        val mid = (lo + hi) >>> 1
+        if (ordering.lteq(buffer(mid), v)) lo = mid + 1 else hi = mid
+      }
+      buffer.insert(lo, v)
+      if (buffer.length > k) buffer.remove(buffer.length - 1)
+    }
+
+  override def update(
+      buffer: mutable.ArrayBuffer[Any], input: InternalRow): mutable.ArrayBuffer[Any] = {
+    val value = child.eval(input)
+    if (value != null) insert(buffer, convertToBufferElement(value))
+    buffer
+  }
+
+  override def merge(
+      buffer: mutable.ArrayBuffer[Any],
+      other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
+    other.foreach(insert(buffer, _))
+    buffer
+  }
+
+  override def eval(buffer: mutable.ArrayBuffer[Any]): Any =
+    new GenericArrayData(buffer.toArray)
+
+  override def prettyName: String = GraftFunctions.MinKName
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKCollect =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKCollect =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinKCollect =
+    copy(child = newChild)
+}
+
 case class CollectCapped(
     child: Expression,
     cap: Int,

@@ -86,6 +86,7 @@ case class FloatCosine(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineName = "graft_cosine"
   val CollectCappedName = "graft_collect_capped"
+  val MinKName = "graft_min_k"
   val BloomAggName = "graft_bloom_agg"
   val BloomContainsName = "graft_bloom_contains"
   val HilbertName = "graft_hilbert"
@@ -103,6 +104,19 @@ object GraftFunctions {
     require(exprs(1).foldable,
       s"$CollectCappedName cap must be a literal integer")
     CollectCapped(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+  }
+
+  /** Build a [[MinKCollect]] from SQL arguments: k must be a foldable
+    * integer (it bounds aggregation buffers at plan time), and the
+    * element type must be orderable (the min-k IS an ordering). */
+  private[graft] def mkMinK(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$MinKName takes exactly 2 arguments (expr, k), got ${exprs.length}")
+    require(exprs(1).foldable, s"$MinKName k must be a literal integer")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(exprs.head.dataType),
+      s"$MinKName element type ${exprs.head.dataType} is not orderable")
+    MinKCollect(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
   }
 
   /** Build a [[FloatCosine]] from SQL arguments, with arity validation. */
@@ -205,6 +219,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[CollectCapped].getName, CollectCappedName),
         (exprs: Seq[Expression]) => mkCollectCapped(exprs))
     }
+    val mkId = FunctionIdentifier(MinKName)
+    if (!registry.functionExists(mkId)) {
+      registry.registerFunction(
+        mkId,
+        new ExpressionInfo(classOf[MinKCollect].getName, MinKName),
+        (exprs: Seq[Expression]) => mkMinK(exprs))
+    }
     val baId = FunctionIdentifier(BloomAggName)
     if (!registry.functionExists(baId)) {
       registry.registerFunction(
@@ -261,4 +282,9 @@ object GraftFunctions {
     * overflowing group (see [[CollectCapped]]). */
   def collectCapped(e: Column, cap: Int): Column =
     call_function(CollectCappedName, e, org.apache.spark.sql.functions.lit(cap))
+
+  /** Column API for the deterministic bounded min-k (after [[register]]):
+    * the `k` smallest elements per group, ascending — see [[MinKCollect]]. */
+  def minK(e: Column, k: Int): Column =
+    call_function(MinKName, e, org.apache.spark.sql.functions.lit(k))
 }

@@ -178,11 +178,30 @@ object Similarity {
     * serving stale postings; (b) distinct paths whose sanitized forms
     * collide (`/data/x` vs `/data_x`) get distinct directories. */
   private[graft] def dataFingerprint(path: String): String = {
+    // (name, mtime-ms, length) alone can miss an in-place regeneration
+    // that lands within mtime granularity with identical names/sizes —
+    // fold in each file's TAIL bytes too (for parquet that is the footer:
+    // row-group offsets/stats, which change with content even at equal
+    // file size). 64 bytes × O(files) driver-side reads — cheap.
+    def tailMarker(c: java.io.File): String =
+      if (!c.isFile || c.length == 0) ""
+      else {
+        val n = math.min(64L, c.length).toInt
+        val buf = new Array[Byte](n)
+        val raf = new java.io.RandomAccessFile(c, "r")
+        try { raf.seek(c.length - n); raf.readFully(buf) } finally raf.close()
+        java.util.Base64.getEncoder.encodeToString(buf)
+      }
+    def leaf(c: java.io.File): String =
+      s"${c.getName}:${c.lastModified}:${c.length}:${tailMarker(c)}"
     val f = new java.io.File(path)
     val leaves =
       if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).map(c => s"${c.getName}:${c.lastModified}:${c.length}")
-      else Array(s"${f.lastModified}:${f.length}")
+        // null-guard: a concurrently-deleted dir lists as empty, which
+        // fingerprints distinctly rather than throwing (TOCTOU)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).map(leaf)
+      else Array(leaf(f))
     java.security.MessageDigest.getInstance("MD5")
       .digest((path + "|" + leaves.mkString(",")).getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
@@ -254,9 +273,16 @@ object Similarity {
     GraftFunctions.register(s)
     val dir = ensureIvfIndex(s, d)
     val codebook = s.read.parquet(s"$dir/codebook")
+    // The cell id is a vec_id — a LONG. Directory-name inference types the
+    // read-back partition column int while ids fit; casting the COLUMN
+    // back to long (rather than the probes down to int) keeps the key
+    // long end-to-end, so an id past 2^31 can never wrap silently and
+    // drop matches. The cast references only the partition column, so it
+    // still qualifies as a partition filter — pruning is unaffected
+    // (pinned by IvfPersistPruningSpec's read-fewer-files assertion).
     val postings = s.read.parquet(s"$dir/postings")
+      .withColumn("cell", col("cell").cast("long"))
     val probes = ivfProbes(Tables.embeddings(s, d), codebook)
-      .withColumn("cell", col("cell").cast("int"))
     // The probed-cell list is a PLAN PARAMETER, resolved eagerly like the
     // codebook count: distinct cells number at most queries × nprobe and
     // never more than the √n cell count (≈31k ints even at 10^9 vectors),
@@ -272,7 +298,7 @@ object Similarity {
     // twice — once collected for the static filter, once as the join's
     // broadcast side — and the checkpoint computes it exactly once
     val probesCk = probes.localCheckpoint()
-    val probedCells = probesCk.select("cell").distinct().collect().map(_.getInt(0))
+    val probedCells = probesCk.select("cell").distinct().collect().map(_.getLong(0))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     postings.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
       .filter(col("cell").isin(probedCells.toSeq: _*))
@@ -296,8 +322,10 @@ object Similarity {
     * two-level).
     *
     * Deterministic for the oracle, same discipline as [[qKnnIvf]]:
-    * stride-seeded super cells, sub-seeds = the `subs` smallest vec_ids
-    * per super cell, ONE refinement pass (per-(leaf, dim) means
+    * stride-seeded super cells, sub-seeds = the `subs` members with the
+    * smallest `graft_hash60(vec_id)` per super cell (a deterministic
+    * hash-ordered reservoir, mirrored in DuckDB by the same md5-prefix
+    * ordering), ONE refinement pass (per-(leaf, dim) means
     * rounded to 6 decimals + float-truncated — re-synchronizing both
     * engines' codebooks bit-for-bit), every argmax tie-broken by
     * smallest id. All sizing integers derive from count(*) via nested
@@ -307,9 +335,10 @@ object Similarity {
     * Scale shape: both assignment passes are broadcast map-side-combined
     * argmaxes (one exchange row per vector, nothing all-pairs); the
     * refinement is a hash aggregate on (leaf, dim); sub-seed selection
-    * is a per-super-cell top-`subs` (WindowGroupLimit — at production
-    * scale a per-cell reservoir sample replaces the rank, the one spot
-    * where this layout still touches O(cell) rows in one task's sort).
+    * is the bounded [[graft.functions.MinKCollect]] reservoir — O(subs)
+    * state per cell with map-side partials, so NO build stage sorts
+    * O(cell) rows in one task and the whole build plan is
+    * Window/Sort-free (pinned by Ivf2InvariantSpec).
     *
     * The SQL below is the full pipeline in DuckDB, shared verbatim by
     * [[qKnnIvf2]] and [[qKnnIvf2Persist]] (persistence must not change a
@@ -328,7 +357,9 @@ object Similarity {
        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.c) DESC, t.tid) AS rn
        |  FROM embeddings e CROSS JOIN tseed t) WHERE rn = 1),
        |sseed AS (SELECT a.vec_id AS leaf, a.top AS l_top, CAST(e.embedding AS DOUBLE[]) AS c
-       |  FROM (SELECT vec_id, top, row_number() OVER (PARTITION BY top ORDER BY vec_id) AS rn
+       |  FROM (SELECT vec_id, top, row_number() OVER (PARTITION BY top
+       |          ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT),
+       |                   vec_id) AS rn
        |        FROM tassign) a JOIN embeddings e ON e.vec_id = a.vec_id
        |  WHERE a.rn <= (SELECT subs FROM par)),
        |a0 AS (SELECT vec_id, top, leaf FROM (
@@ -370,8 +401,12 @@ object Similarity {
 
   /** Builds the two-level index: (topSeeds, refined leaf codebook, final
     * leaf assignment). See [[qKnnIvf2]] for the full design notes. */
-  private[graft] def ivf2Index(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def ivf2Index(s: SparkSession, d: String,
+      checkpoint: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     GraftFunctions.register(s)
+    // checkpoint=false: test hook — keeps the FULL build lineage visible
+    // so Ivf2InvariantSpec can assert the plan is Window/Sort-free
+    def ck(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val emb = Tables.embeddings(s, d)
     // sizing integers: nested integer-sqrt + integer division only —
     // bit-identical across engines (sqrt is IEEE-exact; pow is not)
@@ -388,17 +423,27 @@ object Similarity {
     // pay the routing pass ONCE, not once each; without this the bench's
     // build timing would measure ~3× the claimed level-1 cost (same
     // discipline as ivfCodebook's checkpoint)
-    val topAssigned = ivfAssign(emb, topSeeds).withColumnRenamed("cell", "top")
-      .localCheckpoint()
+    val topAssigned = ck(ivfAssign(emb, topSeeds).withColumnRenamed("cell", "top"))
 
-    // sub-seeds: the `subs` smallest vec_ids per super cell (checkpointed —
-    // O(leaves) rows — so downstream joins don't share scan lineage)
-    val wSeed = Window.partitionBy("top").orderBy("vec_id")
-    val subSeeds = topAssigned.withColumn("rn", row_number().over(wSeed))
-      .filter(col("rn") <= subs)
-      .select(col("vec_id").as("leaf"), col("top").as("l_top"),
-        col("embedding").as("l_embedding"))
-      .localCheckpoint()
+    // sub-seeds: a deterministic per-super-cell RESERVOIR — the `subs`
+    // members with the smallest graft_hash60(vec_id), picked by the
+    // bounded MinKCollect aggregate (O(subs) state per cell, map-side
+    // partial, no shuffle-every-row + per-cell sort like the previous
+    // row_number formulation — the last O(cell)-rows-in-one-task sort in
+    // the build). Hash ordering makes the seed set a uniform
+    // pseudo-random sample instead of the `subs` smallest ids (which
+    // biased seeds toward early insertion order); vec_id tie-break makes
+    // the ordering total. Checkpointed — O(leaves) rows — so downstream
+    // joins don't share scan lineage.
+    val subSeeds = ck(topAssigned
+      .select(col("top"), struct(
+        Portable.hash60(col("vec_id").cast("string")).as("h"),
+        col("vec_id"), col("embedding")).as("c"))
+      .groupBy("top")
+      .agg(GraftFunctions.minK(col("c"), subs.toInt).as("cs"))
+      .select(col("top").as("l_top"), explode(col("cs")).as("c"))
+      .select(col("c.vec_id").as("leaf"), col("l_top"),
+        col("c.embedding").as("l_embedding")))
 
     // leaf assignment WITHIN the super cell: the broadcast side carries
     // l_top, so the equi-join on top routes each vector to only its own
@@ -409,10 +454,14 @@ object Similarity {
         .groupBy("vec_id")
         .agg(any_value(col("embedding")).as("embedding"),
           any_value(col("top")).as("top"),
-          max_by(col("leaf"), struct(col("lsim"), (-col("leaf")).as("tie"))).as("leaf"))
+          // hash-aggregable argmax (see ivfAssign): min over (-sim, leaf)
+          GraftFunctions.minK(
+            struct((-col("lsim")).as("neg"), col("leaf")), 1).as("am"))
+        .select(col("vec_id"), col("embedding"), col("top"),
+          col("am").getItem(0).getField("leaf").as("leaf"))
 
     // one refinement pass: per-(leaf, dim) means, round+float-truncate
-    val refined = leafAssign(subSeeds)
+    val refined = ck(leafAssign(subSeeds)
       .select(col("leaf"), col("top"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("leaf", "pos")
       .agg(any_value(col("top")).as("l_top"),
@@ -421,8 +470,7 @@ object Similarity {
       .agg(any_value(col("l_top")).as("l_top"),
         array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("leaf"), col("l_top"),
-        transform(col("pm"), p => p.getField("m").cast("float")).as("l_embedding"))
-      .localCheckpoint()
+        transform(col("pm"), p => p.getField("m").cast("float")).as("l_embedding")))
 
     val finalAssign = leafAssign(refined)
     (topSeeds, refined, finalAssign)
@@ -492,12 +540,15 @@ object Similarity {
     val dir = ensureIvf2Index(s, d)
     val topSeeds = s.read.parquet(s"$dir/topcodebook")
     val refined = s.read.parquet(s"$dir/codebook")
+    // leaf ids are vec_ids (LONG) — cast the inferred partition column
+    // back to long instead of narrowing probes to int (see
+    // qKnnIvfPersist's note: int narrowing would wrap past 2^31)
     val postings = s.read.parquet(s"$dir/postings")
+      .withColumn("leaf", col("leaf").cast("long"))
     // single evaluation of the probe set (see qKnnIvfPersist's note)
     val probes = ivf2Probes(Tables.embeddings(s, d), topSeeds, refined)
-      .withColumn("leaf", col("leaf").cast("int")) // match the inferred partition-col type
       .localCheckpoint()
-    val probedLeaves = probes.select("leaf").distinct().collect().map(_.getInt(0))
+    val probedLeaves = probes.select("leaf").distinct().collect().map(_.getLong(0))
     ivf2Serve(
       postings.select(col("vec_id").as("neighbor_id"), col("embedding"), col("leaf"))
         .filter(col("leaf").isin(probedLeaves.toSeq: _*)),
@@ -537,20 +588,29 @@ object Similarity {
     dir
   }
 
-  /** Cell assignment against a broadcast codebook: max_by over
-    * (sim, -cent_id) is an argmax AGGREGATE — it partial-aggregates
-    * map-side, so the exchange carries one row per vector and nothing
-    * sorts (a window rank-1 formulation would shuffle every candidate
-    * row and sort each partition). */
+  /** Cell assignment against a broadcast codebook: an argmax AGGREGATE —
+    * partial-aggregated map-side, so the exchange carries one row per
+    * vector and nothing sorts (a window rank-1 formulation would shuffle
+    * every candidate row and sort each partition).
+    *
+    * The argmax is `graft_min_k(struct(-sim, cent_id), 1)` — min over
+    * (-sim, id) ≡ max over (sim desc, id asc), the same semantics as
+    * `max_by(id, struct(sim, -id))` but HASH-aggregable: max_by's
+    * struct-typed ordering buffer forces SortAggregate (each partial pass
+    * sorting all n·k candidate rows by group key), while the native
+    * [[graft.functions.MinKCollect]] plans as ObjectHashAggregate — no
+    * Sort node anywhere in the assignment, at any scale. Sign flip on a
+    * double is IEEE-exact, so the argmax winner is bit-identical. */
   private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
       .groupBy("vec_id")
       .agg(
         any_value(col("embedding")).as("embedding"),
-        max_by(col("cent_id"),
-          struct(col("csim"), (-col("cent_id")).as("tie"))).as("cell"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+        GraftFunctions.minK(
+          struct((-col("csim")).as("neg"), col("cent_id")), 1).as("am"))
+      .select(col("vec_id"), col("embedding"),
+        col("am").getItem(0).getField("cent_id").as("cell"))
 
   /** The Lloyd-trained IVF codebook: ≈√n stride seeds, 2 fixed iterations
     * (per-(cell, dim) means rounded+float-truncated for cross-engine bit

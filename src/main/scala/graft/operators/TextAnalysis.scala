@@ -1041,6 +1041,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"),
         sum("n_chars").as("n_chars"))
+      // localCheckpoint decouples the returned result from the run dir:
+      // the 16-row aggregate is materialized HERE, so a caller that
+      // retains this DataFrame and re-collects it after 3+ more builds in
+      // this JVM (when the reaper may have deleted the dir) still reads
+      // the checkpointed rows, not a vanished directory
+      .localCheckpoint()
   }
 
   /** Deterministic global shuffle — the training-order manifest: every

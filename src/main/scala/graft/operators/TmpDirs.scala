@@ -19,14 +19,25 @@ object TmpDirs {
   def pidSuffix(name: String): Option[Long] =
     name.split('_').lastOption.flatMap(_.toLongOption)
 
+  /** Age floor for cross-pid reaps: a dir younger than this is never
+    * deleted on the dead-pid / legacy paths, even if its recorded owner
+    * looks dead — guards against pid recycling (a long-lived system
+    * process re-using a crashed builder's pid would otherwise keep that
+    * dir alive forever, and conversely a *young* dir whose owner briefly
+    * looks absent mid-fork must not be reaped under it). Same-pid
+    * opt-ins (`reapSamePid`) are exempt: the caller knows those dirs. */
+  val ageFloorMs: Long = 2L * 60 * 60 * 1000
+
   def reap(root: String, pid: Long, pidOf: String => Option[Long],
-      reapSamePid: String => Boolean = _ => false): Unit =
+      reapSamePid: String => Boolean = _ => false,
+      nowMs: () => Long = () => System.currentTimeMillis()): Unit =
     Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter { f =>
+        def oldEnough = nowMs() - f.lastModified() >= ageFloorMs
         pidOf(f.getName) match {
           case Some(p) if p == pid => reapSamePid(f.getName)
-          case Some(p)             => !ProcessHandle.of(p).isPresent
-          case None                => true // legacy un-suffixed layout
+          case Some(p)             => !ProcessHandle.of(p).isPresent && oldEnough
+          case None                => oldEnough // legacy un-suffixed layout
         }
       }
       .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))

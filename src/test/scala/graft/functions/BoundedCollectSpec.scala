@@ -41,6 +41,42 @@ class BoundedCollectSpec extends SparkSpec {
     assert(n == 33, s"overflow sentinel must be cap+1, got $n")
   }
 
+  test("min-k keeps exactly the k smallest, ascending, regardless of partitioning") {
+    val s = registered
+    // values arrive across 16 partitions in id order per partition; the
+    // k smallest of each group are a SET property — the result must be
+    // identical however the rows were distributed (unlike collectCapped)
+    val rows = s.range(0, 10000, 1, 16)
+      .select((col("id") % 7).as("k"), ((col("id") * 37) % 10000).as("v"))
+      .groupBy("k")
+      .agg(GraftFunctions.minK(col("v"), 5).as("vs"))
+      .collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val got = r.getSeq[Long](1)
+      // expected directly: all v for this k, smallest 5 ascending
+      val expect = (0L until 10000L).filter(_ % 7 == k).map(id => (id * 37) % 10000)
+        .sorted.take(5)
+      assert(got == expect, s"k=$k: got $got, want $expect")
+    }
+  }
+
+  test("min-k on a struct orders by (first, second) fields — the hash-reservoir shape") {
+    val s = registered
+    val rows = s.range(0, 1000, 1, 8)
+      .select(lit(1).as("k"),
+        struct((col("id") % 10).as("h"), col("id").as("vec_id")).as("c"))
+      .groupBy("k")
+      .agg(GraftFunctions.minK(col("c"), 3).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.h"), col("c.vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // min by (h, vec_id): h=0 ids ascending → (0,0), (0,10), (0,20)
+    assert(rows.toSeq == Seq((0L, 0L), (0L, 10L), (0L, 20L)))
+  }
+
   test("nulls are skipped like collect_list") {
     val s = registered
     val n = s.range(0, 10)

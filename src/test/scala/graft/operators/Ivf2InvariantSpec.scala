@@ -68,4 +68,18 @@ class Ivf2InvariantSpec extends SparkSpec {
     assert(tops == 1L || maxLeaf < n,
       s"one leaf holds all $n vectors — the index degenerated to a single bucket")
   }
+
+  test("build plan is Window/Sort-free (reservoir sub-seed selection)") {
+    // checkpoint=false keeps the FULL build lineage in one plan; the
+    // reservoir swap's whole point is that NO build stage shuffles every
+    // row to sort whole super cells in single tasks — a Window or Sort
+    // node reappearing here is that regression. ("Sort [" matches the
+    // exec node's argument list; array_sort/max_by expressions don't.)
+    val (_, _, fa) = Similarity.ivf2Index(spark, sf, checkpoint = false)
+    val plan = fa.queryExecution.executedPlan.toString
+    Seq("Window", "WindowGroupLimit", "Sort [").foreach { node =>
+      assert(!plan.contains(node),
+        s"ivf2 build plan regressed to a $node node:\n$plan")
+    }
+  }
 }

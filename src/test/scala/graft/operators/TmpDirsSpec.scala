@@ -27,7 +27,13 @@ class TmpDirsSpec extends AnyFunSuite {
       val mine = mk(root, s"0a1b2c3d4e5f6a7b_$pid")
       val dead = mk(root, s"0a1b2c3d4e5f6a7b_$deadPid")
       val legacy = mk(root, "_root_testdata_sf0.001")
+      // fresh dirs: the age floor protects even dead/legacy ones
       TmpDirs.reap(root.getAbsolutePath, pid, TmpDirs.pidSuffix)
+      assert(dead.exists(), "young dead-pid dir survives the age floor")
+      assert(legacy.exists(), "young legacy dir survives the age floor")
+      // same dirs seen past the floor (injected clock): reaped
+      val later = () => System.currentTimeMillis() + TmpDirs.ageFloorMs + 1000
+      TmpDirs.reap(root.getAbsolutePath, pid, TmpDirs.pidSuffix, nowMs = later)
       assert(mine.exists(), "own index dir must survive")
       assert(!dead.exists(), "dead-pid index dir must be reaped")
       assert(!legacy.exists(), "legacy unparseable dir must be reaped")
@@ -44,12 +50,14 @@ class TmpDirsSpec extends AnyFunSuite {
       val mineOld = mk(root, s"run_${pid}_1")
       val mineNew = mk(root, s"run_${pid}_9")
       val deadRun = mk(root, s"run_${deadPid}_7")
+      val later = () => System.currentTimeMillis() + TmpDirs.ageFloorMs + 1000
 
-      TmpDirs.reap(root.getAbsolutePath, pid, runPid)
+      TmpDirs.reap(root.getAbsolutePath, pid, runPid, nowMs = later)
       assert(mineOld.exists(), "own dirs survive without a reapSamePid opt-in")
       assert(mineNew.exists())
       assert(!deadRun.exists(), "dead-pid run dir must be reaped")
 
+      // same-pid opt-ins are exempt from the age floor (real clock here)
       TmpDirs.reap(root.getAbsolutePath, pid, runPid,
         reapSamePid = n =>
           n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= 1))
