@@ -199,21 +199,34 @@ object Bench {
     // Spike recovery (BASELINE.md rows 7-9: the reference's scenario-2
     // experiment — 30 s drain, 160-200 s back to real-time after a
     // mid-run per-element cost spike; the RS variant recovers
-    // immediately). Here: 20k rows/s with value 7 → 8 (2× cost) → 7 and
-    // PID backpressure adapting the per-trigger admission cap. The metric
-    // is wall-clock for the full 30 s three-phase plan: ≤ 2× the 30 s
-    // data duration means the pipeline absorbed the spike and re-reached
-    // real-time within the run — reported OUTSIDE the per-query total so
-    // round-over-round totals stay comparable.
+    // immediately). The reference's 2× cost spike (value 8) overwhelmed
+    // its 2015 hardware; on this host it is absorbed invisibly (measured
+    // peak delay 0.25 s under a 1 s trigger — the metric saturates at
+    // zero and cannot exercise the controllers). So the bench's spike is
+    // value 15 (2^15 Hanoi moves, 256× the baseline per-row cost,
+    // measured ≈2-4× real-time overload): 20k rows/s, 7 → 15 → 7, PID
+    // backpressure steering the per-trigger admission cap. Wall-clock
+    // for the full plan (bar: ≤ 2× the 30 s data duration) is reported
+    // OUTSIDE the per-query total; peak-delay and drain (from
+    // BenchMetrics.spikeRecovery) are the controller-distinguishing
+    // numbers.
     // ONE spike plan shared by both legs — the estimator leg's entire
     // point is steering the SAME workload, so the plans must not drift
     val spikePlan =
       """sequence = [
         |  { type = fixed, value = 7, rate = 20000, duration = 10 }
-        |  { type = fixed, value = 8, rate = 20000, duration = 10 }
+        |  { type = fixed, value = 15, rate = 20000, duration = 10 }
         |  { type = fixed, value = 7, rate = 20000, duration = 10 }
         |]""".stripMargin
-    val spikeSec = {
+    // Per-batch progress → (progress epoch ms, triggerExecution ms) for
+    // BenchMetrics.spikeRecovery; input-carrying batches only
+    def progressBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[(Long, Double)] =
+      q.recentProgress.toSeq.filter(_.numInputRows > 0).flatMap { p =>
+        Option(p.durationMs.get("triggerExecution")).map(d =>
+          (java.time.Instant.parse(p.timestamp).toEpochMilli, d.longValue.toDouble))
+      }
+
+    val (spikeSec, spikePeakDelay, spikeDrain) = {
       System.gc()
       val key = "bench-spike"
       val pid = new streaming.PidController(
@@ -221,7 +234,8 @@ object Bench {
       val listener = new streaming.PidRateListener(
         key, triggerMs = 1000L, initialLimit = 20000L, pid)
       spark.streams.addListener(listener)
-      try time {
+      var qh: org.apache.spark.sql.streaming.StreamingQuery = null
+      val sec = try time {
         val q = streaming.StreamingStats.run(
           spark, spikePlan,
           triggerMs = 1000L,
@@ -231,14 +245,21 @@ object Bench {
         // event from the just-stopped headline runs would otherwise
         // self-attach it to a dead query id and leave the spike unsteered.
         listener.attach(q)
+        qh = q
         q.processAllAvailable()
         q.stop()
       } finally {
         spark.streams.removeListener(listener)
         sources.RateLimitRegistry.clear(key)
       }
+      // wall-clock saturates at the plan length and can't distinguish
+      // controllers — peak delay + drain time is the pair the reference's
+      // spike experiments actually compare (BASELINE.md rows 7-8)
+      val (pk, dr) = BenchMetrics.spikeRecovery(progressBatches(qh).drop(1), 1000L) // drop(1): cold-batch exclusion, as the soak does
+      (sec, pk, dr)
     }
-    progress(f"spike recovery: $spikeSec%.2fs for 30 s of spiked data")
+    progress(f"spike recovery: $spikeSec%.2fs for 30 s of spiked data, " +
+      f"peak delay $spikePeakDelay%.2fs, drain $spikeDrain%.2fs")
     progress("spike recovery, estimator mode (PIDRateEstimator parity)")
 
     // The same spike leg driven by the ESTIMATOR (PidRateEstimator) — the
@@ -250,7 +271,7 @@ object Bench {
     // leg steers an absolute rows/s target from processing rate +
     // scheduling-delay backlog, the semantics the reference's experiments
     // actually compare. Same plan, same bar: ≤ 2× the 30 s data duration.
-    val spikeEstSec = {
+    val (spikeEstSec, spikeEstPeakDelay, spikeEstDrain) = {
       System.gc()
       val key = "bench-spike-est"
       val listener = new streaming.PidRateListener(
@@ -259,21 +280,26 @@ object Bench {
           batchIntervalMs = 1000L, proportional = 1.0,
           integral = 0.2, derivative = 0.0)))
       spark.streams.addListener(listener)
-      try time {
+      var qh: org.apache.spark.sql.streaming.StreamingQuery = null
+      val sec = try time {
         val q = streaming.StreamingStats.run(
           spark, spikePlan,
           triggerMs = 1000L,
           rateLimitKey = Some(key),
           sink = (stats, _) => { stats.collect(); () })
         listener.attach(q)
+        qh = q
         q.processAllAvailable()
         q.stop()
       } finally {
         spark.streams.removeListener(listener)
         sources.RateLimitRegistry.clear(key)
       }
+      val (pk, dr) = BenchMetrics.spikeRecovery(progressBatches(qh).drop(1), 1000L) // drop(1): cold-batch exclusion, as the soak does
+      (sec, pk, dr)
     }
-    progress(f"spike recovery (estimator): $spikeEstSec%.2fs for 30 s of spiked data")
+    progress(f"spike recovery (estimator): $spikeEstSec%.2fs for 30 s of spiked data, " +
+      f"peak delay $spikeEstPeakDelay%.2fs, drain $spikeEstDrain%.2fs")
     progress("stream soak: 120 s sustained 50k rows/s, stateful window agg")
 
     // Soak (the reference's "memory is stable" endurance analysis,
@@ -285,7 +311,7 @@ object Bench {
     // closed windows, so state rows plateau at rate x horizon, never grow
     // with run length). Both are read from StreamingQueryProgress and
     // reported; wall-clock ≈ plan duration is the real-time-parity bar.
-    val (soakSec, soakBatches, soakFlat, soakStateRowsMax, soakStateRowsLast) = {
+    val (soakSec, soakBatches, soakFlat, soakTailMs, soakDurs, soakStateRowsMax, soakStateRowsLast) = {
       System.gc()
       val src = spark.readStream.format("plan-gen")
         .option("plan",
@@ -307,20 +333,22 @@ object Bench {
         Option(p.durationMs.get("triggerExecution")).map(_.longValue.toDouble))
       val stateRows = prog.flatMap(p =>
         Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
-      // tail-vs-head batch-duration ratio, first batch (cold) excluded:
-      // ~1.0 = flat, >1.5 = per-batch cost creep
-      def mean(xs: Seq[Double]): Double = if (xs.isEmpty) 0.0 else xs.sum / xs.size
-      val warm = durs.drop(1)
-      val flat =
-        if (warm.size < 4) -1.0
-        else mean(warm.takeRight(5)) / math.max(mean(warm.take(5)), 1.0)
+      // tail-vs-head batch-duration creep, first batch (cold) excluded —
+      // MEDIAN windows (BenchMetrics.creepRatio): one GC-stalled batch in
+      // either window must not fake or mask a creep verdict (the round-8
+      // soak tripped exactly that false positive on mean windows). The
+      // absolute tail mean and the full per-batch vector land in
+      // BENCH_DETAIL so a disputed verdict is re-checkable from the data.
+      val warm = durs.drop(1).toSeq
       (sec, durs.size,
-        flat,
+        BenchMetrics.creepRatio(warm),
+        BenchMetrics.tailMeanMs(warm),
+        durs.toSeq,
         if (stateRows.isEmpty) -1L else stateRows.max,
         if (stateRows.isEmpty) -1L else stateRows.last)
     }
     progress(f"soak: $soakSec%.2fs for 120 s of data, $soakBatches batches, " +
-      f"tail/head duration ratio $soakFlat%.2f, " +
+      f"tail/head median ratio $soakFlat%.2f, tail mean $soakTailMs%.0f ms, " +
       f"state rows max=$soakStateRowsMax last=$soakStateRowsLast")
     progress("dedup-state soak: 60 s, 50k unique keys/s through dropDuplicatesWithinWatermark")
 
@@ -361,6 +389,114 @@ object Bench {
     progress(f"dedup soak: $dsoakSec%.2fs, $dsoakRows rows in, " +
       f"state rows max=$dsoakStateMax last=$dsoakStateLast " +
       f"(bounded: max ≪ $dsoakRows)")
+    progress("max sustained rate probe")
+
+    // Max-sustained-rate probe: the headline proves 50k rows/s fits
+    // real-time, but not WHERE the ceiling is. Double the fixed-phase
+    // rate until a 20 s plan no longer finishes inside the sustain bar
+    // (plan duration + one trigger of slack), then one bisection step
+    // between the last sustained and first unsustained rate. The quoted
+    // ceiling is the engine's headline number against the reference's
+    // 25k rows/s sustained (BASELINE.md, 2015 hardware).
+    // (wall sec, rows actually ingested) — a probe only counts as
+    // sustained if the FULL rate×20 rows passed through inside the bar;
+    // a generator or admission shortfall must not fake a sustained rate
+    def ingestWall(rate: Int): (Double, Long) = {
+      System.gc()
+      var qh: org.apache.spark.sql.streaming.StreamingQuery = null
+      val sec = time {
+        val q = streaming.StreamingStats.run(
+          spark,
+          s"sequence = [ { type = fixed, value = 7, rate = $rate, duration = 20 } ]",
+          numStreams = 1,
+          triggerMs = 5000L,
+          secondsPerTrigger = 5,
+          sink = (stats, _) => { stats.collect(); () })
+        qh = q
+        q.processAllAvailable()
+        q.stop()
+      }
+      (sec, qh.recentProgress.map(_.numInputRows).sum)
+    }
+    val sustainBar = 25.0 // 20 s of data + one 5 s trigger of slack
+    val probeCap = 6400000 // 128× the headline; bounds probe wall-time
+    val rateProbes = scala.collection.mutable.LinkedHashMap[Int, Double](
+      50000 -> streamRuns.min) // the headline runs ARE the 50k probe
+    val (maxRate, probeCeil) = {
+      def sustained(r: Int): Boolean = {
+        val (w, rows) = ingestWall(r)
+        rateProbes(r) = w
+        val full = rows == 20L * r
+        progress(f"rate probe $r%d rows/s: $w%.2fs, $rows%d rows " +
+          f"(bar $sustainBar%.0fs${if (full) "" else ", SHORTFALL"})")
+        full && w <= sustainBar
+      }
+      var lo = 50000
+      var hi = -1
+      var r = 100000
+      while (hi < 0 && r <= probeCap) {
+        if (sustained(r)) { lo = r; r *= 2 } else hi = r
+      }
+      if (hi > 0 && hi - lo > lo / 2) { // one bisection step
+        val mid = (lo + hi) / 2 / 1000 * 1000
+        if (sustained(mid)) lo = mid
+      }
+      (lo, hi)
+    }
+    progress(f"max sustained rate: $maxRate%d rows/s (first unsustained: " +
+      (if (probeCeil > 0) f"$probeCeil%d)" else f"none up to the $probeCap%d probe cap)"))
+    progress("streaming ANN end-to-end: ingest -> shard-route -> ivf2 leaf assign")
+
+    // The full streaming ANN production path as ONE leg: a live plan-gen
+    // stream at the headline 50k rows/s, each 5 s micro-batch landed
+    // shard-partitioned on disk (StreamShardRouter layout), read back,
+    // and assigned into the PERSISTED two-level IVF index's leaf cells
+    // (frozen serve-path codebook). Wall-clock ≈ plan duration means the
+    // complete ingest→route→assign chain holds real-time under the
+    // trigger — the end-to-end claim the per-piece legs can't make.
+    val (annSec, annBatches, annRows) = {
+      System.gc()
+      val cents = operators.Similarity.ivf2LeafCentroids(spark, sfDir).localCheckpoint()
+      val outDir =
+        s"/tmp/graft_annleg/run_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      val rowsAssigned = new java.util.concurrent.atomic.AtomicLong(0)
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
+      import org.apache.spark.sql.functions._
+      val src = spark.readStream.format("plan-gen")
+        .option("plan",
+          "sequence = [ { type = fixed, value = 7, rate = 50000, duration = 20 } ]")
+        .option("streamId", 0)
+        .option("secondsPerTrigger", 5)
+        .option("numPartitions", spark.sparkContext.defaultParallelism)
+        .load()
+      val sec = time {
+        val q = src.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(5000L))
+          .foreachBatch { (raw: org.apache.spark.sql.DataFrame, id: Long) =>
+            // enrichment happens per batch: monotonically_increasing_id is
+            // batch-scope-only (unsupported on streaming frames), and a
+            // real ingest derives ids at landing time anyway
+            val b = raw
+              .withColumn("vec_id", monotonically_increasing_id())
+              .withColumn("doc_id", col("vec_id"))
+              .withColumn("label", pmod(col("value"), lit(8)).cast("int"))
+              .withColumn("embedding",
+                streaming.StreamAnnIngest.synthEmbedding(col("value"), col("vec_id")))
+              .select("doc_id", "vec_id", "label", "embedding")
+            val n = streaming.StreamAnnIngest.ingestStep(b, cents, outDir, id).count()
+            rowsAssigned.addAndGet(n)
+            nBatches.incrementAndGet()
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+      (sec, nBatches.get, rowsAssigned.get)
+    }
+    progress(f"streaming ANN e2e: $annSec%.2fs for 20 s of data, " +
+      f"$annBatches batches, $annRows rows routed+assigned")
 
     // total = sum of per-query timings (streaming counted once, via the
     // headline key; the individual runs are informational extras)
@@ -374,9 +510,22 @@ object Bench {
     val qsAll = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val soakJson =
-      f""""stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
+      f""""stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_tail_mean_ms":$soakTailMs%.1f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
+    val spikeJson =
+      f""""stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_peak_delay_s":$spikePeakDelay%.3f,"stream_spike_drain_s":$spikeDrain%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"stream_spike_est_peak_delay_s":$spikeEstPeakDelay%.3f,"stream_spike_est_drain_s":$spikeEstDrain%.3f"""
+    val probesJson = rateProbes
+      .map { case (r, w) => f""""$r%d":$w%.3f""" }.mkString("{", ",", "}")
+    // stdout variant stays slim: the driver keeps only the LAST 2000
+    // chars of stdout and the r08 line already measured 1637 — probe
+    // detail and ANN counters live in BENCH_DETAIL.json only
+    val rateJsonLine =
+      f""""stream_max_rate_rows_s":$maxRate,"stream_ann_e2e_s":$annSec%.3f"""
+    val rateJson =
+      rateJsonLine +
+        f""","stream_rate_probes":$probesJson,"stream_ann_e2e_batches":$annBatches,"stream_ann_e2e_rows":$annRows"""
+    val soakDursJson = soakDurs.map(d => f"$d%.0f").mkString("[", ",", "]")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,$soakJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJson,$rateJson,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,$soakJson,"stream_soak_batch_ms":$soakDursJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -403,7 +552,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.valuesIterator.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,"stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJson,$rateJsonLine,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,7 +117,7 @@ object Similarity {
     * additionally asserts recall against [[qKnnBrute]].
     *
     * Scale shape: centroids are O(√n) — broadcast; assignment is a narrow
-    * broadcast pass with a map-side-combined argmax (`max_by`), one
+    * broadcast pass with a map-side-combined hash-aggregable argmax (`graft_min_k`), one
     * exchange row per vector; Lloyd means are hash aggregates on
     * (cell, dim). Nothing all-pairs, nothing driver-side but the √n
     * codebook. */
@@ -575,6 +575,16 @@ object Similarity {
     dir
   }
 
+  /** The persisted ivf2 LEAF codebook in [[graft.streaming.StreamAnn]]'s
+    * (cent_id, c_embedding) shape — the frozen index the streaming
+    * ingest→route→assign chain slots new vectors into (serve-path
+    * artifact: built once on disk, read here). */
+  private[graft] def ivf2LeafCentroids(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIvf2Index(s, d)
+    s.read.parquet(s"$dir/codebook")
+      .select(col("leaf").as("cent_id"), col("l_embedding").as("c_embedding"))
+  }
+
   private[graft] def rebuildIvf2Index(s: SparkSession, d: String): String = {
     val dir = synchronized {
       val dd = s"/tmp/graft_ivf2/${dataFingerprint(s"$d/embeddings.parquet")}" +
@@ -659,7 +669,7 @@ object Similarity {
     *
     * Scale shape: centroid build is one hash aggregate over the historic
     * slice (output O(labels × dims)); the batch assignment is a narrow
-    * broadcast argmax (`max_by`, map-side combined) — the corpus is never
+    * broadcast argmax (hash-aggregable `graft_min_k`, map-side combined) — the corpus is never
     * re-touched, which is the property that makes per-batch maintenance
     * viable at 100 TB ingest cadence. */
   private val IncrAssignOracle: String =
@@ -897,12 +907,17 @@ object Similarity {
       .crossJoin(broadcast(bench))
       .withColumn("sim", cosExpr)
       .groupBy("vec_id")
-      // argmax with a smallest-bm_id tie-break, as an AGGREGATE (map-side
-      // combined), mirrored by the oracle's min-over-argmax-candidates
+      // argmax with a smallest-bm_id tie-break, as a HASH-aggregable
+      // AGGREGATE (graft_min_k over (-sim, bm_id) — see ivfAssign; the
+      // max_by struct-ordering formulation planned SortAggregate),
+      // mirrored by the oracle's min-over-argmax-candidates
       .agg(max(col("sim")).as("ms"),
-        max_by(col("bm_id"), struct(col("sim"), (-col("bm_id")).as("tie"))).as("bm"))
+        GraftFunctions.minK(
+          struct((-col("sim")).as("neg"), col("bm_id")), 1).as("am"))
       .filter(col("ms") >= 0.35)
-      .select(col("vec_id"), col("bm").as("bm_id"), round(col("ms"), 4).as("max_sim"))
+      .select(col("vec_id"),
+        col("am").getItem(0).getField("bm_id").as("bm_id"),
+        round(col("ms"), 4).as("max_sim"))
   }
 
   /** Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
@@ -916,7 +931,7 @@ object Similarity {
     * means rounded to 6 decimals then float-truncated (both engines sum
     * doubles in different orders — the round+truncate re-synchronizes them
     * bit-for-bit, the [[qKnnIvf]] Lloyd trick), and member→centroid squared
-    * L2 is an ascending-index fold. Keeper = min_by over (dist, vec_id) —
+    * L2 is an ascending-index fold. Keeper = argmin over (dist, vec_id) —
     * a map-side-combined argmin aggregate, one exchange row per cluster.
     *
     * Scale shape: clustering is the CC min-label propagation (O(diameter)
@@ -977,8 +992,12 @@ object Similarity {
     members.join(cent, "cluster_id")
       .select(col("cluster_id"), col("vec_id"), d2.as("d2"))
       .groupBy("cluster_id")
-      .agg(min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as("kept_vec"),
+      // hash-aggregable argmin (see ivfAssign): min over (d2, vec_id)
+      .agg(GraftFunctions.minK(struct(col("d2"), col("vec_id")), 1).as("am"),
         count(lit(1)).as("members"))
+      .select(col("cluster_id"),
+        col("am").getItem(0).getField("vec_id").as("kept_vec"),
+        col("members"))
   }
 
   /** Embedding normalization audit — one dataset-card row asserting the
@@ -1069,8 +1088,9 @@ object Similarity {
 
   /** Per-vector PQ assignment: nearest codebook entry per subspace (ties to
     * the lowest rank) as `cc0..cc7`, plus the per-subspace min distances
-    * `m0..m7`. Argmin is a min_by AGGREGATE (map-side combined — the
-    * exchange carries one row per vector, nothing sorts). */
+    * `m0..m7`. Argmin is a HASH-aggregable graft_min_k AGGREGATE
+    * (map-side combined, one exchange row per vector — the min_by
+    * struct-ordering formulation planned SortAggregate; see ivfAssign). */
   private def pqAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val vd = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
@@ -1078,9 +1098,14 @@ object Similarity {
       .select(col("vec_id") +: col("cent_rank") +:
         (0 until 8).map(s0 => pqSubDist(s0, col("v"), col("c")).as(s"d$s0")): _*)
     val aggs = (0 until 8).flatMap(s0 => Seq(
-      min_by(col("cent_rank"), struct(col(s"d$s0"), col("cent_rank"))).as(s"cc$s0"),
+      GraftFunctions.minK(
+        struct(col(s"d$s0"), col("cent_rank")), 1).as(s"am$s0"),
       min(col(s"d$s0")).as(s"m$s0")))
     withD.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +:
+        (0 until 8).flatMap(s0 => Seq(
+          col(s"am$s0").getItem(0).getField("cent_rank").as(s"cc$s0"),
+          col(s"m$s0"))): _*)
   }
 
   /** Shared oracle CTE chain (through `codes`) for the PQ family: ranked

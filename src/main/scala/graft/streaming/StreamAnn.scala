@@ -11,7 +11,7 @@ import graft.functions.GraftFunctions
   * embedding-ingest pipeline runs at every micro-batch.
   *
   * Scale shape: the index is O(cells × dims) and broadcast; assignment is
-  * a narrow broadcast argmax (`max_by`, map-side combined) over only the
+  * a narrow broadcast argmax (hash-aggregable `graft_min_k`) over only the
   * incoming batch — history is never re-touched, so per-batch cost is
   * proportional to batch size at any corpus scale. Exactly-once replay is
   * free because assignment is a pure function of (batch, frozen index).
@@ -40,10 +40,15 @@ object StreamAnn {
     batch.crossJoin(broadcast(centroids))
       .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
       .groupBy("vec_id")
+      // hash-aggregable argmax (graft_min_k over (-sim, id); the max_by
+      // struct-ordering formulation planned SortAggregate — see
+      // operators.Similarity.ivfAssign): min over (-csim, cent_id) ≡
+      // max over (csim desc, cent_id asc), winner's csim carried along
       .agg(
         any_value(col("label")).as("label"),
-        max_by(struct(col("cent_id"), col("csim")),
-          struct(col("csim"), (-col("cent_id")).as("tie"))).as("best"))
+        GraftFunctions.minK(struct(
+          (-col("csim")).as("neg"), col("cent_id"), col("csim")), 1).as("am"))
+      .withColumn("best", col("am").getItem(0))
       .select(col("vec_id"), col("label"),
         col("best.cent_id").as("assigned_cell"),
         round(col("best.csim"), 4).as("cosine"),

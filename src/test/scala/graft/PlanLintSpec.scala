@@ -66,17 +66,16 @@ class PlanLintSpec extends SparkSpec {
     "q_temperature_mix", "q_nb_calibration", "q_knn_ivf2")
 
   /** SortAggregate appears where an aggregate's buffer is not
-    * hash-agg-supported (struct-ordered max_by/min_by argmins in the
-    * IVF/PQ codebook paths, collect_list of the q_string_funcs digest
-    * rows; q_profile's string-typed min/max buffers — a GLOBAL aggregate
-    * with no grouping key, so its "sort" aggregate is a sortless fold).
-    * All post-reduction small-side or keyless aggregates — acceptable;
-    * listed so a NEW sort aggregate in a hot path still trips the lint. */
-  private val sortAggByDesign = Set(
-    "q_string_funcs", "q_knn_ivf", "q_embed_pq", "q_knn_pq_adc",
-    "q_knn_ivf_pq", "q_semdedup", "q_sem_decontam", "q_profile",
-    "q_knn_incr_assign", // frozen-centroid fold: same post-reduction O(labels x dims) struct-collect as q_knn_ivf
-    "q_knn_ivf2") // leaf-refinement reassembly: the same O(leaves x dims) ordered struct-collect
+    * hash-agg-supported. Round 9 shrank this list from 10 to 2: every
+    * struct-ordered max_by/min_by argmax in the IVF/PQ/semdedup paths
+    * was replaced by the native hash-aggregable `graft_min_k` (plans as
+    * ObjectHashAggregate), leaving only collect_list of the
+    * q_string_funcs digest rows and q_profile's string-typed min/max
+    * buffers (a GLOBAL aggregate with no grouping key — its "sort"
+    * aggregate is a sortless fold). Both post-reduction or keyless —
+    * acceptable; listed so a NEW sort aggregate in a hot path still
+    * trips the lint. */
+  private val sortAggByDesign = Set("q_string_funcs", "q_profile")
 
   test("no query plans an unlisted cartesian product or nested-loop join") {
     val offenders = SparkEntry.registry.flatMap { q =>
