@@ -46,6 +46,7 @@ object Bench {
       .config("spark.network.timeout", "800s")
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
+    SessionTuning.tune(spark) // shared ObjectHashAggregate fallback sizing
     spark.sparkContext.setLogLevel("WARN")
     // Some testdata generations store events.ts as TIMESTAMP(NANOS); without
     // this a raw scan throws before Tables.events gets a chance to set it.
@@ -457,8 +458,12 @@ object Bench {
     val (annSec, annBatches, annRows) = {
       System.gc()
       val cents = operators.Similarity.ivf2LeafCentroids(spark, sfDir).localCheckpoint()
-      val outDir =
-        s"/tmp/graft_annleg/run_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+      // same /tmp hygiene as the other graft roots: dead-pid dirs from
+      // crashed benches are reaped here (age-floored), ours deleted below
+      val annPid = ProcessHandle.current().pid()
+      operators.TmpDirs.reap("/tmp/graft_annleg", annPid,
+        n => n.stripPrefix("run_").split('_').headOption.flatMap(_.toLongOption))
+      val outDir = s"/tmp/graft_annleg/run_${annPid}_${System.nanoTime()}"
       val rowsAssigned = new java.util.concurrent.atomic.AtomicLong(0)
       val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
       import org.apache.spark.sql.functions._
@@ -469,7 +474,8 @@ object Bench {
         .option("secondsPerTrigger", 5)
         .option("numPartitions", spark.sparkContext.defaultParallelism)
         .load()
-      val sec = time {
+      try {
+        val sec = time {
         val q = src.writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(5000L))
           .foreachBatch { (raw: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -492,8 +498,12 @@ object Bench {
         q.processAllAvailable()
         q.stop()
       }
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-      (sec, nBatches.get, rowsAssigned.get)
+        (sec, nBatches.get, rowsAssigned.get)
+      } finally {
+        // finally: a failed leg must not strand a 1M-row routed corpus
+        // copy in /tmp (the reap above only covers DEAD pids, aged)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+      }
     }
     progress(f"streaming ANN e2e: $annSec%.2fs for 20 s of data, " +
       f"$annBatches batches, $annRows rows routed+assigned")

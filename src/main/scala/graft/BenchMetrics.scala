@@ -50,24 +50,37 @@ object BenchMetrics {
     *    the trigger interval one batch stretched at the spike's deepest
     *    point. A steering controller caps this near the trigger by
     *    cutting admission; an unsteered run shows the full overload.
-    *  - drainSec: wall-clock from the FIRST batch that overran the
-    *    trigger to the end of the first subsequent batch that fits
-    *    inside it again — the total time the pipeline ran behind
-    *    real-time (the reference's "N seconds back to real-time after
-    *    the spike" number). 0 when no batch ever overran; -1 when the
-    *    run ends still behind.
+    *  - drainSec: the duration of the contiguous over-trigger EPISODE
+    *    containing the peak — from its first batch to the end of the
+    *    first subsequent batch that fits inside the trigger again. The
+    *    episode anchor is the peak, NOT the globally-first over-trigger
+    *    batch: one GC-stalled batch in the calm phase must not hijack
+    *    the measurement window (the same robustness argument as
+    *    [[creepRatio]]'s medians). This is the reference's "N seconds
+    *    back to real-time after the spike" number. 0 when no batch ever
+    *    overran; -1 when the run ends still behind.
     *
     * Raw wall-clock of the whole plan saturates at the plan length and
-    * cannot distinguish controllers; this pair can. */
+    * cannot distinguish controllers; this pair can. CAVEAT: both
+    * numbers read batch EXECUTION time — under a very tight admission
+    * cap a pipeline can run behind real-time while every batch fits its
+    * trigger (backlog hides in admission, not in execution). The bench's
+    * spike legs initialize the cap at exactly one trigger of data, so
+    * overload shows up in execution time there. */
   def spikeRecovery(batches: Seq[(Long, Double)], triggerMs: Long): (Double, Double) = {
     if (batches.isEmpty) return (-1.0, -1.0)
-    val peakDelaySec = batches.map(_._2).max / 1000.0
-    val firstOver = batches.indexWhere(_._2 > triggerMs)
+    val peakIdx = batches.indices.maxBy(batches(_)._2)
+    val peakDelaySec = batches(peakIdx)._2 / 1000.0
     val drainSec =
-      if (firstOver < 0) 0.0 // never fell behind
-      else batches.drop(firstOver + 1).find(_._2 <= triggerMs) match {
-        case Some((ts, _)) => (ts - batches(firstOver)._1) / 1000.0
-        case None          => -1.0 // ended still behind
+      if (batches(peakIdx)._2 <= triggerMs) 0.0 // never fell behind
+      else {
+        // walk back from the peak to the start of ITS over-trigger run
+        var start = peakIdx
+        while (start > 0 && batches(start - 1)._2 > triggerMs) start -= 1
+        batches.drop(peakIdx + 1).find(_._2 <= triggerMs) match {
+          case Some((ts, _)) => (ts - batches(start)._1) / 1000.0
+          case None          => -1.0 // ended still behind
+        }
       }
     (peakDelaySec, drainSec)
   }

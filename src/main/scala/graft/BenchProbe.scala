@@ -21,6 +21,7 @@ object BenchProbe {
       .config("spark.network.timeout", "800s")
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
+    SessionTuning.tune(spark) // shared ObjectHashAggregate fallback sizing
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 

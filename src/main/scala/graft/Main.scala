@@ -46,6 +46,7 @@ object Main {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SessionTuning.tune(s) // shared ObjectHashAggregate fallback sizing
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -29,6 +29,7 @@ object Plans {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SessionTuning.tune(spark) // shared ObjectHashAggregate fallback sizing
     spark.sparkContext.setLogLevel("ERROR")
     val byName = SparkEntry.registry.map(q => q.name -> q).toMap
     names.foreach { n =>

@@ -91,6 +91,7 @@ object ScaleSmoke {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SessionTuning.tune(spark) // shared ObjectHashAggregate fallback sizing
     spark.sparkContext.setLogLevel("WARN")
 
     val copies = args.lift(2).map(_.toInt).getOrElse(10)

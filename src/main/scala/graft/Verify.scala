@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    SessionTuning.tune(spark) // shared ObjectHashAggregate fallback sizing
     spark.sparkContext.setLogLevel("WARN")
     Tables.validate(spark, sfDir) // fail fast on testdata schema drift
     new java.io.File(outDir).mkdirs()

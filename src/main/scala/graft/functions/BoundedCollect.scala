@@ -44,7 +44,14 @@ import org.apache.spark.sql.types.DataType
   * the `row_number() OVER (PARTITION BY g ORDER BY …) <= k` formulation,
   * which shuffles every candidate row and sorts whole groups in single
   * tasks — the one O(group) sort a 100 TB build cannot afford on skewed
-  * groups. Result array is ascending-sorted. */
+  * groups. Result array is ascending-sorted.
+  *
+  * NULL SEMANTICS: a null ELEMENT is skipped (like collect_list), but a
+  * non-null struct with a null FIELD participates and null fields sort
+  * FIRST — so an argmin/argmax caller whose ordering key can be
+  * null/NaN must mask the whole candidate to null
+  * (`when(key.isNotNull && !isnan(key), struct(...))`) to get max_by's
+  * skip-null-ordering-key semantics; see Similarity.maskedCand. */
 case class MinKCollect(
     child: Expression,
     k: Int,

@@ -183,15 +183,21 @@ object Similarity {
     // fold in each file's TAIL bytes too (for parquet that is the footer:
     // row-group offsets/stats, which change with content even at equal
     // file size). 64 bytes × O(files) driver-side reads — cheap.
+    // IO failures fingerprint as a distinct marker instead of throwing:
+    // a file deleted/truncated between listFiles() and the read (the
+    // concurrent-regeneration TOCTOU this content marker exists for)
+    // must change the fingerprint, not crash the index build
     def tailMarker(c: java.io.File): String =
-      if (!c.isFile || c.length == 0) ""
-      else {
-        val n = math.min(64L, c.length).toInt
-        val buf = new Array[Byte](n)
-        val raf = new java.io.RandomAccessFile(c, "r")
-        try { raf.seek(c.length - n); raf.readFully(buf) } finally raf.close()
-        java.util.Base64.getEncoder.encodeToString(buf)
-      }
+      try {
+        if (!c.isFile || c.length == 0) ""
+        else {
+          val n = math.min(64L, c.length).toInt
+          val buf = new Array[Byte](n)
+          val raf = new java.io.RandomAccessFile(c, "r")
+          try { raf.seek(c.length - n); raf.readFully(buf) } finally raf.close()
+          java.util.Base64.getEncoder.encodeToString(buf)
+        }
+      } catch { case _: java.io.IOException => "unreadable" }
     def leaf(c: java.io.File): String =
       s"${c.getName}:${c.lastModified}:${c.length}:${tailMarker(c)}"
     val f = new java.io.File(path)
@@ -455,8 +461,8 @@ object Similarity {
         .agg(any_value(col("embedding")).as("embedding"),
           any_value(col("top")).as("top"),
           // hash-aggregable argmax (see ivfAssign): min over (-sim, leaf)
-          GraftFunctions.minK(
-            struct((-col("lsim")).as("neg"), col("leaf")), 1).as("am"))
+          GraftFunctions.minK(maskedCand(col("lsim"),
+            struct((-col("lsim")).as("neg"), col("leaf"))), 1).as("am"))
         .select(col("vec_id"), col("embedding"), col("top"),
           col("am").getItem(0).getField("leaf").as("leaf"))
 
@@ -608,17 +614,32 @@ object Similarity {
     * `max_by(id, struct(sim, -id))` but HASH-aggregable: max_by's
     * struct-typed ordering buffer forces SortAggregate (each partial pass
     * sorting all n·k candidate rows by group key), while the native
-    * [[graft.functions.MinKCollect]] plans as ObjectHashAggregate — no
-    * Sort node anywhere in the assignment, at any scale. Sign flip on a
-    * double is IEEE-exact, so the argmax winner is bit-identical. */
+    * [[graft.functions.MinKCollect]] plans as ObjectHashAggregate.
+    * RUNTIME caveat: ObjectHashAggregate itself degrades to sort-based
+    * merging past `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * in-memory groups per partition (default 128 — far below any real
+    * vec_id cardinality), so [[graft.SessionTuning]] raises it to 2^20 in
+    * every graft entry point; a deployment budgets that knob with its
+    * partition sizing. Sign flip on a double is IEEE-exact, so the
+    * argmax winner is bit-identical. */
+  /** null/NaN mask for a min-k candidate: a null element is SKIPPED by
+    * the aggregate (like collect_list), matching max_by's
+    * skip-null-ordering-key semantics — without this a null sim would
+    * sort FIRST in the struct ordering and win every argmin, and a NaN
+    * sim (cosine of a zero vector) would also sort wrong. Never fires
+    * on the generated corpora (no null/zero embeddings) but the kernel
+    * is a library surface. */
+  private def maskedCand(sim: Column, cand: Column): Column =
+    when(sim.isNotNull && !isnan(sim), cand)
+
   private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
       .groupBy("vec_id")
       .agg(
         any_value(col("embedding")).as("embedding"),
-        GraftFunctions.minK(
-          struct((-col("csim")).as("neg"), col("cent_id")), 1).as("am"))
+        GraftFunctions.minK(maskedCand(col("csim"),
+          struct((-col("csim")).as("neg"), col("cent_id"))), 1).as("am"))
       .select(col("vec_id"), col("embedding"),
         col("am").getItem(0).getField("cent_id").as("cell"))
 
@@ -912,8 +933,8 @@ object Similarity {
       // max_by struct-ordering formulation planned SortAggregate),
       // mirrored by the oracle's min-over-argmax-candidates
       .agg(max(col("sim")).as("ms"),
-        GraftFunctions.minK(
-          struct((-col("sim")).as("neg"), col("bm_id")), 1).as("am"))
+        GraftFunctions.minK(maskedCand(col("sim"),
+          struct((-col("sim")).as("neg"), col("bm_id"))), 1).as("am"))
       .filter(col("ms") >= 0.35)
       .select(col("vec_id"),
         col("am").getItem(0).getField("bm_id").as("bm_id"),
@@ -993,7 +1014,8 @@ object Similarity {
       .select(col("cluster_id"), col("vec_id"), d2.as("d2"))
       .groupBy("cluster_id")
       // hash-aggregable argmin (see ivfAssign): min over (d2, vec_id)
-      .agg(GraftFunctions.minK(struct(col("d2"), col("vec_id")), 1).as("am"),
+      .agg(GraftFunctions.minK(maskedCand(col("d2"),
+          struct(col("d2"), col("vec_id"))), 1).as("am"),
         count(lit(1)).as("members"))
       .select(col("cluster_id"),
         col("am").getItem(0).getField("vec_id").as("kept_vec"),
@@ -1098,8 +1120,8 @@ object Similarity {
       .select(col("vec_id") +: col("cent_rank") +:
         (0 until 8).map(s0 => pqSubDist(s0, col("v"), col("c")).as(s"d$s0")): _*)
     val aggs = (0 until 8).flatMap(s0 => Seq(
-      GraftFunctions.minK(
-        struct(col(s"d$s0"), col("cent_rank")), 1).as(s"am$s0"),
+      GraftFunctions.minK(maskedCand(col(s"d$s0"),
+        struct(col(s"d$s0"), col("cent_rank"))), 1).as(s"am$s0"),
       min(col(s"d$s0")).as(s"m$s0")))
     withD.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id") +:

@@ -40,9 +40,7 @@ object StreamAnnIngest {
     * matches_label) — the postings-append of this batch. */
   def ingestStep(batch: DataFrame, cents: DataFrame, outDir: String,
       batchId: Long, numShards: Int = 16): DataFrame = {
-    val dir = s"$outDir/batch=$batchId"
-    StreamShardRouter.withShard(batch, numShards)
-      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+    val dir = StreamShardRouter.landBatch(batch, outDir, batchId, numShards)
     val landed = batch.sparkSession.read.parquet(dir)
     StreamAnn.assign(landed, cents)
   }

@@ -14,6 +14,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    SessionTuning.tune(s) // shared ObjectHashAggregate fallback sizing
     s.sparkContext.setLogLevel("WARN")
     s
   }

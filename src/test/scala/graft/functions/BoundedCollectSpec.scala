@@ -77,6 +77,30 @@ class BoundedCollectSpec extends SparkSpec {
     assert(rows.toSeq == Seq((0L, 0L), (0L, 10L), (0L, 20L)))
   }
 
+  test("min-k null semantics: null elements skipped; null struct FIELDS sort first (mask at call sites)") {
+    val s = registered
+    // null element (whole candidate) → skipped: only non-null rows collect
+    val skipped = s.range(0, 10)
+      .select(lit(1).as("k"),
+        when(col("id") >= 5, struct(col("id").as("h"), col("id").as("v"))).as("c"))
+      .groupBy("k")
+      .agg(GraftFunctions.minK(col("c"), 3).as("cs"))
+      .select(explode(col("cs")).as("c")).select(col("c.h")).collect().map(_.getLong(0))
+    assert(skipped.toSeq == Seq(5L, 6L, 7L),
+      "null candidates must be skipped, min-3 of the survivors kept")
+    // null FIELD inside a non-null struct sorts FIRST — the behavior the
+    // argmax call sites must mask (Similarity.maskedCand); pinned here so
+    // a silent ordering change in Spark's interpreted ordering is caught
+    val first = s.range(0, 10)
+      .select(lit(1).as("k"),
+        struct(when(col("id") === 7, lit(null)).otherwise(col("id")).as("h"),
+          col("id").as("v")).as("c"))
+      .groupBy("k")
+      .agg(GraftFunctions.minK(col("c"), 1).as("cs"))
+      .select(col("cs").getItem(0).getField("v")).head.getLong(0)
+    assert(first == 7L, "a null ordering field must sort first (hence the masks)")
+  }
+
   test("nulls are skipped like collect_list") {
     val s = registered
     val n = s.range(0, 10)

@@ -14,7 +14,9 @@ import pyarrow.dataset as ds
 import pyarrow.parquet as pq
 
 work, out = sys.argv[1], sys.argv[2]
-base = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+# abspath: a relative base would be stored verbatim in the symlink and
+# resolve relative to the OUTPUT dir (dangling link, far-away failure)
+base = os.path.abspath(sys.argv[3]) if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 os.makedirs(out, exist_ok=True)
 
 for t in ["documents", "embeddings", "events"]:
