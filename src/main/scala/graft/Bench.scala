@@ -227,6 +227,32 @@ object Bench {
           (java.time.Instant.parse(p.timestamp).toEpochMilli, d.longValue.toDouble))
       }
 
+    // UNSTEERED control leg first: the same spike with NO rate limiting —
+    // the baseline the two controllers are measured against. Probed
+    // unsteered behavior: per-batch admission takes a full trigger of
+    // data regardless of cost, so spike batches stretch to the raw
+    // overload (measured 2.2-4.5 s under the 1 s trigger) while the
+    // steered legs cap peak delay near the trigger. This three-point
+    // comparison (unsteered / controller / estimator) is the modern
+    // equivalent of the reference's scenario-2 experiment table.
+    val (spikeRawSec, spikeRawPeakDelay, spikeRawDrain) = {
+      System.gc()
+      var qh: org.apache.spark.sql.streaming.StreamingQuery = null
+      val sec = time {
+        val q = streaming.StreamingStats.run(
+          spark, spikePlan,
+          triggerMs = 1000L,
+          sink = (stats, _) => { stats.collect(); () })
+        qh = q
+        q.processAllAvailable()
+        q.stop()
+      }
+      val (pk, dr) = BenchMetrics.spikeRecovery(progressBatches(qh).drop(1), 1000L)
+      (sec, pk, dr)
+    }
+    progress(f"spike recovery (unsteered): $spikeRawSec%.2fs, " +
+      f"peak delay $spikeRawPeakDelay%.2fs, drain $spikeRawDrain%.2fs")
+
     val (spikeSec, spikePeakDelay, spikeDrain) = {
       System.gc()
       val key = "bench-spike"
@@ -521,8 +547,12 @@ object Bench {
       .mkString("{", ",", "}")
     val soakJson =
       f""""stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_tail_mean_ms":$soakTailMs%.1f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
-    val spikeJson =
+    // stdout variant omits the unsteered control point (detail-only) to
+    // keep the line inside the driver's 2000-char stdout tail
+    val spikeJsonLine =
       f""""stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_peak_delay_s":$spikePeakDelay%.3f,"stream_spike_drain_s":$spikeDrain%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"stream_spike_est_peak_delay_s":$spikeEstPeakDelay%.3f,"stream_spike_est_drain_s":$spikeEstDrain%.3f"""
+    val spikeJson = spikeJsonLine +
+      f""","stream_spike_unsteered_s":$spikeRawSec%.3f,"stream_spike_unsteered_peak_delay_s":$spikeRawPeakDelay%.3f,"stream_spike_unsteered_drain_s":$spikeRawDrain%.3f"""
     val probesJson = rateProbes
       .map { case (r, w) => f""""$r%d":$w%.3f""" }.mkString("{", ",", "}")
     // stdout variant stays slim: the driver keeps only the LAST 2000
@@ -562,7 +592,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.valuesIterator.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJson,$rateJsonLine,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJsonLine,$rateJsonLine,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
