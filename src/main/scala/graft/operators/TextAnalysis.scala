@@ -868,6 +868,36 @@ object TextAnalysis {
     *
     * Scale shape: the normalizer is a 1-row broadcast; everything else is
     * the [[qLmScore]] plan plus a narrow filter — no extra shuffle. */
+  /** Deterministic k-row corpus RESERVOIR sample — the canonical use of
+    * the native `graft_min_k` aggregate: order every document by its
+    * engine-portable hash (a uniform pseudo-random permutation,
+    * reproducible on any engine) and keep the k smallest, WITHOUT a
+    * global sort. One keyless ObjectHashAggregate: each partition folds
+    * its rows into an O(k) buffer map-side, partials merge in O(k) — at
+    * 100 TB this is one narrow scan plus a k-row reduce, where the
+    * `orderBy(hash).limit(k)` formulation would global-sort the corpus
+    * (and `TABLESAMPLE`/rand() would not be reproducible across reruns
+    * or engines). `sample_rank` pins the ordering inside the sample,
+    * not just membership. */
+  val qReservoirSample: Q = Q(
+    "q_reservoir_sample",
+    """SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
+      |  SELECT doc_id, source, row_number() OVER (
+      |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
+      |             doc_id) AS rn
+      |  FROM documents) WHERE rn <= 100""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(struct(
+        Portable.hash60(col("doc_id").cast("string")).as("h"),
+        col("doc_id"), col("source")).as("c"))
+      .groupBy()
+      .agg(graft.functions.GraftFunctions.minK(col("c"), 100).as("cs"))
+      .select(posexplode(col("cs")).as(Seq("pos", "c")))
+      .select(col("c.doc_id").as("doc_id"), col("c.source").as("source"),
+        (col("pos") + 1).cast("int").as("sample_rank"))
+  }
+
   val qWeightedSample: Q = Q(
     "q_weighted_sample",
     s"""WITH scores AS (${qLmScore.oracle.get}),
@@ -1424,7 +1454,7 @@ object TextAnalysis {
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
     qNbCalibration,
-    qWeightedSample, qTokenBudgetMix, qTemperatureMix,
+    qReservoirSample, qWeightedSample, qTokenBudgetMix, qTemperatureMix,
     qCorpusStats, qPackSequences, qShardAssign, qStreamShardRoute, qGlobalShuffle,
     qSourceDivergence, qVocabCoverage,
     qSparseCosine, qBpeMerges, qBpeEncode)
