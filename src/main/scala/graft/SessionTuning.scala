@@ -12,11 +12,19 @@ object SessionTuning {
     * aggregate (graft_min_k argmaxes keyed by vec_id, graft_collect_capped
     * LSH buckets) silently degrade to sort-based merging after the first
     * 128 groups — the exact per-partition sort the hash formulations
-    * exist to avoid. 2^20 groups × O(k)-element buffers is ≤ ~100 MB per
-    * task — far inside executor memory — and at production scale
-    * per-partition group cardinality is governed by partition sizing
-    * (spark.sql.shuffle.partitions / maxPartitionBytes), which a 100 TB
-    * deployment budgets together with this knob. */
+    * exist to avoid.
+    *
+    * Why 2^20 groups is memory-safe for GRAFT'S aggregates (the
+    * group-count threshold is only a proxy — the real question is bytes):
+    * every graft object aggregate has an input-bounded buffer. graft_min_k
+    * holds ≤ k elements per group; graft_collect_capped holds ≤ cap+1,
+    * and every buffered element is a copy of AT MOST ONE input row — so a
+    * task's total buffered bytes are ≤ ~(partition input bytes) × copy
+    * overhead, regardless of group count. With 128 MB maxPartitionBytes
+    * that is a few hundred MB per task at the absolute worst. The knob is
+    * NOT safe to inherit blindly for unbounded-buffer aggregates
+    * (collect_list/collect_set over hot keys) — graft never ships those
+    * in a hot path (that is what graft_collect_capped exists for). */
   val ObjectHashFallbackGroups: Int = 1 << 20
 
   def tune(spark: SparkSession): Unit =

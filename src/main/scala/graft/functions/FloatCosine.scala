@@ -287,4 +287,19 @@ object GraftFunctions {
     * the `k` smallest elements per group, ascending — see [[MinKCollect]]. */
   def minK(e: Column, k: Int): Column =
     call_function(MinKName, e, org.apache.spark.sql.functions.lit(k))
+
+  /** null/NaN mask for a [[minK]] argmin/argmax candidate whose ordering
+    * key is `key`: a masked (null) ELEMENT is skipped by the aggregate —
+    * max_by's skip-null-ordering-key semantics — where an unmasked null
+    * key FIELD would sort first and win every argmin (see
+    * [[MinKCollect]]'s null-semantics note). One definition shared by
+    * every argmax call site (batch and streaming) so the convention
+    * cannot drift. */
+  def minKCandidate(key: Column, cand: Column): Column = {
+    import org.apache.spark.sql.functions.{isnan, when}
+    // cast("double") makes the NaN check type-safe for integral keys too
+    // (any integral value casts to a non-NaN double, so the check is a
+    // no-op there; for fractional keys the cast is identity-or-widening)
+    when(key.isNotNull && !isnan(key.cast("double")), cand)
+  }
 }

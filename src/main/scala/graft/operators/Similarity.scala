@@ -622,15 +622,12 @@ object Similarity {
     * every graft entry point; a deployment budgets that knob with its
     * partition sizing. Sign flip on a double is IEEE-exact, so the
     * argmax winner is bit-identical. */
-  /** null/NaN mask for a min-k candidate: a null element is SKIPPED by
-    * the aggregate (like collect_list), matching max_by's
-    * skip-null-ordering-key semantics — without this a null sim would
-    * sort FIRST in the struct ordering and win every argmin, and a NaN
-    * sim (cosine of a zero vector) would also sort wrong. Never fires
-    * on the generated corpora (no null/zero embeddings) but the kernel
-    * is a library surface. */
+  /** Shared null/NaN candidate mask — see
+    * [[graft.functions.GraftFunctions.minKCandidate]]. Never fires on
+    * the generated corpora (no null/zero embeddings) but the kernel is
+    * a library surface. */
   private def maskedCand(sim: Column, cand: Column): Column =
-    when(sim.isNotNull && !isnan(sim), cand)
+    GraftFunctions.minKCandidate(sim, cand)
 
   private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))

@@ -885,12 +885,16 @@ object TextAnalysis {
       |  SELECT doc_id, source, row_number() OVER (
       |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
       |             doc_id) AS rn
-      |  FROM documents) WHERE rn <= 100""".stripMargin) { (s, d) =>
+      |  FROM documents WHERE doc_id IS NOT NULL) WHERE rn <= 100""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .select(struct(
-        Portable.hash60(col("doc_id").cast("string")).as("h"),
-        col("doc_id"), col("source")).as("c"))
+      // minKCandidate convention: an unidentifiable (null-id) document
+      // cannot be sampled — masked out on BOTH engines, not sorted first
+      .select(graft.functions.GraftFunctions.minKCandidate(
+        Portable.hash60(col("doc_id").cast("string")),
+        struct(
+          Portable.hash60(col("doc_id").cast("string")).as("h"),
+          col("doc_id"), col("source"))).as("c"))
       .groupBy()
       .agg(graft.functions.GraftFunctions.minK(col("c"), 100).as("cs"))
       .select(posexplode(col("cs")).as(Seq("pos", "c")))

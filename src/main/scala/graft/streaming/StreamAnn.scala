@@ -46,11 +46,11 @@ object StreamAnn {
       // max over (csim desc, cent_id asc), winner's csim carried along
       .agg(
         any_value(col("label")).as("label"),
-        // null/NaN-masked candidate: a null element is skipped by the
-        // aggregate, matching max_by's skip-null-ordering-key semantics
-        // (an unmasked null csim would sort first and win every argmax)
+        // null/NaN-masked candidate (shared GraftFunctions.minKCandidate
+        // convention): a masked element is skipped by the aggregate,
+        // matching max_by's skip-null-ordering-key semantics
         GraftFunctions.minK(
-          when(col("csim").isNotNull && !isnan(col("csim")), struct(
+          GraftFunctions.minKCandidate(col("csim"), struct(
             (-col("csim")).as("neg"), col("cent_id"), col("csim"))), 1).as("am"))
       .withColumn("best", col("am").getItem(0))
       .select(col("vec_id"), col("label"),

@@ -45,18 +45,6 @@ object StreamShardRouter {
     * entirely with a per-run unique `outDir` (as `q_stream_shard_route`
     * does); otherwise stale `batch=<n>` directories from a previous run
     * double-count on read-back. */
-  /** The landing contract, shared by [[route]] and
-    * [[StreamAnnIngest.ingestStep]] so the layout cannot drift between
-    * them: shard the batch, overwrite its own `batch=<id>` directory,
-    * shard-partitioned. Returns the batch directory path. */
-  def landBatch(batch: DataFrame, outDir: String, batchId: Long,
-      numShards: Int = 16): String = {
-    val dir = s"$outDir/batch=$batchId"
-    withShard(batch, numShards)
-      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
-    dir
-  }
-
   def route(docs: DataFrame, outDir: String, numShards: Int = 16,
             checkpointLocation: Option[String] = None): StreamingQuery = {
     val writer = docs.writeStream
@@ -67,5 +55,17 @@ object StreamShardRouter {
       }
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
     writer.start()
+  }
+
+  /** The landing contract, shared by [[route]] and
+    * [[StreamAnnIngest.ingestStep]] so the layout cannot drift between
+    * them: shard the batch, overwrite its own `batch=<id>` directory,
+    * shard-partitioned. Returns the batch directory path. */
+  def landBatch(batch: DataFrame, outDir: String, batchId: Long,
+      numShards: Int = 16): String = {
+    val dir = s"$outDir/batch=$batchId"
+    withShard(batch, numShards)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+    dir
   }
 }
