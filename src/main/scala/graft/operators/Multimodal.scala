@@ -247,6 +247,36 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize: the ORACLE-EXACT resampling variant —
+    * dst(x, y) = src(⌊x·sw/w⌋, ⌊y·sh/h⌋), pure integer index math over
+    * the REAL decoded raster, so the output is a closed-form function of
+    * the encoded pattern and the gate hash-verifies actual pixel work
+    * ([[resize]]'s AWT bilinear stays as the production-quality variant;
+    * its kernel weights aren't reproducible in SQL). */
+  def resizeNearest(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "image").mapPartitions { it =>
+      it.map { m =>
+        val src = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.payload))
+        require(src != null, s"undecodable image payload for doc ${m.doc_id}")
+        val raster = src.getRaster
+        val (sw, sh) = (src.getWidth, src.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += raster.getSample(x * sw / w, y * sh / h, 0)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(m.doc_id, w, h, raster.getNumBands,
+          sum.toDouble / (w.toLong * h))
+      }
+    }
+  }
+
   /** Frame sampling: one output row per every-nth frame of each video. */
   def sampleFrames(media: Dataset[MediaRecord], everyN: Int): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
@@ -354,6 +384,23 @@ object Multimodal {
         round(col("mean_amp"), 4).as("mean_amp"))
   }
 
+  /** Gate query: per-image 8×8 nearest-neighbor thumbnails off the REAL
+    * decoded raster — the resize stage made oracle-exact: the sampled
+    * source indices are pure integer math (⌊x·sw/8⌋, 2y), so the oracle
+    * recomputes each thumbnail's mean from the encoded formula while the
+    * Spark side reads actual PNG pixels. Per-doc rows pin every image. */
+  val qResizeThumbs: Q = Q(
+    "q_multimodal_resize",
+    """SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  round(list_avg(flatten(list_transform(range(8), y -> list_transform(range(8),
+      |    x -> (doc_id + 7*((x*(16 + doc_id%24))//8) + 13*(2*y)) % 256)))), 4)
+      |    AS mean_intensity
+      |FROM documents WHERE doc_id % 3 = 0""".stripMargin) { (s, d) =>
+    resizeNearest(mediaTable(s, d), 8, 8)
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_intensity"), 4).as("mean_intensity"))
+  }
+
   /** Gate query: frame sampling + per-video counts. Closed form: videos
     * are doc_id%3==2, n_frames = doc_id%24+1, frames sampled every 4th. */
   val qFrameSample: Q = Q(
@@ -395,5 +442,6 @@ object Multimodal {
       size(col("embedding")).as("dims"))
   }
 
-  val all: Seq[Q] = Seq(qDecodeStats, qDecodeAudio, qFrameSample, qMediaFeatures)
+  val all: Seq[Q] =
+    Seq(qDecodeStats, qDecodeAudio, qResizeThumbs, qFrameSample, qMediaFeatures)
 }

@@ -62,6 +62,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("nearest-neighbor resize recovers the closed-form thumbnail exactly") {
+    val rows = Multimodal.resizeNearest(media, 8, 8).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { i =>
+      val k = i.doc_id
+      val sw = Multimodal.imageWidth(k)
+      val expect = (for (y <- 0 until 8; x <- 0 until 8)
+        yield Multimodal.grayAt(k, x * sw / 8, y * 16 / 8)).sum.toDouble / 64
+      assert(i.width == 8 && i.height == 8)
+      assert(i.mean_intensity == expect,
+        s"doc $k: thumbnail mean ${i.mean_intensity} != formula $expect")
+    }
+  }
+
   test("resize: real bilinear rescale to the target raster") {
     val resized = Multimodal.resize(media, 224, 224).collect()
     assert(resized.nonEmpty)
