@@ -154,10 +154,10 @@ object Bench {
     progress("batch queries done; streaming headline")
 
     // Streaming headline: 50k rows/s for 20 s through the full pipeline.
-    // Three runs, all reported; the headline key is the min — a single
-    // run is exposed to GC debt left by the batch queries (observed
-    // 18.6 s vs 43 s run-to-run on identical code), and the min-of-3
-    // keeps the ≤20 s real-time verdict off the variance boundary.
+    // Three runs, all reported; the headline key is the MEDIAN — robust
+    // against both a single GC-debt-poisoned run (observed 18.6 s vs
+    // 43 s run-to-run on identical code) and best-run cherry-picking:
+    // the representative run decides the ≤20 s real-time verdict.
     val streamRuns = (1 to 3).map { _ =>
       System.gc()
       time {
@@ -172,7 +172,7 @@ object Bench {
         q.stop()
       }
     }
-    results("stream_ingest_50k") = streamRuns.min
+    results("stream_ingest_50k") = BenchMetrics.median(streamRuns)
     progress("ramp scenario")
 
     // Ramp scenario (BASELINE.md row "scenario 4": 1,000 → 50-60,000 msg/s
@@ -219,8 +219,9 @@ object Bench {
         |  { type = fixed, value = 15, rate = 20000, duration = 10 }
         |  { type = fixed, value = 7, rate = 20000, duration = 10 }
         |]""".stripMargin
-    // Per-batch progress → (progress epoch ms, triggerExecution ms) for
-    // BenchMetrics.spikeRecovery; input-carrying batches only
+    // Per-batch progress → (trigger-START epoch ms, triggerExecution ms)
+    // for BenchMetrics.spikeRecovery; input-carrying batches only.
+    // StreamingQueryProgress.timestamp is the time the trigger BEGAN.
     def progressBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[(Long, Double)] =
       q.recentProgress.toSeq.filter(_.numInputRows > 0).flatMap { p =>
         Option(p.durationMs.get("triggerExecution")).map(d =>
@@ -448,7 +449,7 @@ object Bench {
     val sustainBar = 25.0 // 20 s of data + one 5 s trigger of slack
     val probeCap = 6400000 // 128× the headline; bounds probe wall-time
     val rateProbes = scala.collection.mutable.LinkedHashMap[Int, Double](
-      50000 -> streamRuns.min) // the headline runs ARE the 50k probe
+      50000 -> BenchMetrics.median(streamRuns)) // headline runs ARE the 50k probe
     val (maxRate, probeCeil) = {
       def sustained(r: Int): Boolean = {
         val (w, rows) = ingestWall(r)
@@ -507,9 +508,13 @@ object Bench {
           .foreachBatch { (raw: org.apache.spark.sql.DataFrame, id: Long) =>
             // enrichment happens per batch: monotonically_increasing_id is
             // batch-scope-only (unsupported on streaming frames), and a
-            // real ingest derives ids at landing time anyway
+            // real ingest derives ids at landing time anyway. It restarts
+            // at 0 every batch, so fold the batch id in above its top bit
+            // (partition bits sit at bit 33; 2^40 clears them) — landed
+            // ids are then globally unique across batch=N directories
             val b = raw
-              .withColumn("vec_id", monotonically_increasing_id())
+              .withColumn("vec_id",
+                monotonically_increasing_id() + lit(id * (1L << 40)))
               .withColumn("doc_id", col("vec_id"))
               .withColumn("label", pmod(col("value"), lit(8)).cast("int"))
               .withColumn("embedding",

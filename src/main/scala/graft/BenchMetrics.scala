@@ -41,9 +41,11 @@ object BenchMetrics {
     }
 
   /** Spike-recovery shape from a query's per-batch progress:
-    * `batches` = (wall-clock epoch ms at progress emission, batch
-    * triggerExecution ms), input-carrying WARM batches only (caller
-    * drops the cold first batch, as the soak does), in order.
+    * `batches` = (trigger START epoch ms — StreamingQueryProgress
+    * .timestamp is stamped when the trigger BEGINS, not when progress
+    * is emitted — batch triggerExecution ms), input-carrying WARM
+    * batches only (caller drops the cold first batch, as the soak
+    * does), in order.
     *
     * Returns (peakDelaySec, drainSec):
     *  - peakDelaySec: the worst batch's execution time — how far past
@@ -78,8 +80,10 @@ object BenchMetrics {
         var start = peakIdx
         while (start > 0 && batches(start - 1)._2 > triggerMs) start -= 1
         batches.drop(peakIdx + 1).find(_._2 <= triggerMs) match {
-          case Some((ts, _)) => (ts - batches(start)._1) / 1000.0
-          case None          => -1.0 // ended still behind
+          // timestamps are trigger STARTS, so close the window at the
+          // END of the recovered batch: its start + its execution time
+          case Some((ts, dur)) => (ts + dur - batches(start)._1) / 1000.0
+          case None            => -1.0 // ended still behind
         }
       }
     (peakDelaySec, drainSec)

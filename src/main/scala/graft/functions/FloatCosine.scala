@@ -94,6 +94,22 @@ object GraftFunctions {
   val Md5SlicesName = "graft_md5_slices"
   val RegexpCountName = "graft_regexp_count"
 
+  /** Evaluate a foldable argument to a plan-time Int with descriptive
+    * errors: a null or non-numeric literal must fail with the function
+    * and argument named, not an opaque NPE/ClassCastException deep in
+    * the cast. Shared by every capped-buffer builder below. */
+  private def foldToInt(fn: String, arg: String, e: Expression): Int = {
+    require(e.foldable, s"$fn $arg must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue
+      case null      => throw new IllegalArgumentException(
+        s"$fn $arg must be a non-null literal integer, got NULL")
+      case other     => throw new IllegalArgumentException(
+        s"$fn $arg must be a literal integer, got " +
+          s"${other.getClass.getSimpleName} '$other'")
+    }
+  }
+
   /** Build a [[CollectCapped]] from SQL arguments: the cap must be a
     * foldable integer (it sizes aggregation buffers at plan time).
     * Shared by [[register]] and [[graft.GraftExtensions]] so both
@@ -101,9 +117,7 @@ object GraftFunctions {
   private[graft] def mkCollectCapped(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"$CollectCappedName takes exactly 2 arguments (expr, cap), got ${exprs.length}")
-    require(exprs(1).foldable,
-      s"$CollectCappedName cap must be a literal integer")
-    CollectCapped(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+    CollectCapped(exprs.head, foldToInt(CollectCappedName, "cap", exprs(1)))
   }
 
   /** Build a [[MinKCollect]] from SQL arguments: k must be a foldable
@@ -112,11 +126,10 @@ object GraftFunctions {
   private[graft] def mkMinK(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"$MinKName takes exactly 2 arguments (expr, k), got ${exprs.length}")
-    require(exprs(1).foldable, s"$MinKName k must be a literal integer")
     require(org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(exprs.head.dataType),
       s"$MinKName element type ${exprs.head.dataType} is not orderable")
-    MinKCollect(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+    MinKCollect(exprs.head, foldToInt(MinKName, "k", exprs(1)))
   }
 
   /** Build a [[FloatCosine]] from SQL arguments, with arity validation. */

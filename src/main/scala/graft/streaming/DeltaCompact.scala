@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Delta→base compaction for the streaming-landed corpus — the LSM step
+  * that keeps [[StreamShardRouter]]'s per-batch landing viable long-term.
+  * Every micro-batch lands as its own `batch=<id>/shard_id=<k>/` parquet
+  * directory (idempotent replay), which at production cadence means
+  * thousands of small files per day: the classic small-files problem
+  * that degrades every downstream scan. Compaction folds the landed
+  * deltas into a generation-numbered base with ONE file per shard, under
+  * a manifest that makes the fold atomic and crash-safe.
+  *
+  * Layout under one corpus root:
+  * {{{
+  *   batch=<id>/shard_id=<k>/part-*.parquet   landed deltas (the router)
+  *   base_gen=<g>/shard_id=<k>/part-*.parquet compacted base, generation g
+  *   _compaction.json                          manifest: {gen, maxFoldedBatch}
+  * }}}
+  *
+  * Commit protocol (the Delta-Lake/Iceberg snapshot discipline, file-based):
+  *  1. write `base_gen=<g+1>` COMPLETELY (old base + folded deltas);
+  *  2. atomically swap the manifest (temp file + rename) to point at it;
+  *  3. only then GC the folded `batch=` directories and the old base.
+  * A crash between any two steps leaves readers correct: the manifest
+  * still names the old generation, whose base + still-present deltas are
+  * the full corpus; an orphaned half-written `base_gen` directory is
+  * invisible (readers go through the manifest, never by listing) and is
+  * overwritten by the next compaction.
+  *
+  * Scale shape: the fold is one `repartition(shards, shard_id)` +
+  * partitioned write — a single shuffle sized by shard count, no
+  * driver-side data. Readers between compactions pay base + unfolded
+  * deltas (bounded by compaction cadence); after, one pruned file per
+  * shard. Serve-path equivalence pre/post fold is pinned by the
+  * `q_stream_ann_compact` gate and [[graft.streaming]] specs. */
+object DeltaCompact {
+
+  /** The committed compaction state: current base generation and the
+    * highest batch id folded into it. */
+  final case class Manifest(gen: Long, maxFoldedBatch: Long)
+
+  private def manifestPath(outDir: String) = Paths.get(outDir, "_compaction.json")
+
+  /** Read the committed manifest, if any compaction has ever run. */
+  def readManifest(outDir: String): Option[Manifest] = {
+    val p = manifestPath(outDir)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      def field(k: String): Long = {
+        val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt compaction manifest $p: missing $k in $s"))
+        m.group(1).toLong
+      }
+      Some(Manifest(field("gen"), field("maxFoldedBatch")))
+    }
+  }
+
+  private def writeManifest(outDir: String, m: Manifest): Unit = {
+    val json = s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}}"""
+    val tmp = Paths.get(outDir, s"_compaction.json.tmp.${System.nanoTime()}")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    // rename within one directory: atomic on POSIX — the commit point
+    Files.move(tmp, manifestPath(outDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Batch ids currently landed as delta directories. */
+  def listDeltaBatches(outDir: String): Seq[Long] = {
+    val root = new File(outDir)
+    if (!root.isDirectory) Seq.empty
+    else root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .flatMap(f => f.getName.stripPrefix("batch=").toLongOption)
+      .sorted
+  }
+
+  /** The full corpus as of NOW: committed base (if any) + every delta
+    * batch newer than the fold watermark, schema-aligned by name. Never
+    * lists `base_gen` directories — the manifest IS the source of truth,
+    * which is what makes a half-written new base invisible. */
+  def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
+    val man = readManifest(outDir)
+    val deltaIds = listDeltaBatches(outDir)
+      .filter(id => man.forall(id > _.maxFoldedBatch))
+    val parts =
+      man.map(m => spark.read.parquet(s"$outDir/base_gen=${m.gen}")).toSeq ++
+        deltaIds.map(id => spark.read.parquet(s"$outDir/batch=$id"))
+    require(parts.nonEmpty, s"no landed data under $outDir")
+    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
+  }
+
+  /** Fold every landed delta into the next base generation and commit.
+    * Idempotent: compacting with no unfolded deltas rewrites the base
+    * (a no-op fold) and re-commits. Returns the committed manifest. */
+  def compact(spark: SparkSession, outDir: String, numShards: Int = 16): Manifest = {
+    val prev = readManifest(outDir)
+    val deltas = listDeltaBatches(outDir)
+      .filter(id => prev.forall(id > _.maxFoldedBatch))
+    val corpus = readCorpus(spark, outDir)
+    val nextGen = prev.map(_.gen + 1).getOrElse(0L)
+    val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
+    // step 1: the new base, one file per shard — repartition on the
+    // shard key is the ONLY shuffle, sized by shard count not data
+    corpus
+      .repartition(numShards, org.apache.spark.sql.functions.col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$outDir/base_gen=$nextGen")
+    // step 2: atomic commit
+    val man = Manifest(nextGen, watermark)
+    writeManifest(outDir, man)
+    // step 3: GC the folded inputs — safe only AFTER the commit
+    deltas.foreach(id =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new File(s"$outDir/batch=$id")))
+    prev.foreach(m =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new File(s"$outDir/base_gen=${m.gen}")))
+    man
+  }
+}

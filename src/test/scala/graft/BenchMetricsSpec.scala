@@ -48,24 +48,26 @@ class BenchMetricsSpec extends AnyFunSuite {
   test("spike recovery: peak and drain from a classic overload curve") {
     // 1 s trigger: two calm batches, then the overload episode begins at
     // t0+4000 (first batch > trigger of the run containing the peak),
-    // builds to a 4.2 s peak, recovers (first ≤-trigger batch) at
-    // t0+14200 — behind real-time for 10.2 s total
+    // builds to a 4.2 s peak, recovers with the batch STARTING at
+    // t0+14200 (timestamps are trigger starts) and running 900 ms —
+    // behind real-time until t0+15100, 11.1 s total
     val t0 = 1000000L
     val batches = Seq(
       (t0 + 1000, 900.0), (t0 + 2000, 950.0),
       (t0 + 4000, 2500.0), (t0 + 8200, 4200.0), // peak at t0+8200
-      (t0 + 11000, 2800.0), (t0 + 14200, 900.0), // recovered at t0+14200
+      (t0 + 11000, 2800.0), (t0 + 14200, 900.0), // recovered batch starts t0+14200
       (t0 + 15200, 880.0))
     val (peak, drain) = BenchMetrics.spikeRecovery(batches, 1000L)
     assert(peak === 4.2)
-    assert(drain === 10.2, s"drain should be 14200-4000 = 10.2 s, got $drain")
+    assert(drain === 11.1, s"drain should be 14200+900-4000 = 11.1 s, got $drain")
   }
 
   test("spike recovery: an isolated pre-spike stall does not hijack the episode window") {
     // one 1.1 s GC-stalled batch in the calm phase, recovered immediately;
-    // the real spike episode runs t0+10000 .. recovered t0+20000. Anchoring
-    // at the globally-first over-trigger batch would report ~2 s; the
-    // peak-episode anchor reports the spike's own 10 s window.
+    // the real spike episode runs t0+10000 .. end of the recovered batch
+    // (starts t0+20000, runs 800 ms). Anchoring at the globally-first
+    // over-trigger batch would report ~2 s; the peak-episode anchor
+    // reports the spike's own 10.8 s window.
     val t0 = 5000000L
     val batches = Seq(
       (t0 + 1000, 900.0), (t0 + 2000, 1100.0), (t0 + 3000, 900.0),
@@ -73,7 +75,7 @@ class BenchMetricsSpec extends AnyFunSuite {
       (t0 + 20000, 800.0))
     val (peak, drain) = BenchMetrics.spikeRecovery(batches, 1000L)
     assert(peak === 4.0)
-    assert(drain === 10.0, s"drain should be 20000-10000 = 10 s, got $drain")
+    assert(drain === 10.8, s"drain should be 20000+800-10000 = 10.8 s, got $drain")
   }
 
   test("spike recovery: never-behind run has zero drain; never-recovered is -1") {

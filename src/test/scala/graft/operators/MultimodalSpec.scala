@@ -3,10 +3,11 @@ package graft.operators
 import graft.SparkSpec
 
 /** The multimodal path with its REAL codecs: images are genuine PNG
-  * (JDK ImageIO), audio genuine WAV (RIFF/PCM), video the one declared
-  * stub. Every decoded stat must equal the closed-form formula the
-  * fixture encoded — the decode is only real if it recovers the exact
-  * pixels/samples through the actual container formats. */
+  * (JDK ImageIO), audio genuine WAV (RIFF/PCM), video genuine AVI
+  * (RIFF tree, uncompressed DIB frames). Every decoded stat must equal
+  * the closed-form formula the fixture encoded — the decode is only
+  * real if it recovers the exact pixels/samples/frames through the
+  * actual container formats. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.mediaTable(spark, sf)
@@ -20,10 +21,12 @@ class MultimodalSpec extends SparkSpec {
       m.media_type match {
         case "image" => assert(m.payload.take(4).sameElements(pngMagic),
           s"doc ${m.doc_id}: image payload is not PNG")
-        case "audio" => assert(new String(m.payload.take(4), "US-ASCII") == "RIFF",
-          s"doc ${m.doc_id}: audio payload is not RIFF")
-        case _ => assert(m.payload.length == 32,
-          s"doc ${m.doc_id}: video stub payload must be the 32 md5-chain bytes")
+        case "audio" => assert(new String(m.payload.take(4), "US-ASCII") == "RIFF" &&
+          new String(m.payload.slice(8, 12), "US-ASCII") == "WAVE",
+          s"doc ${m.doc_id}: audio payload is not RIFF/WAVE")
+        case _ => assert(new String(m.payload.take(4), "US-ASCII") == "RIFF" &&
+          new String(m.payload.slice(8, 12), "US-ASCII") == "AVI ",
+          s"doc ${m.doc_id}: video payload is not RIFF/AVI")
       }
     }
     // determinism: rebuilding yields identical payloads (PNG/WAV encode
@@ -84,14 +87,56 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.forall(i => i.mean_intensity >= 0 && i.mean_intensity <= 255))
   }
 
-  test("frame sampling: every 4th frame, rotation-deterministic bytes") {
+  test("video decode: real AVI/DIB parse recovers geometry, fps and pixels exactly") {
+    val rows = Multimodal.decodeVideo(media).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { v =>
+      val k = v.doc_id
+      val w = Multimodal.imageWidth(k)
+      val nf = Multimodal.videoFrames(k)
+      assert(v.width == w && v.height == 16 && v.n_frames == nf && v.fps == 8.0)
+      val expect = (for (f <- 0 until nf; y <- 0 until 16; x <- 0 until w)
+        yield Multimodal.videoPixAt(k, f, x, y)).sum.toDouble / (nf.toLong * w * 16)
+      assert(v.mean_intensity == expect,
+        s"doc $k: decoded mean ${v.mean_intensity} != encoded-formula mean $expect")
+    }
+  }
+
+  test("frame sampling: every 4th frame, REAL DIB bits from the parsed AVI") {
     val frames = Multimodal.sampleFrames(media, everyN = 4).collect()
     assert(frames.nonEmpty)
     val byDoc = frames.groupBy(_.doc_id)
     byDoc.foreach { case (_, fs) =>
       assert(fs.map(_.frame_index).sorted.toSeq == fs.map(_.frame_index).min.to(fs.map(_.frame_index).max).by(4))
     }
-    assert(frames.forall(_.frame_bytes.length == 32))
+    // the sampled bytes must BE the frame's DIB bits: bottom-up BGR24,
+    // stride padded to 4 — byte-compare against the closed-form encoding
+    frames.foreach { fr =>
+      val expect = Multimodal.dibFrameBytes(fr.doc_id, fr.frame_index)
+      assert(fr.frame_bytes.sameElements(expect),
+        s"doc ${fr.doc_id} frame ${fr.frame_index}: sampled bytes are not the encoded DIB bits")
+    }
+  }
+
+  test("RIFF walkers skip the word-alignment pad after odd-sized chunks") {
+    // hand-build a WAV with an odd-sized unknown chunk (plus pad byte)
+    // BEFORE fmt/data: a walker that forgets the pad misreads every
+    // later tag by one byte. Chunk sizes in our generated media are all
+    // even, so this is the external-file robustness case.
+    val k = 1L
+    val base = Multimodal.wavBytes(k)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val buf = java.nio.ByteBuffer.allocate(base.length + junk.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(base, 0, 12)                  // RIFF <size> WAVE
+    buf.put(junk)                         // odd chunk + its pad byte
+    buf.put(base, 12, base.length - 12)   // fmt + data as before
+    buf.putInt(4, base.length - 8 + junk.length) // patch riff size
+    val padded = buf.array()
+    import spark.implicits._
+    val one = Seq(Multimodal.MediaRecord(k, "audio", "wav", padded, 1)).toDS()
+    val a = Multimodal.decodeAudio(one).collect().head
+    assert(a.sample_rate == 8000 && a.n_samples == Multimodal.audioSamples(k))
   }
 
   test("feature extraction feeds the similarity surface, per modality") {
@@ -112,5 +157,14 @@ class MultimodalSpec extends SparkSpec {
       ((0 until w).map(x => Multimodal.grayAt(k, x, y)).sum.toDouble / w / 256.0).toFloat
     }
     assert(emb == expect, s"doc $k: feature dims diverge from decoded rows")
+    // video dims are frame-0 per-row means of the REAL decoded AVI —
+    // videoPixAt(f=0) is the image formula, at the video doc's width
+    val kv = rows.map(_.getLong(0)).filter(_ % 3 == 2).min
+    val embV = rows.find(_.getLong(0) == kv).get.getSeq[Float](1)
+    val wv = Multimodal.imageWidth(kv)
+    val expectV = (0 until 16).map { y =>
+      ((0 until wv).map(x => Multimodal.videoPixAt(kv, 0, x, y)).sum.toDouble / wv / 256.0).toFloat
+    }
+    assert(embV == expectV, s"doc $kv: video feature dims diverge from decoded frame 0")
   }
 }
