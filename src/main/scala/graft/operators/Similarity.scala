@@ -759,6 +759,57 @@ object Similarity {
     s.createDataFrame(new java.util.ArrayList(rows), outSchema)
   }
 
+  /** The full delta-index lifecycle under ONE oracle: the new-ingest
+    * slice is replayed as a multi-batch file stream (source split into 4
+    * files, one per trigger), each micro-batch LANDED as its own
+    * `batch=<id>` delta directory by [[graft.streaming.StreamShardRouter
+    * .landBatch]], the landed deltas FOLDED into a single-file-per-shard
+    * base by [[graft.streaming.DeltaCompact.compact]] (atomic manifest
+    * commit + delta GC — the LSM step that kills the small-files
+    * problem), and the assignment then runs over the COMPACTED corpus
+    * read back from disk. Facing the IDENTICAL DuckDB oracle as
+    * [[qKnnIncrAssign]] pins the whole land → compact → read-back →
+    * assign chain lossless and duplicate-free, hash-for-hash. The
+    * 4-file split is gate plumbing (one parquet file would replay as one
+    * batch); production streams are multi-batch by nature. */
+  private val compactRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  val qStreamAnnCompact: Q = Q(
+    "q_stream_ann_compact", IncrAssignOracle) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.streaming.StreamAnn
+      .labelCentroids(emb.filter(col("vec_id") % 5 =!= 0)).localCheckpoint()
+    val pid = ProcessHandle.current().pid()
+    val run = compactRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_compact/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_compact", pid,
+      n => n.stripPrefix("run_").split('_').headOption.flatMap(_.toLongOption),
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+    val srcDir = s"$root/src"
+    val outDir = s"$root/landed"
+    // 4 source files → 4 AvailableNow micro-batches → 4 delta dirs
+    emb.filter(col("vec_id") % 5 === 0).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.streaming.StreamShardRouter.landBatch(
+          batch.withColumn("doc_id", col("vec_id")), outDir, id)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.streaming.DeltaCompact.compact(s, outDir)
+    val corpus = graft.streaming.DeltaCompact.readCorpus(s, outDir)
+    // decoupled from the run dir (reaped 3 builds later), like
+    // q_stream_shard_route's audit
+    graft.streaming.StreamAnn.assign(corpus, cents).localCheckpoint()
+  }
+
   /** Per-dimension embedding health audit — the table an embedding-ingest
     * pipeline alerts on before any index build: dimension-wise mean/spread
     * plus the dead-dimension fraction (|v| < 0.01) and a low-variance
@@ -1425,5 +1476,6 @@ object Similarity {
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
-    qEmbedDimStats, qKnnIvfPersist, qKnnIvf2, qKnnIvf2Persist)
+    qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
+    qKnnIvf2Persist)
 }
