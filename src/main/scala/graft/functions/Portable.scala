@@ -48,6 +48,22 @@ object Portable {
   def regexpCount(c: Column, pattern: String): Column =
     GraftShims.column(RegexpCount(GraftShims.expression(c), pattern))
 
+  /** Native fused tokenizer stats — the packed BIGINT
+    * (bpeTokens << 32) | words of [[TokenStats]]: one regex-free scan
+    * replacing the BPE-ish-regex match count AND
+    * `size(split(trim(c), "\s+"))` together. Unpack with
+    * [[tokensOf]] / [[wordsOf]]. */
+  def tokenStats(c: Column): Column =
+    GraftShims.column(TokenStats(GraftShims.expression(c)))
+
+  /** High half of [[tokenStats]]: the BPE-ish token count. */
+  def tokensOf(packed: Column): Column =
+    org.apache.spark.sql.functions.shiftright(packed, 32).cast("int")
+
+  /** Low half of [[tokenStats]]: the whitespace-word count. */
+  def wordsOf(packed: Column): Column =
+    packed.bitwiseAND(0xFFFFFFFFL).cast("int")
+
   /** Driver-side [[hash60]] of a UTF-8 string — same first-15-hex-digits-
     * of-md5 value, for precomputing constant tables (e.g. LSH hyperplanes)
     * once instead of hashing per row. */

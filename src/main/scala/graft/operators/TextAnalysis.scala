@@ -27,7 +27,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("docs"),
         round(avg("n_chars"), 4).as("avg_chars"),
-        round(avg(size(split(trim(col("text")), "\\s+"))), 4).as("avg_tokens"),
+        round(avg(Portable.wordsOf(Portable.tokenStats(col("text")))), 4).as("avg_tokens"),
         max(length(col("text"))).as("max_len"))
   }
 
@@ -43,10 +43,11 @@ object TextAnalysis {
        |  len(string_split_regex(trim(text), '\\s+')) AS n_words
        |FROM documents""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
+      .select(col("doc_id"), Portable.tokenStats(col("text")).as("ts"))
       .select(
         col("doc_id"),
-        Portable.regexpCount(col("text"), TokenPat).as("n_tokens"),
-        size(split(trim(col("text")), "\\s+")).as("n_words"))
+        Portable.tokensOf(col("ts")).as("n_tokens"),
+        Portable.wordsOf(col("ts")).as("n_words"))
   }
 
   /** Tokenizer fertility per language — tokens-per-word and
@@ -71,10 +72,14 @@ object TextAnalysis {
        |    / greatest(sum(len(regexp_extract_all(text, '$TokenPatSql'))), 1),
        |    4) AS chars_per_token
        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
-    val nTok = Portable.regexpCount(col("text"), TokenPat)
-    val nWords = size(split(trim(col("text")), "\\s+"))
+    // ONE regex-free scan per document (native TokenStats kernel) yields
+    // both counts; the bit unpacks are free column ops. The oracle keeps
+    // the regex formulation — value parity pinned by TokenStatsSpec.
     Tables.documents(s, d)
-      .select(col("lang"), nTok.as("t"), nWords.as("w"), length(col("text")).as("c"))
+      .select(col("lang"), Portable.tokenStats(col("text")).as("ts"),
+        length(col("text")).as("c"))
+      .select(col("lang"), Portable.tokensOf(col("ts")).as("t"),
+        Portable.wordsOf(col("ts")).as("w"), col("c"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("docs"),
@@ -99,7 +104,9 @@ object TextAnalysis {
   private[graft] def stopCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     Portable.regexpCount(lower(text), "\\b" + Stop + "\\b")
   private[graft] def wordCountFloor1(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    greatest(size(split(trim(text), "\\s+")), lit(1))
+    // native scan kernel, not split-array materialization (TokenStats;
+    // value parity with size(split(trim,\s+)) pinned by TokenStatsSpec)
+    greatest(Portable.wordsOf(Portable.tokenStats(text)), lit(1))
 
   /** Quality scoring: stopword ratio, punctuation ratio, length gate —
     * the usual cheap pre-training heuristics. */
@@ -1022,7 +1029,7 @@ object TextAnalysis {
         (Portable.hash60(col("doc_id").cast("string")) % 16).cast("int"))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"),
+        sum(Portable.wordsOf(Portable.tokenStats(col("text")))).as("n_tokens"),
         sum("n_chars").as("n_chars"))
   }
 
@@ -1073,7 +1080,7 @@ object TextAnalysis {
     s.read.parquet(outDir)
       .groupBy(col("shard_id").cast("int").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+"))).as("n_tokens"),
+        sum(Portable.wordsOf(Portable.tokenStats(col("text")))).as("n_tokens"),
         sum("n_chars").as("n_chars"))
       // localCheckpoint decouples the returned result from the run dir:
       // the 16-row aggregate is materialized HERE, so a caller that
