@@ -61,9 +61,24 @@ case class MinKCollect(
 
   require(k > 0, s"graft_min_k k must be positive, got $k")
 
-  @transient private lazy val ordering: Ordering[Any] =
-    org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(child.dataType)
+  @transient private lazy val ordering: Ordering[Any] = child.dataType match {
+    // struct elements (the argmax-candidate and hash-reservoir shapes —
+    // every hot call site) compare through a CODEGEN'D ordering: one
+    // compiled field-by-field compare instead of InterpretedOrdering's
+    // per-field dispatch + boxing on every binary-search probe. Null
+    // fields sort FIRST under SortOrder's Ascending default, identical
+    // to the interpreted ordering this replaces (pinned by
+    // BoundedCollectSpec's null-field test).
+    case st: org.apache.spark.sql.types.StructType =>
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, SortOrder}
+      org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+        .generate(st.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          SortOrder(BoundReference(i, f.dataType, f.nullable), Ascending)
+        })
+        .asInstanceOf[Ordering[Any]]
+    case t =>
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(t)
+  }
 
   override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
     mutable.ArrayBuffer.empty

@@ -98,12 +98,22 @@ object DeltaCompact {
 
   /** Fold every landed delta into the next base generation and commit.
     * Idempotent: compacting with no unfolded deltas rewrites the base
-    * (a no-op fold) and re-commits. Returns the committed manifest. */
+    * (a no-op fold) and re-commits. Returns the committed manifest.
+    *
+    * The delta list is captured ONCE and the fold reads exactly those
+    * directories (not a re-listing): a batch landing concurrently with
+    * the fold stays a delta above the new watermark instead of being
+    * silently folded AND re-read — the compactor and the landing stream
+    * need no coordination beyond the manifest. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16): Manifest = {
     val prev = readManifest(outDir)
     val deltas = listDeltaBatches(outDir)
       .filter(id => prev.forall(id > _.maxFoldedBatch))
-    val corpus = readCorpus(spark, outDir)
+    val parts =
+      prev.map(m => spark.read.parquet(s"$outDir/base_gen=${m.gen}")).toSeq ++
+        deltas.map(id => spark.read.parquet(s"$outDir/batch=$id"))
+    require(parts.nonEmpty, s"no landed data under $outDir")
+    val corpus = parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
     // step 1: the new base, one file per shard — repartition on the
