@@ -459,8 +459,12 @@ object Bench {
           f"(bar $sustainBar%.0fs${if (full) "" else ", SHORTFALL"})")
         full && w <= sustainBar
       }
-      var lo = 50000
-      var hi = -1
+      // the seeded headline median is only a valid 50k probe if it met
+      // the bar; otherwise re-probe 50k for real (GC-poisoned medians
+      // must not let the doubling start from an unproven floor)
+      var lo =
+        if (rateProbes(50000) <= sustainBar || sustained(50000)) 50000 else 0
+      var hi = if (lo == 0) 50000 else -1
       var r = 100000
       while (hi < 0 && r <= probeCap) {
         if (sustained(r)) { lo = r; r *= 2 } else hi = r
@@ -489,7 +493,7 @@ object Bench {
       // crashed benches are reaped here (age-floored), ours deleted below
       val annPid = ProcessHandle.current().pid()
       operators.TmpDirs.reap("/tmp/graft_annleg", annPid,
-        n => n.stripPrefix("run_").split('_').headOption.flatMap(_.toLongOption))
+        operators.TmpDirs.runPrefixPid)
       val outDir = s"/tmp/graft_annleg/run_${annPid}_${System.nanoTime()}"
       val rowsAssigned = new java.util.concurrent.atomic.AtomicLong(0)
       val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
@@ -509,12 +513,14 @@ object Bench {
             // enrichment happens per batch: monotonically_increasing_id is
             // batch-scope-only (unsupported on streaming frames), and a
             // real ingest derives ids at landing time anyway. It restarts
-            // at 0 every batch, so fold the batch id in above its top bit
-            // (partition bits sit at bit 33; 2^40 clears them) — landed
-            // ids are then globally unique across batch=N directories
+            // at 0 every batch, so fold the batch id ABOVE the id's full
+            // layout — partition id occupies bits 33..63-of-use, so the
+            // stride must clear the partition FIELD, not bit 33: 2^50
+            // leaves room for 2^17 partitions × 2^33 rows per batch,
+            // making landed ids globally unique across batch=N dirs
             val b = raw
               .withColumn("vec_id",
-                monotonically_increasing_id() + lit(id * (1L << 40)))
+                monotonically_increasing_id() + lit(id * (1L << 50)))
               .withColumn("doc_id", col("vec_id"))
               .withColumn("label", pmod(col("value"), lit(8)).cast("int"))
               .withColumn("embedding",

@@ -101,7 +101,12 @@ object GraftFunctions {
   private def foldToInt(fn: String, arg: String, e: Expression): Int = {
     require(e.foldable, s"$fn $arg must be a literal integer")
     e.eval() match {
-      case n: Number => n.intValue
+      case n: Number =>
+        val l = n.longValue
+        if (l < Int.MinValue || l > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"$fn $arg must fit in a 32-bit integer, got $l")
+        l.toInt
       case null      => throw new IllegalArgumentException(
         s"$fn $arg must be a non-null literal integer, got NULL")
       case other     => throw new IllegalArgumentException(
@@ -173,10 +178,10 @@ object GraftFunctions {
   private[graft] def mkMd5Slices(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 4,
       s"$Md5SlicesName takes exactly 4 arguments (expr, n, len, stride), got ${exprs.length}")
-    require(exprs.tail.forall(_.foldable),
-      s"$Md5SlicesName slice geometry (n, len, stride) must be literal integers")
-    val Seq(n, len, stride) = exprs.tail.map(_.eval().asInstanceOf[Number].intValue)
-    Md5Slices(exprs.head, n, len, stride)
+    Md5Slices(exprs.head,
+      foldToInt(Md5SlicesName, "n", exprs(1)),
+      foldToInt(Md5SlicesName, "len", exprs(2)),
+      foldToInt(Md5SlicesName, "stride", exprs(3)))
   }
 
   /** Build a [[RegexpCount]] from SQL arguments: the pattern must be a

@@ -346,6 +346,11 @@ object Multimodal {
     require(tag() == "AVI ", s"doc $docId: not an AVI file")
     var w = 0; var h = 0; var nf = 0; var fps = 0.0
     val frames = scala.collection.immutable.ArraySeq.newBuilder[Array[Byte]]
+    // the ONE word-alignment rule, applied after EVERY consumed chunk
+    // (same contract as decodeAudio's skipPad): odd-size chunks carry a
+    // pad byte not counted in their size field
+    def skipPad(size: Int): Unit =
+      if ((size & 1) == 1 && buf.remaining() > 0) buf.get()
     // LIST bodies are chunk sequences like the top level, so a LIST we
     // care about is "entered" by simply continuing the walk at its body
     while (buf.remaining() >= 8) {
@@ -355,43 +360,42 @@ object Multimodal {
           val listType = tag()
           if (!Set("hdrl", "strl", "movi").contains(listType)) {
             buf.position(buf.position() + size - 4)
-            if ((size & 1) == 1 && buf.remaining() > 0) buf.get()
+            skipPad(size)
           }
-        case "avih" =>
-          val end = buf.position() + size
-          buf.getInt                       // dwMicroSecPerFrame
-          buf.getInt; buf.getInt; buf.getInt // maxBytesPerSec, padding, flags
-          nf = buf.getInt                  // dwTotalFrames
-          buf.getInt; buf.getInt; buf.getInt // initialFrames, streams, bufSize
-          w = buf.getInt; h = buf.getInt
-          buf.position(end)
-        case "strh" =>
-          val end = buf.position() + size
-          require(tag() == "vids", s"doc $docId: first stream is not video")
-          tag()                            // handler ('DIB ')
-          buf.getInt; buf.getInt; buf.getInt // flags, prio/lang, initialFrames
-          val scale = buf.getInt; val rate = buf.getInt
-          require(scale > 0, s"doc $docId: zero strh scale")
-          fps = rate.toDouble / scale
-          buf.position(end)
-        case "strf" =>
-          val end = buf.position() + size
-          buf.getInt                       // biSize
-          buf.getInt; buf.getInt           // biWidth, biHeight
-          buf.getShort                     // biPlanes
-          val bits = buf.getShort
-          val compression = buf.getInt
-          require(bits == 24 && compression == 0,
-            s"doc $docId: unsupported DIB layout ($bits-bit, compression $compression)")
-          buf.position(end)
+          // entered lists consume no body here — children pad themselves
         case "00db" | "00dc" =>
           val bytes = new Array[Byte](size)
           buf.get(bytes)
           frames += bytes
-          if ((size & 1) == 1 && buf.remaining() > 0) buf.get()
-        case _ =>
-          buf.position(buf.position() + size)
-          if ((size & 1) == 1 && buf.remaining() > 0) buf.get()
+          skipPad(size)
+        case other =>
+          val end = buf.position() + size
+          other match {
+            case "avih" =>
+              buf.getInt                       // dwMicroSecPerFrame
+              buf.getInt; buf.getInt; buf.getInt // maxBytesPerSec, padding, flags
+              nf = buf.getInt                  // dwTotalFrames
+              buf.getInt; buf.getInt; buf.getInt // initialFrames, streams, bufSize
+              w = buf.getInt; h = buf.getInt
+            case "strh" =>
+              require(tag() == "vids", s"doc $docId: first stream is not video")
+              tag()                            // handler ('DIB ')
+              buf.getInt; buf.getInt; buf.getInt // flags, prio/lang, initialFrames
+              val scale = buf.getInt; val rate = buf.getInt
+              require(scale > 0, s"doc $docId: zero strh scale")
+              fps = rate.toDouble / scale
+            case "strf" =>
+              buf.getInt                       // biSize
+              buf.getInt; buf.getInt           // biWidth, biHeight
+              buf.getShort                     // biPlanes
+              val bits = buf.getShort
+              val compression = buf.getInt
+              require(bits == 24 && compression == 0,
+                s"doc $docId: unsupported DIB layout ($bits-bit, compression $compression)")
+            case _ => ()                       // unknown chunk: skip body
+          }
+          buf.position(end)
+          skipPad(size)
       }
     }
     val fs = frames.result()

@@ -784,7 +784,7 @@ object Similarity {
     val run = compactRunCounter.incrementAndGet()
     val root = s"/tmp/graft_compact/run_${pid}_$run"
     TmpDirs.reap("/tmp/graft_compact", pid,
-      n => n.stripPrefix("run_").split('_').headOption.flatMap(_.toLongOption),
+      TmpDirs.runPrefixPid,
       reapSamePid = n =>
         n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
     val srcDir = s"$root/src"

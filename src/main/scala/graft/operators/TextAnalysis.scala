@@ -1067,7 +1067,7 @@ object TextAnalysis {
     // covers a concurrently-building suite's or caller's still-lazy
     // DataFrame) — bounds the per-JVM footprint at 3 routed-corpus copies
     TmpDirs.reap("/tmp/graft_shards", pid,
-      n => n.stripPrefix("run_").split('_').headOption.flatMap(_.toLongOption),
+      TmpDirs.runPrefixPid,
       reapSamePid = n =>
         n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
     val schema = Tables.documents(s, d).schema

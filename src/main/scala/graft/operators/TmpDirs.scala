@@ -19,6 +19,13 @@ object TmpDirs {
   def pidSuffix(name: String): Option[Long] =
     name.split('_').lastOption.flatMap(_.toLongOption)
 
+  /** Owner pid per the `run_<pid>_<runOrNanos>` convention — THE parser
+    * for every per-run root (`/tmp/graft_shards`, `/tmp/graft_annleg`,
+    * `/tmp/graft_compact`); one definition so a layout rename cannot
+    * silently break reaping at a subset of call sites. */
+  def runPrefixPid(name: String): Option[Long] =
+    name.stripPrefix("run_").split('_').headOption.flatMap(_.toLongOption)
+
   /** Age floor for cross-pid reaps: a dir younger than this is never
     * deleted on the dead-pid / legacy paths, even if its recorded owner
     * looks dead — guards against pid recycling (a long-lived system

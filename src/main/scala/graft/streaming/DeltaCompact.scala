@@ -81,14 +81,12 @@ object DeltaCompact {
       .sorted
   }
 
-  /** The full corpus as of NOW: committed base (if any) + every delta
-    * batch newer than the fold watermark, schema-aligned by name. Never
-    * lists `base_gen` directories — the manifest IS the source of truth,
-    * which is what makes a half-written new base invisible. */
-  def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
-    val man = readManifest(outDir)
-    val deltaIds = listDeltaBatches(outDir)
-      .filter(id => man.forall(id > _.maxFoldedBatch))
+  /** ONE definition of "the corpus as of (manifest, deltaIds)": committed
+    * base (if any) + exactly the given delta batches, schema-aligned by
+    * name. Shared by [[readCorpus]] and [[compact]] so the data the fold
+    * writes can never diverge from the data readers see. */
+  private def assemble(spark: SparkSession, outDir: String,
+      man: Option[Manifest], deltaIds: Seq[Long]): DataFrame = {
     val parts =
       man.map(m => spark.read.parquet(s"$outDir/base_gen=${m.gen}")).toSeq ++
         deltaIds.map(id => spark.read.parquet(s"$outDir/batch=$id"))
@@ -96,24 +94,37 @@ object DeltaCompact {
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
   }
 
+  private def unfoldedDeltas(outDir: String, man: Option[Manifest]): Seq[Long] =
+    listDeltaBatches(outDir).filter(id => man.forall(id > _.maxFoldedBatch))
+
+  /** The full corpus as of NOW: committed base (if any) + every delta
+    * batch newer than the fold watermark. Never lists `base_gen`
+    * directories — the manifest IS the source of truth, which is what
+    * makes a half-written new base invisible. */
+  def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
+    val man = readManifest(outDir)
+    assemble(spark, outDir, man, unfoldedDeltas(outDir, man))
+  }
+
   /** Fold every landed delta into the next base generation and commit.
     * Idempotent: compacting with no unfolded deltas rewrites the base
     * (a no-op fold) and re-commits. Returns the committed manifest.
     *
-    * The delta list is captured ONCE and the fold reads exactly those
-    * directories (not a re-listing): a batch landing concurrently with
-    * the fold stays a delta above the new watermark instead of being
-    * silently folded AND re-read — the compactor and the landing stream
-    * need no coordination beyond the manifest. */
+    * Concurrency contract: the delta list is captured ONCE and the fold
+    * reads exactly those directories, so a NEW batch id landing while
+    * the fold runs stays a delta above the new watermark — forward
+    * landings need no coordination. What IS excluded is a concurrent
+    * RE-delivery of an already-captured batch id (a crash-restarted
+    * stream replaying while the fold reads that directory — landBatch's
+    * overwrite would yank files mid-read, or the committed watermark
+    * would shadow the re-landed rows). Run compaction from the ingest's
+    * own maintenance cadence (e.g. every N batches inside foreachBatch,
+    * or with the stream quiesced), the same single-maintainer discipline
+    * a Delta-Lake-style log would enforce with optimistic locking. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16): Manifest = {
     val prev = readManifest(outDir)
-    val deltas = listDeltaBatches(outDir)
-      .filter(id => prev.forall(id > _.maxFoldedBatch))
-    val parts =
-      prev.map(m => spark.read.parquet(s"$outDir/base_gen=${m.gen}")).toSeq ++
-        deltas.map(id => spark.read.parquet(s"$outDir/batch=$id"))
-    require(parts.nonEmpty, s"no landed data under $outDir")
-    val corpus = parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
+    val deltas = unfoldedDeltas(outDir, prev)
+    val corpus = assemble(spark, outDir, prev, deltas)
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
     // step 1: the new base, one file per shard — repartition on the
@@ -125,11 +136,16 @@ object DeltaCompact {
     // step 2: atomic commit
     val man = Manifest(nextGen, watermark)
     writeManifest(outDir, man)
-    // step 3: GC the folded inputs — safe only AFTER the commit
-    deltas.foreach(id =>
+    // step 3: GC — safe only AFTER the commit, and swept by PREDICATE
+    // (every delta at-or-under the watermark, every non-current base
+    // generation) rather than by the captured lists, so orphans left by
+    // a crash between a previous commit and its GC are also collected
+    listDeltaBatches(outDir).filter(_ <= watermark).foreach(id =>
       org.apache.commons.io.FileUtils.deleteQuietly(new File(s"$outDir/batch=$id")))
-    prev.foreach(m =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new File(s"$outDir/base_gen=${m.gen}")))
+    new File(outDir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("base_gen=") &&
+        f.getName != s"base_gen=$nextGen")
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     man
   }
 }

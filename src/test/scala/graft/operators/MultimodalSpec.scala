@@ -137,6 +137,22 @@ class MultimodalSpec extends SparkSpec {
     val one = Seq(Multimodal.MediaRecord(k, "audio", "wav", padded, 1)).toDS()
     val a = Multimodal.decodeAudio(one).collect().head
     assert(a.sample_rate == 8000 && a.n_samples == Multimodal.audioSamples(k))
+
+    // same robustness on the AVI walker: an odd-sized junk chunk (plus
+    // its pad byte) injected before the hdrl LIST must not desync the
+    // tree walk — every branch pads, not just the unknown-chunk skip
+    val kv = 2L
+    val avi = Multimodal.aviBytes(kv)
+    val buf2 = java.nio.ByteBuffer.allocate(avi.length + junk.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf2.put(avi, 0, 12)                  // RIFF <size> 'AVI '
+    buf2.put(junk)
+    buf2.put(avi, 12, avi.length - 12)
+    buf2.putInt(4, avi.length - 8 + junk.length)
+    val parsed = Multimodal.parseAvi(kv, buf2.array())
+    assert(parsed.width == Multimodal.imageWidth(kv) &&
+      parsed.nFrames == Multimodal.videoFrames(kv) && parsed.fps == 8.0)
+    assert(parsed.frames.head.sameElements(Multimodal.dibFrameBytes(kv, 0)))
   }
 
   test("feature extraction feeds the similarity surface, per modality") {
