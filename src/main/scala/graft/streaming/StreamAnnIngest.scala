@@ -26,8 +26,14 @@ object StreamAnnIngest {
   def synthEmbedding(value: Column, seq: Column): Column =
     transform(sequence(lit(0), lit(63)), j =>
       // compute in double, land as float — the embedding column type the
-      // whole similarity surface (FloatCosine) expects is array<float>
-      ((pmod(value.cast("long") * 2654435761L + seq * 40503L + j.cast("long") * 69427L,
+      // whole similarity surface (FloatCosine) expects is array<float>.
+      // seq is reduced mod 997 BEFORE the multiply: (seq·P) mod 997 ≡
+      // ((seq mod 997)·P) mod 997, value-identical, and the product
+      // stays < 2^26 — callers may pass seqs with high batch-id bits
+      // (the bench ANN leg folds the batch id at bit 50) without
+      // tripping ANSI-mode long-overflow
+      ((pmod(value.cast("long") * 2654435761L +
+        pmod(seq.cast("long"), lit(997L)) * 40503L + j.cast("long") * 69427L,
         lit(997L)).cast("double") / lit(997d)) - lit(0.5d)).cast("float"))
 
   /** One ingest micro-batch: land `batch` shard-partitioned under
