@@ -536,6 +536,13 @@ object Bench {
         q.stop()
       }
         (sec, nBatches.get, rowsAssigned.get)
+      } catch {
+        // leg isolation, like every other leg's timedOr: a failing ANN
+        // leg (r10: an ANSI overflow here killed the whole bench JSON)
+        // must report -1, not erase the other 158 measurements
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] stream_ann_e2e failed: ${e.getMessage}")
+          (-1.0, -1L, -1L)
       } finally {
         // finally: a failed leg must not strand a 1M-row routed corpus
         // copy in /tmp (the reap above only covers DEAD pids, aged)
