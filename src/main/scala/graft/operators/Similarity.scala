@@ -1472,10 +1472,120 @@ object Similarity {
         round(col("sim"), 4).as("cosine"), col("rank"))
   }
 
+  // ---- q_knn_lsh: multi-table multi-probe hyperplane LSH ANN ----
+
+  /** LSH table count / sign bits per table / probes (exact bucket + all
+    * Hamming-1 flips) for [[qKnnLsh]]. 8 tables × 8 bits trades one
+    * 16-bit table's precision for union recall — the standard
+    * multi-table layout (Indyk–Motwani; E2LSH). */
+  private val LshTables = 8
+  private val LshBits = 8
+
+  /** Deterministic hyperplane `(t, b)`: 64 pseudo-random floats in
+    * [-1, 1) derived from md5 — same derivation family as
+    * [[qEmbedNearDup]]'s planes but namespaced by table so the two
+    * gates' codebooks stay independent. Computed once on the driver,
+    * shipped as array literals. */
+  private def lshPlane(t: Int, b: Int): Array[Float] =
+    Array.tabulate(64)(k =>
+      (Portable.hash60Local(s"$t:$b,$k").toDouble / math.pow(2, 59) - 1).toFloat)
+
+  /** The `t`-th table's sign-bucket of vector column `v`: bit b set iff
+    * cosine(v, plane(t,b)) > 0 — each bit one fused codegen'd loop. */
+  private def lshBucket(t: Int, v: Column): Column =
+    (0 until LshBits).map { b =>
+      when(GraftFunctions.cosine(v, lit(lshPlane(t, b))) > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via multi-table random-hyperplane LSH — the bucketed
+    * alternative to the IVF family's trained quantizer: no codebook to
+    * train (the planes are constants), so the index is ready at ingest
+    * time; recall comes from table union + Hamming-1 multiprobe instead
+    * of nprobe.
+    *
+    * Plan shape: the corpus side computes `LshTables` buckets in ONE
+    * narrow pass (8×8 fused cosines per row) and explodes to (t, bucket)
+    * posting rows — a per-row ×8 fan-out with NO shuffle; the query side
+    * (tiny by nature) expands to (t, bucket) probe keys — exact bucket
+    * plus every 1-bit flip, 72 keys per query — and BROADCASTS, so
+    * candidate generation is a broadcast hash join riding the corpus
+    * scan. The only exchanges are the candidate dedup (hash agg on
+    * (query_id, neighbor_id), bounded by probed-bucket occupancy, NOT
+    * corpus size) and the final per-query top-k. At 100 TB the posting
+    * rows would persist bucket-partitioned exactly like
+    * [[qKnnIvfPersist]]'s cell directories, making a query a pruned scan
+    * of ≤ tables×probes partitions.
+    *
+    * Determinism for the oracle: md5-derived planes (re-derived in SQL
+    * with the same float truncation), the sign rule on the bit-identical
+    * fused cosine, rank ties broken by neighbor_id. */
+  val qKnnLsh: Q = Q(
+    "q_knn_lsh",
+    s"""WITH planes AS (SELECT t, b,
+       |    list(CAST(CAST(('0x' || substr(md5(t || ':' || b || ',' || k), 1, 15)) AS BIGINT)
+       |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
+       |  FROM range($LshTables) s(t), range($LshBits) v(b), range(64) u(k) GROUP BY t, b),
+       |sigs AS (SELECT e.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_cosine_similarity(
+       |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])) > 0
+       |      THEN CAST(pow(2, pl.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
+       |probes AS (SELECT s.vec_id AS query_id, s.t,
+       |    CASE WHEN pr.p = 0 THEN s.bucket
+       |         ELSE xor(s.bucket, CAST(pow(2, pr.p - 1) AS BIGINT)) END AS bucket
+       |  FROM sigs s CROSS JOIN range(${LshBits + 1}) pr(p)
+       |  WHERE s.vec_id < $NumQueries),
+       |cands AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+       |  FROM probes p JOIN sigs s ON s.t = p.t AND s.bucket = p.bucket
+       |  WHERE s.vec_id <> p.query_id),
+       |sims AS (SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(n.embedding AS DOUBLE[])) AS sim
+       |  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |  (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM sims)
+       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    // corpus postings: (t, bucket, vec) — one narrow pass, explode ×8
+    val posted = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        explode(array((0 until LshTables).map(t =>
+          struct(lit(t).as("t"), lshBucket(t, col("embedding")).as("bucket"))): _*)).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
+        col("neighbor_id"), col("embedding"))
+    // query probes: exact bucket + every Hamming-1 flip, per table
+    val qBase = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        explode(array((0 until LshTables).map(t =>
+          struct(lit(t).as("t"), lshBucket(t, col("embedding")).as("base"))): _*)).as("tb"))
+    val qProbes = qBase
+      .select(col("query_id"), col("q_embedding"), col("tb.t").as("t"),
+        explode(array(col("tb.base") +: (0 until LshBits).map(b =>
+          col("tb.base").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    posted
+      .join(broadcast(qProbes), Seq("t", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosExpr)
+      // a (query, neighbor) pair can collide in several tables/probes;
+      // sim is identical across duplicates, so max() IS the dedup
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
-    qKnnIvf2Persist)
+    qKnnIvf2Persist, qKnnLsh)
 }

@@ -20,6 +20,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low (ivf=${ivf.size}, brute=${brute.size})")
   }
 
+  test("q_knn_lsh recall vs brute force is reasonable on sf0.001") {
+    val brute = Similarity.qKnnBrute.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.qKnnLsh.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // 0.67 measured with 8 tables × 8 bits + Hamming-1 multiprobe —
+    // parity with the trained IVF codebook, with zero training; same
+    // 0.5 floor as the IVF family
+    assert(recall >= 0.5, s"LSH recall $recall too low (lsh=${lsh.size}, brute=${brute.size})")
+  }
+
   test("q_knn_ivf2 recall vs brute force is reasonable on sf0.001") {
     val brute = Similarity.qKnnBrute.build(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
