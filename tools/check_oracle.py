@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run graft.Verify output
 against the DuckDB oracles and diff values. Usage:
-    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir> [reportJson]
+
+With a third argument, also writes a CORRECTNESS_rN.json-shaped artifact
+(per-query rows/schema/hash flags) so scale runs leave the same evidence
+trail as the driver's gate.
 """
 import json, sys, glob, os
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+report_path = sys.argv[3] if len(sys.argv) > 3 else None
+report = {}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -22,20 +28,30 @@ for name in sorted(os.listdir(outdir)):
     got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
     if name not in oracle:
         skips += 1
+        report[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": len(got),
+                        "oracle_rows": None, "err": "no_oracle"}
         print(f"  [rows-only] {name}: {len(got)} rows")
         continue
+    def record(rows=None, schema=None, value=None, erows=None, err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema,
+                        "hash_match": value, "spark_rows": len(got),
+                        "oracle_rows": erows, "err": err}
     try:
         exp = con.sql(oracle[name]).df()
     except Exception as e:
+        record(err=f"oracle SQL error: {e}")
         fails.append((name, f"oracle SQL error: {e}"))
         continue
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
+        record(schema=False, erows=len(exp))
         fails.append((name, f"columns differ: spark={gcols} duck={ecols}"))
         continue
     g = got[gcols].sort_values(gcols).reset_index(drop=True)
     e = exp[ecols].sort_values(ecols).reset_index(drop=True)
     if len(g) != len(e):
+        record(rows=False, schema=True, erows=len(e))
         fails.append((name, f"row count differs: spark={len(g)} duck={len(e)}"))
         continue
     # dtype-tolerant compare (int32 vs int64 etc.), NaN == NaN
@@ -63,10 +79,17 @@ for name in sorted(os.listdir(outdir)):
             bad = f"col {c} row {i}: spark={gs[i]!r} duck={es[i]!r} ({int((~eq).sum())} diffs)"
             break
     if bad:
+        record(rows=True, schema=True, value=False, erows=len(e), err=bad)
         fails.append((name, bad))
     else:
+        record(rows=True, schema=True, value=True, erows=len(e))
         passes += 1
         print(f"  [ok] {name}: {len(g)} rows")
+
+if report_path:
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"\nwrote {report_path} ({len(report)} queries)")
 
 print(f"\n{passes} ok, {skips} rows-only, {len(fails)} FAILED")
 for n, msg in fails:

@@ -46,4 +46,4 @@ else
 fi
 
 echo "== [4/4] DuckDB oracle replay + value compare"
-python3 tools/check_oracle.py "$FLAT" "$OUT"
+python3 tools/check_oracle.py "$FLAT" "$OUT" "CORRECTNESS_${COPIES}x.json"
