@@ -1520,8 +1520,10 @@ object Similarity {
     * Determinism for the oracle: md5-derived planes (re-derived in SQL
     * with the same float truncation), the sign rule on the bit-identical
     * fused cosine, rank ties broken by neighbor_id. */
-  val qKnnLsh: Q = Q(
-    "q_knn_lsh",
+  /** The full LSH pipeline in DuckDB, shared verbatim by [[qKnnLsh]] and
+    * [[qKnnLshPersist]] — persistence must not change a result bit, so
+    * the oracle is identical (same discipline as [[DuckIvf2Sql]]). */
+  private val DuckLshSql: String =
     s"""WITH planes AS (SELECT t, b,
        |    list(CAST(CAST(('0x' || substr(md5(t || ':' || b || ',' || k), 1, 15)) AS BIGINT)
        |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
@@ -1548,7 +1550,9 @@ object Similarity {
        |  (SELECT query_id, neighbor_id, sim, row_number() OVER
        |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |   FROM sims)
-       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+       |WHERE rank <= $K""".stripMargin
+
+  val qKnnLsh: Q = Q("q_knn_lsh", DuckLshSql) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     // corpus postings: (t, bucket, vec) — one narrow pass, explode ×8
@@ -1582,10 +1586,126 @@ object Similarity {
         round(col("sim"), 4).as("cosine"), col("rank"))
   }
 
+  // ---- q_knn_lsh_persist: the LSH postings persisted bucket-partitioned ----
+
+  private val lshPersistDone = scala.collection.mutable.Set.empty[String]
+
+  /** The combined posting key for one LSH table's bucket: table id in
+    * the high bits, sign bucket in the low [[LshBits]]. */
+  private def lshTb(t: Int, v: Column): Column =
+    lit(t.toLong << LshBits) + lshBucket(t, v)
+
+  /** Directory granularity of the persisted layout: the partition column
+    * is `tb_hi = tb >> 4` — table id ∥ top 4 bucket bits, ≤ 128
+    * directories — with the FULL `tb` kept as a data column and each
+    * file sorted by it. Partitioning on the full key (2048 dirs) was
+    * measured at ~11 ms of constant writer/commit overhead PER DIRECTORY
+    * (23 s vs 0.9 s flat at sf0.01) and is the small-files anti-pattern
+    * at low occupancy; the coarse-partition + clustered-sort layout is
+    * the standard lakehouse answer — partition pruning still skips
+    * non-probed directories, and within a directory the sorted `tb`
+    * gives parquet row-group min/max skipping for the residual
+    * `tb IN (…)` pushed filter. Both dir count and the 16-buckets-per-dir
+    * fan-in are properties of the index geometry, not the data. */
+  private val LshDirShift = 4
+
+  /** Build-once half of the LSH build/serve split: [[qKnnLsh]]'s posting
+    * rows written `tb`-partitioned, memoized per (data fingerprint, pid)
+    * exactly like [[ensureIvfIndex]]. Because the planes are constants,
+    * this "build" is a single narrow pass over the corpus — no training
+    * stage at all, which is the operational argument for LSH over IVF at
+    * ingest time. */
+  /** Bench hook: drop the memoized LSH index for `d` and rebuild from
+    * scratch — isolates the (single-pass, training-free) BUILD cost from
+    * the pruned SERVE cost, mirroring [[rebuildIvfIndex]]. */
+  private[graft] def rebuildLshIndex(s: SparkSession, d: String): String = {
+    val dir = synchronized {
+      val dd = s"/tmp/graft_lsh/${dataFingerprint(s"$d/embeddings.parquet")}" +
+        s"_${ProcessHandle.current().pid()}"
+      lshPersistDone -= dd
+      val p = new org.apache.hadoop.fs.Path(dd)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      dd
+    }
+    ensureLshIndex(s, d)
+    dir
+  }
+
+  private def ensureLshIndex(s: SparkSession, d: String): String = synchronized {
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_lsh/${dataFingerprint(s"$d/embeddings.parquet")}_$pid"
+    if (!lshPersistDone(dir)) {
+      reapDeadDirs("/tmp/graft_lsh", pid)
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("embedding"),
+          explode(array((0 until LshTables).map(t =>
+            lshTb(t, col("embedding"))): _*)).as("tb"))
+        .withColumn("tb_hi", shiftright(col("tb"), LshDirShift).cast("long"))
+        // co-locate each directory's rows in ONE task (one file per dir,
+        // not one per dir per task) and cluster them by the full bucket
+        // key so row-group stats carry the residual tb filter — see
+        // [[LshDirShift]] for the layout rationale and measurements
+        .repartition(col("tb_hi"))
+        .sortWithinPartitions("tb")
+        .write.mode("overwrite").partitionBy("tb_hi").parquet(s"$dir/postings")
+      lshPersistDone += dir
+    }
+    dir
+  }
+
+  /** [[qKnnLsh]] over the PERSISTED index — the serve half of the
+    * build/serve split, identical oracle (persistence must not change a
+    * result bit). The probed (table, bucket) keys — exact bucket plus
+    * every Hamming-1 flip, ≤ queries × tables × (bits+1) keys, a bounded
+    * plan parameter like [[qKnnIvfPersist]]'s probed cells — are pushed
+    * TWICE, matching the two-level layout (see [[LshDirShift]]): their
+    * distinct high bits as a STATIC partition IN-filter (the scan's
+    * PartitionFilters prune non-probed `tb_hi=` directories at planning
+    * time — pinned by IvfPersistPruningSpec's read-fewer-files
+    * assertion), and the full key list as a data filter the parquet
+    * scan's PushedFilters carry into row-group min/max skipping over the
+    * tb-sorted files. Bit-flips on the combined key touch only the low
+    * [[LshBits]], so the table prefix is preserved by construction. */
+  val qKnnLshPersist: Q = Q("q_knn_lsh_persist", DuckLshSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val dir = ensureLshIndex(s, d)
+    // tb_hi is read back from directory names as int while values fit —
+    // cast the COLUMN to long (same rationale as qKnnIvfPersist: the
+    // cast references only the partition column, so pruning holds)
+    val postings = s.read.parquet(s"$dir/postings")
+      .withColumn("tb_hi", col("tb_hi").cast("long"))
+    val qProbes = Tables.embeddings(s, d)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        explode(array((0 until LshTables).map(t =>
+          lshTb(t, col("embedding"))): _*)).as("base"))
+      .select(col("query_id"), col("q_embedding"),
+        explode(array(col("base") +: (0 until LshBits).map(b =>
+          col("base").bitwiseXOR(lit(1L << b))): _*)).as("tb"))
+    // probe set needed twice (static filter + broadcast side): compute once
+    val probesCk = qProbes.localCheckpoint()
+    val probedTbs = probesCk.select("tb").distinct().collect().map(_.getLong(0))
+    val probedHis = probedTbs.map(_ >> LshDirShift).distinct
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    postings
+      .filter(col("tb_hi").isin(probedHis.toSeq: _*))
+      .filter(col("tb").isin(probedTbs.toSeq: _*))
+      .drop("tb_hi")
+      .join(broadcast(probesCk), Seq("tb"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosExpr)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
-    qKnnIvf2Persist, qKnnLsh)
+    qKnnIvf2Persist, qKnnLsh, qKnnLshPersist)
 }

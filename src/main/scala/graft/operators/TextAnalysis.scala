@@ -909,6 +909,42 @@ object TextAnalysis {
         (col("pos") + 1).cast("int").as("sample_rank"))
   }
 
+  /** Per-KEY deterministic reservoir — [[qReservoirSample]] stratified:
+    * the k hash-smallest documents of EVERY source, with in-group rank.
+    * This is the bounded-quota sampler a mixing pipeline actually runs
+    * (N exemplar docs per source for eyeballing/eval, not a fraction),
+    * complementing `q_stratified_sample`'s fraction-per-stratum.
+    *
+    * Scale shape: ONE ObjectHashAggregate keyed by source — per-key O(k)
+    * `graft_min_k` buffers with map-side partials, so state is
+    * #keys × k rows regardless of corpus size and there is NO window
+    * sort (the `row_number() OVER (PARTITION BY source ORDER BY hash)`
+    * formulation would shuffle and sort every row of the corpus; this
+    * shuffles #keys × k candidate partials). Same portable-hash
+    * permutation as the global reservoir, so membership is reproducible
+    * across engines and reruns. */
+  val qReservoirPerKey: Q = Q(
+    "q_reservoir_per_key",
+    """SELECT source, doc_id, CAST(rn AS INT) AS sample_rank FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
+      |             doc_id) AS rn
+      |  FROM documents WHERE doc_id IS NOT NULL) WHERE rn <= 20""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("source"), graft.functions.GraftFunctions.minKCandidate(
+        Portable.hash60(col("doc_id").cast("string")),
+        struct(
+          Portable.hash60(col("doc_id").cast("string")).as("h"),
+          col("doc_id"))).as("c"))
+      .groupBy("source")
+      .agg(graft.functions.GraftFunctions.minK(col("c"), 20).as("cs"))
+      .select(col("source"), posexplode(col("cs")).as(Seq("pos", "c")))
+      .select(col("source"), col("c.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("sample_rank"))
+  }
+
   val qWeightedSample: Q = Q(
     "q_weighted_sample",
     s"""WITH scores AS (${qLmScore.oracle.get}),
@@ -1465,7 +1501,7 @@ object TextAnalysis {
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
     qNbCalibration,
-    qReservoirSample, qWeightedSample, qTokenBudgetMix, qTemperatureMix,
+    qReservoirSample, qReservoirPerKey, qWeightedSample, qTokenBudgetMix, qTemperatureMix,
     qCorpusStats, qPackSequences, qShardAssign, qStreamShardRoute, qGlobalShuffle,
     qSourceDivergence, qVocabCoverage,
     qSparseCosine, qBpeMerges, qBpeEncode)

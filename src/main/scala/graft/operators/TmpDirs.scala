@@ -10,7 +10,8 @@ package graft.operators
   * run dirs several generations old, whose consumers have finished).
   *
   * OWNERSHIP ASSUMPTION: `root` must be a namespace this library owns
-  * exclusively (`/tmp/graft_ivf`, `/tmp/graft_ivf2`, `/tmp/graft_shards`)
+  * exclusively (`/tmp/graft_ivf`, `/tmp/graft_ivf2`, `/tmp/graft_lsh`,
+  * `/tmp/graft_shards`)
   * — a child whose name doesn't parse is treated as OUR legacy layout
   * and reaped. Never point this at a shared directory. */
 object TmpDirs {

@@ -57,4 +57,8 @@ class IvfPersistPruningSpec extends SparkSpec {
   test("q_knn_ivf2_persist: postings scan carries a leaf partition filter and prunes files") {
     assertPruned(Similarity.qKnnIvf2Persist.build(spark, sf), "graft_ivf2/", "leaf")
   }
+
+  test("q_knn_lsh_persist: postings scan carries a tb_hi partition filter and prunes files") {
+    assertPruned(Similarity.qKnnLshPersist.build(spark, sf), "graft_lsh/", "tb_hi")
+  }
 }
