@@ -294,6 +294,97 @@ object Features {
         round(col("cnt").cast("double") / col("total"), 6).as("share"))
   }
 
+  /** Count-Min Sketch geometry for [[qHeavyHittersCms]]: depth 4 hash
+    * rows × width 1024 counters — 4096 longs of TOTAL state for any
+    * corpus size (Cormode–Muthukrishnan 2005; ε = e/w, δ = e^-d). */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** The (row, cell) CMS coordinates of a token column, one struct per
+    * depth row — seeded portable hash, so the oracle re-derives the same
+    * cells with `md5(i || '|' || tok)`. */
+  private def cmsCoords(tok: Column): Column =
+    array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("i"),
+        (graft.functions.Portable.hash60(i, tok) % CmsWidth).as("cell"))): _*)
+
+  /** Frequency estimation by Count-Min Sketch — the 100 TB answer to
+    * "how often does this token occur" when the exact vocabulary-sized
+    * count table of [[qHeavyHitters]] is itself too large to keep hot:
+    * the WHOLE sketch is depth × width = 4096 counters, built in one
+    * map-side-combined aggregate (each occurrence increments d cells;
+    * counters are pure SUMS, so the sketch is order-independent and
+    * mergeable across partitions/batches by addition — unlike
+    * space-saving/Misra-Gries variants whose contents depend on merge
+    * order and could never hash-match a second engine). Point queries
+    * are a broadcast join against the 4096-row sketch: est = min over
+    * the d cells.
+    *
+    * The gate queries the sketch for the exact heavy-hitter set and
+    * carries the exact counts BESIDE the estimates (the
+    * `q_approx_percentiles` discipline): `never_under` pins CMS's
+    * one-sided guarantee (est ≥ true, always), `within_bound` pins the
+    * overcount against 8·N/w — both flags land as literal 1s in the
+    * hash, so the oracle verifies the sketch's accuracy contract, not
+    * just its arithmetic. At 100 TB the exact side drops away and the
+    * production artifact is the 4096-row sketch + point queries.
+    *
+    * Oracle: DuckDB rebuilds the identical sketch — same seeded md5
+    * cells, same sums, same min — bit-for-bit. */
+  val qHeavyHittersCms: Q = Q(
+    "q_heavy_hitters_cms",
+    s"""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+       |cells AS (SELECT s.i,
+       |    CAST(('0x' || substr(md5(s.i || '|' || t.tok),1,15)) AS BIGINT) % $CmsWidth AS cell
+       |  FROM toks t CROSS JOIN range($CmsDepth) s(i)),
+       |cms AS (SELECT i, cell, CAST(count(*) AS BIGINT) AS c
+       |  FROM cells GROUP BY i, cell),
+       |hh AS (SELECT tok, CAST(cnt AS BIGINT) AS cnt, total
+       |  FROM counts, tot WHERE cnt * 1000 > total),
+       |est AS (SELECT h.tok, h.cnt, h.total, min(m.c) AS est_cnt
+       |  FROM hh h CROSS JOIN range($CmsDepth) s(i)
+       |  JOIN cms m ON m.i = s.i AND m.cell =
+       |    CAST(('0x' || substr(md5(s.i || '|' || h.tok),1,15)) AS BIGINT) % $CmsWidth
+       |  GROUP BY h.tok, h.cnt, h.total)
+       |SELECT tok, cnt, est_cnt,
+       |  CAST(est_cnt - cnt AS BIGINT) AS overcount,
+       |  CASE WHEN est_cnt >= cnt THEN 1 ELSE 0 END AS never_under,
+       |  CASE WHEN (est_cnt - cnt) * $CmsWidth <= 8 * total THEN 1 ELSE 0 END
+       |    AS within_bound
+       |FROM est""".stripMargin) { (s, d) =>
+    heavyHittersCms(Tables.documents(s, d).select(col("text")))
+  }
+
+  /** CMS-estimated counts for the exact heavy-hitter set, with the
+    * accuracy-contract flags — see [[qHeavyHittersCms]]. */
+  def heavyHittersCms(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(explode(graft.functions.Portable.words(col("text"))).as("tok"))
+    // the sketch: ≤ depth × width rows, map-side-combined sums
+    val cms = toks
+      .select(explode(cmsCoords(col("tok"))).as("ic"))
+      .groupBy(col("ic.i").as("i"), col("ic.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * 1000 > col("total"))
+      .select(col("tok"), col("cnt"), col("total"),
+        explode(cmsCoords(col("tok"))).as("ic"))
+      .join(broadcast(cms),
+        col("ic.i") === col("i") && col("ic.cell") === col("cell"))
+      .groupBy("tok", "cnt", "total")
+      .agg(min("c").as("est_cnt"))
+      .select(col("tok"), col("cnt"), col("est_cnt"),
+        (col("est_cnt") - col("cnt")).as("overcount"),
+        when(col("est_cnt") >= col("cnt"), 1).otherwise(0).as("never_under"),
+        when((col("est_cnt") - col("cnt")) * CmsWidth <= lit(8L) * col("total"), 1)
+          .otherwise(0).as("within_bound"))
+  }
+
   /** Per-source adaptive quality gate — keep every document whose quality
     * score (the stopword ratio of `q_quality_score`, rounded at 4) clears
     * its OWN source's 25th percentile: the per-domain threshold filter
@@ -534,6 +625,6 @@ object Features {
 
   val all: Seq[Q] =
     Seq(qMergeUpsert, qSnapshotDiff, qTimeDecay, qOutliers, qCharEntropy,
-      qHeavyHitters, qQualityGate, qQuantileBins, qQuantileBinsApprox,
+      qHeavyHitters, qHeavyHittersCms, qQualityGate, qQuantileBins, qQuantileBinsApprox,
       qPmiCooc, qTypeDrift)
 }

@@ -1609,6 +1609,24 @@ object Similarity {
     * fan-in are properties of the index geometry, not the data. */
   private val LshDirShift = 4
 
+  /** LSH posting rows for a vector batch — (tb, neighbor_id, embedding),
+    * [[qKnnLsh]]'s corpus-side expansion as a standalone kernel. This is
+    * a PURE per-row column function of constants (the md5-derived
+    * planes): no trained state, which is what makes the LSH index
+    * maintainable at INGEST time — the streaming path
+    * ([[graft.streaming.StreamLshIngest]]) indexes each micro-batch with
+    * zero training dependencies, where the ivf2 chain needs the frozen
+    * leaf codebook first. */
+  private[graft] def lshPostings(vectors: DataFrame): DataFrame = {
+    // idempotent: the fused-cosine expression rides the session registry,
+    // and this kernel's callers include paths (streaming foreachBatch)
+    // that never went through a gate's register() call
+    GraftFunctions.register(vectors.sparkSession)
+    vectors.select(col("vec_id").as("neighbor_id"), col("embedding"),
+      explode(array((0 until LshTables).map(t =>
+        lshTb(t, col("embedding"))): _*)).as("tb"))
+  }
+
   /** Build-once half of the LSH build/serve split: [[qKnnLsh]]'s posting
     * rows written `tb`-partitioned, memoized per (data fingerprint, pid)
     * exactly like [[ensureIvfIndex]]. Because the planes are constants,
@@ -1636,10 +1654,7 @@ object Similarity {
     val dir = s"/tmp/graft_lsh/${dataFingerprint(s"$d/embeddings.parquet")}_$pid"
     if (!lshPersistDone(dir)) {
       reapDeadDirs("/tmp/graft_lsh", pid)
-      Tables.embeddings(s, d)
-        .select(col("vec_id").as("neighbor_id"), col("embedding"),
-          explode(array((0 until LshTables).map(t =>
-            lshTb(t, col("embedding"))): _*)).as("tb"))
+      lshPostings(Tables.embeddings(s, d))
         .withColumn("tb_hi", shiftright(col("tb"), LshDirShift).cast("long"))
         // co-locate each directory's rows in ONE task (one file per dir,
         // not one per dir per task) and cluster them by the full bucket

@@ -37,6 +37,9 @@ class PlanLintSpec extends SparkSpec {
     *    construction;
     *  - q_time_decay: broadcast 1-row max-timestamp anchor;
     *  - q_heavy_hitters: broadcast 1-row corpus token total;
+    *  - q_heavy_hitters_cms: the same broadcast 1-row total (candidate
+    *    threshold); the sketch join itself is a broadcast HASH join on
+    *    (i, cell);
     *  - q_pmi_cooc: broadcast 1-row corpus doc count;
     *  - q_sparse_cosine: broadcast 1-row corpus doc count (idf);
     *  - q_bpe_merges: broadcast 1-row argmax pair per merge step;
@@ -61,7 +64,8 @@ class PlanLintSpec extends SparkSpec {
     "q_scalar_subquery", "q_tfidf_top", "q_knn_brute", "q_knn_rerank", "q_knn_ivf",
     "q_embed_pq", "q_knn_pq_adc", "q_knn_ivf_pq", "q_sem_decontam",
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
-    "q_time_decay", "q_heavy_hitters", "q_pmi_cooc", "q_sparse_cosine",
+    "q_time_decay", "q_heavy_hitters", "q_heavy_hitters_cms", "q_pmi_cooc",
+    "q_sparse_cosine",
     "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
     "q_temperature_mix", "q_nb_calibration", "q_knn_ivf2")
 
