@@ -144,7 +144,13 @@ object ScaleSmoke {
       // assignment work is 200k x 447 cosines flat vs 200k x (21+22)
       // two-level - the smoke ratio pair is the O(n*sqrt(n)) vs
       // O(n*n^0.25) build-cost evidence
-      operators.Similarity.qKnnIvf, operators.Similarity.qKnnIvf2)
+      operators.Similarity.qKnnIvf, operators.Similarity.qKnnIvf2,
+      // round 10: the training-free LSH pair (in-flight + persisted
+      // build/serve), the per-key reservoir, and the CMS frequency sketch
+      operators.Similarity.qKnnLsh, operators.Similarity.qKnnLshPersist,
+      operators.TextAnalysis.qReservoirSample,
+      operators.TextAnalysis.qReservoirPerKey,
+      operators.Features.qHeavyHittersCms)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {
