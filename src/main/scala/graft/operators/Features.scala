@@ -297,13 +297,13 @@ object Features {
   /** Count-Min Sketch geometry for [[qHeavyHittersCms]]: depth 4 hash
     * rows × width 1024 counters — 4096 longs of TOTAL state for any
     * corpus size (Cormode–Muthukrishnan 2005; ε = e/w, δ = e^-d). */
-  private val CmsDepth = 4
-  private val CmsWidth = 1024
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024
 
   /** The (row, cell) CMS coordinates of a token column, one struct per
     * depth row — seeded portable hash, so the oracle re-derives the same
     * cells with `md5(i || '|' || tok)`. */
-  private def cmsCoords(tok: Column): Column =
+  private[graft] def cmsCoords(tok: Column): Column =
     array((0 until CmsDepth).map(i =>
       struct(lit(i).as("i"),
         (graft.functions.Portable.hash60(i, tok) % CmsWidth).as("cell"))): _*)
