@@ -148,6 +148,9 @@ object ScaleSmoke {
       // round 10: the training-free LSH pair (in-flight + persisted
       // build/serve), the per-key reservoir, and the CMS frequency sketch
       operators.Similarity.qKnnLsh, operators.Similarity.qKnnLshPersist,
+      // capped postings: the ratio vs qKnnLsh IS the measurement — the
+      // cap turns the linear-in-n candidate fan-out into a plan constant
+      operators.Similarity.qKnnLshCapped,
       operators.TextAnalysis.qReservoirSample,
       operators.TextAnalysis.qReservoirPerKey,
       operators.Features.qHeavyHittersCms)

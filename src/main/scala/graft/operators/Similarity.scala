@@ -1717,10 +1717,110 @@ object Similarity {
         round(col("sim"), 4).as("cosine"), col("rank"))
   }
 
+  // ---- q_knn_lsh_capped: bounded posting lists — O(1) serve cost ----
+
+  /** Max postings kept per (table, bucket). With the cap on, a query's
+    * candidate set is ≤ [[LshTables]]×([[LshBits]]+1)×[[LshCap]] rows
+    * (1152 here) REGARDLESS of corpus size — the knob that turns LSH
+    * serve cost from O(occupancy) into O(1). 16 ≈ 8× the sf0.01 mean
+    * bucket occupancy, so the cap is dormant at test geometry and bites
+    * exactly where it is designed to: hot buckets at scale. */
+  private val LshCap = 16
+
+  /** [[DuckLshSql]] with the posting-cap CTE: per combined-key bucket
+    * (`tb = t·2^bits + bucket`), only the [[LshCap]] entries with the
+    * lowest portable id-hash survive — `row_number() OVER (ORDER BY
+    * hash60(vec_id), vec_id)` is the exact SQL spelling of the
+    * `graft_min_k` struct ordering the engine uses. */
+  private val DuckLshCappedSql: String =
+    s"""WITH planes AS (SELECT t, b,
+       |    list(CAST(CAST(('0x' || substr(md5(t || ':' || b || ',' || k), 1, 15)) AS BIGINT)
+       |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
+       |  FROM range($LshTables) s(t), range($LshBits) v(b), range(64) u(k) GROUP BY t, b),
+       |sigs AS (SELECT e.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_cosine_similarity(
+       |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])) > 0
+       |      THEN CAST(pow(2, pl.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
+       |capped AS (SELECT tb, vec_id FROM (
+       |    SELECT s.t * ${1L << LshBits} + s.bucket AS tb, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.t * ${1L << LshBits} + s.bucket
+       |        ORDER BY CAST(('0x' || substr(md5(CAST(s.vec_id AS VARCHAR)),1,15)) AS BIGINT),
+       |          s.vec_id) AS rn
+       |    FROM sigs s) WHERE rn <= $LshCap),
+       |probes AS (SELECT s.vec_id AS query_id,
+       |    CASE WHEN pr.p = 0 THEN s.t * ${1L << LshBits} + s.bucket
+       |         ELSE xor(s.t * ${1L << LshBits} + s.bucket,
+       |                  CAST(pow(2, pr.p - 1) AS BIGINT)) END AS tb
+       |  FROM sigs s CROSS JOIN range(${LshBits + 1}) pr(p)
+       |  WHERE s.vec_id < $NumQueries),
+       |cands AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN capped c ON c.tb = p.tb
+       |  WHERE c.vec_id <> p.query_id),
+       |sims AS (SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(n.embedding AS DOUBLE[])) AS sim
+       |  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |  (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM sims)
+       |WHERE rank <= $K""".stripMargin
+
+  /** [[qKnnLsh]] with per-bucket posting lists hard-capped at [[LshCap]]
+    * entries — the 100 TB fix for the one unbounded quantity in the LSH
+    * serve path. Uncapped, a probed bucket's candidate count grows
+    * linearly with corpus size at fixed geometry (measured 2.9×/decade,
+    * SCALE.md); capped, the serve-side join fan-out is a fixed plan
+    * parameter, the same bound discipline [[graft.operators.Dedup]]
+    * applies to its MinHash band buckets.
+    *
+    * The survivor rule must be engine-portable so the oracle reproduces
+    * it bit-for-bit: keep the [[LshCap]] postings with the LOWEST
+    * portable 60-bit id-hash (ties by id) — a uniform pseudo-random but
+    * deterministic subset, computed by the native `graft_min_k` reservoir
+    * in ONE ObjectHashAggregate pass over the posting rows (O(cap) state
+    * per bucket, no Window, no sort; exactly the ivf2 sub-seed shape,
+    * BoundedCollect.scala). Embeddings ride the reservoir struct, so the
+    * capped index needs no back-join to the corpus. The cap composes
+    * with the [[qKnnLshPersist]] layout unchanged — capping happens
+    * before the write, everything downstream is identical. */
+  val qKnnLshCapped: Q = Q("q_knn_lsh_capped", DuckLshCappedSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val capped = lshPostings(emb)
+      .withColumn("prio", Portable.hash60(col("neighbor_id").cast("string")))
+      .groupBy("tb")
+      .agg(GraftFunctions.minK(
+        struct(col("prio"), col("neighbor_id"), col("embedding")), LshCap).as("kept"))
+      .select(col("tb"), explode(col("kept")).as("kv"))
+      .select(col("tb"), col("kv.neighbor_id").as("neighbor_id"),
+        col("kv.embedding").as("embedding"))
+    val qProbes = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        explode(array((0 until LshTables).map(t =>
+          lshTb(t, col("embedding"))): _*)).as("base"))
+      .select(col("query_id"), col("q_embedding"),
+        explode(array(col("base") +: (0 until LshBits).map(b =>
+          col("base").bitwiseXOR(lit(1L << b))): _*)).as("tb"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    capped
+      .join(broadcast(qProbes), Seq("tb"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosExpr)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
-    qKnnIvf2Persist, qKnnLsh, qKnnLshPersist)
+    qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped)
 }

@@ -654,6 +654,41 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_knn_lsh_capped: recall holds and the cap bounds every posting list") {
+    val brute = Similarity.qKnnBrute.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Similarity.qKnnLshCapped.build(spark, sf).collect()
+    val pairs = capped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    // 16 ≈ 8× the sf0.001 mean bucket occupancy, so the cap is dormant
+    // at this geometry and recall matches the uncapped gate's floor
+    val recall = (brute intersect pairs).size.toDouble / brute.size
+    assert(recall >= 0.5, s"capped-LSH recall $recall too low")
+    // determinism: the min-k survivor rule is a pure function of the data
+    val again = Similarity.qKnnLshCapped.build(spark, sf).collect()
+    assert(capped.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("lsh posting cap: an overflowing bucket is cut to exactly cap entries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 64 identical vectors land in the SAME bucket of every table —
+    // 8 tables × 64 postings, every bucket 4× over the 16-entry cap
+    val vecs = (0L until 64L).map(i => (i, Array.fill(64)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val capSize = 16
+    val cappedCounts = Similarity.lshPostings(vecs)
+      .withColumn("prio",
+        graft.functions.Portable.hash60(col("neighbor_id").cast("string")))
+      .groupBy("tb")
+      .agg(graft.functions.GraftFunctions.minK(
+        struct(col("prio"), col("neighbor_id")), capSize).as("kept"))
+      .select(size(col("kept")).as("n")).collect().map(_.getInt(0))
+    assert(cappedCounts.length === 8, "one bucket per table")
+    assert(cappedCounts.forall(_ === capSize),
+      s"every overflowing bucket must hold exactly $capSize survivors")
+  }
+
   test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
     import spark.implicits._
     // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique
