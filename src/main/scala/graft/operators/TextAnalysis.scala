@@ -1356,6 +1356,105 @@ object TextAnalysis {
       .filter(col("cos_sim") >= tau)
   }
 
+  /** BM25 Okapi parameters (Robertson et al., TREC-3): the standard
+    * k1/b and the +1-smoothed idf that keeps high-df terms non-negative. */
+  private val Bm25Queries = 8
+  private val Bm25K = 10
+
+  /** BM25 top-k retrieval — the query→document ranking that powers
+    * retrieval-based curation (dataset search, hard-negative mining,
+    * retrieval-augmented decontamination): each of the first
+    * [[Bm25Queries]] documents acts as a "more-like-this" query (its
+    * distinct tokens are the query terms) and retrieves the corpus's
+    * [[Bm25K]] best-scoring OTHER documents under Okapi BM25
+    * (k1 = 1.2, b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½))).
+    *
+    * Scale shape — impact-ordered static index pruning (Carmel et al.,
+    * SIGIR'01; the discipline behind every WAND-style engine): each
+    * term's posting list keeps only its 64 highest-impact entries
+    * (tf desc, doc_id tiebreak), cut by the native `graft_min_k`
+    * reservoir in ONE ObjectHashAggregate pass that ALSO computes the
+    * TRUE document frequency for idf — so a query's candidate set is
+    * ≤ query-terms × 64 rows regardless of corpus size (the
+    * [[graft.operators.Similarity]] `q_knn_lsh_capped` bound
+    * discipline applied to lexical retrieval; a df-threshold stopword
+    * cut is useless on a corpus where every term is common — this one
+    * was measured degenerate on the testdata's 31-token vocabulary).
+    * The query term set is a broadcast that prunes the capped index
+    * BEFORE the doc-length join (the pruned side is small, AQE
+    * broadcasts it). Cross-engine exactness: the survivor rule replays
+    * in SQL as a row_number window; per-term scores are rounded at 6
+    * decimals into DECIMAL(18,6) and summed exactly (order-independent
+    * partial merges — the [[qSparseCosine]] precedent); avgdl is exact
+    * in both engines because integer sums below 2^53 are associative
+    * in doubles. */
+  val qBm25TopK: Q = Q(
+    "q_bm25_topk",
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+      |idx AS (SELECT tok, doc_id, tf, dfc FROM (
+      |    SELECT tok, doc_id, tf, count(*) OVER (PARTITION BY tok) AS dfc,
+      |      row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rn
+      |    FROM tf) WHERE rn <= 64),
+      |dl AS (SELECT doc_id,
+      |    greatest(len(string_split_regex(trim(text), '\s+')), 1) AS dl
+      |  FROM documents),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 8),
+      |terms AS (SELECT q.query_id, t.doc_id,
+      |    CAST(round(ln(1 + (CAST(s.n - t.dfc AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |        / (CAST(t.dfc AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |      * (t.tf * CAST(2.2 AS DOUBLE))
+      |      / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |          + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)), 6)
+      |      AS DECIMAL(18,6)) AS term_w
+      |  FROM idx t JOIN qt q ON t.tok = q.tok
+      |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s
+      |  WHERE t.doc_id <> q.query_id),
+      |scored AS (SELECT query_id, doc_id, sum(term_w) AS score
+      |  FROM terms GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, round(CAST(score AS DOUBLE), 4) AS bm25, rank
+      |FROM (SELECT query_id, doc_id, score, row_number() OVER
+      |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // impact-ordered capped index + TRUE df, one ObjectHashAggregate pass
+    val idx = tf.groupBy("tok")
+      .agg(
+        graft.functions.GraftFunctions.minK(
+          struct((-col("tf")).as("negtf"), col("doc_id"), col("tf")), 64).as("kept"),
+        count(lit(1)).as("dfc"))
+      .select(col("tok"), col("dfc"), explode(col("kept")).as("kv"))
+      .select(col("tok"), col("kv.doc_id").as("doc_id"), col("kv.tf").as("tf"), col("dfc"))
+    val dl = docs.select(col("doc_id"), wordCountFloor1(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val qt = tf.filter(col("doc_id") < Bm25Queries)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    idx.join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(
+          log(lit(1) + (col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5))
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(18,6)").as("term_w"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_w")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25K)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score").cast("double"), 4).as("bm25"), col("rank"))
+  }
+
   /** BPE tokenizer-merge training as a Spark plan — the first `steps`
     * byte-pair-encoding merges learned from the corpus, the actual
     * algorithm behind GPT/Llama tokenizer vocabularies: count adjacent
@@ -1497,7 +1596,7 @@ object TextAnalysis {
     qTextStats, qTokenCount, qTokFertility, qQuality, qGopherRules, qLangId, qLangIdEval,
     qFingerprint,
     qDedupExact,
-    qHashSample, qTfidfTop, qPiiScrub, qTextNormalize, qRepetition,
+    qHashSample, qTfidfTop, qBm25TopK, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
     qNbCalibration,

@@ -65,9 +65,9 @@ class PlanLintSpec extends SparkSpec {
     "q_embed_pq", "q_knn_pq_adc", "q_knn_ivf_pq", "q_sem_decontam",
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
     "q_time_decay", "q_heavy_hitters", "q_heavy_hitters_cms", "q_pmi_cooc",
-    "q_sparse_cosine",
+    "q_sparse_cosine", "q_bm25_topk",
     "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
-    "q_temperature_mix", "q_nb_calibration", "q_knn_ivf2")
+    "q_temperature_mix", "q_nb_calibration", "q_knn_ivf2", "q_knn_filtered")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported. Round 9 shrank this list from 10 to 2: every

@@ -689,6 +689,56 @@ class TrainingOpsSpec extends SparkSpec {
       s"every overflowing bucket must hold exactly $capSize survivors")
   }
 
+  test("q_bm25_topk: ranked lists are well-formed and self-free") {
+    val rows = TextAnalysis.qBm25TopK.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (qid, rs) =>
+      // no self-retrieval, ranks contiguous from 1, scores non-increasing
+      assert(rs.forall(_.getLong(1) != qid), s"query $qid retrieved itself")
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length),
+        s"query $qid ranks not contiguous")
+      val scores = sorted.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $qid scores not non-increasing")
+    }
+    // the near-duplicate planted for the dedup family should dominate
+    // somewhere: at least one query's top hit scores well above zero
+    assert(rows.filter(_.getInt(3) == 1).exists(_.getDouble(2) > 1.0))
+  }
+
+  test("q_knn_filtered: every neighbor shares the query's label, recall holds") {
+    import spark.implicits._
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.qKnnFiltered.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(labels(nid) == labels(qid),
+        s"neighbor $nid label ${labels(nid)} != query $qid label ${labels(qid)}")
+    }
+    // recall vs exact same-label brute force (500 vectors: cheap here)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val exact = (0L until 5L).flatMap { qid =>
+      emb.keys.filter(n => n != qid && labels(n) == labels(qid)).toSeq
+        .map(n => (n, cos(emb(qid), emb(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(3).map { case (n, _) => (qid, n) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"filtered-ANN recall $recall below floor")
+  }
+
   test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
     import spark.implicits._
     // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique
