@@ -153,7 +153,10 @@ object ScaleSmoke {
       operators.Similarity.qKnnLshCapped,
       operators.TextAnalysis.qReservoirSample,
       operators.TextAnalysis.qReservoirPerKey,
-      operators.Features.qHeavyHittersCms)
+      operators.Features.qHeavyHittersCms,
+      // round 10b: impact-pruned BM25 (candidates a plan constant) and
+      // the widened-probe filtered ANN serve
+      operators.TextAnalysis.qBm25TopK, operators.Similarity.qKnnFiltered)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {

@@ -222,6 +222,73 @@ object Similarity {
         round(col("sim"), 4).as("cosine"), col("rank"))
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack et al., SIGIR'09): 60 is
+    * the published default; RRF only reads RANKS, never raw scores, so
+    * the lexical and semantic scales need no calibration. */
+  private val RrfK = 60
+  private val RrfTopK = 5
+
+  /** Hybrid retrieval — BM25 ∪ ANN fused by reciprocal-rank fusion, the
+    * standard hybrid-search mode of every production RAG stack (lexical
+    * recall catches exact-term matches the embedding misses; semantic
+    * recall catches paraphrases lexical misses; RRF needs only the two
+    * RANKED LISTS, so the engines compose without score calibration):
+    * `rrf(d) = Σ_lists 1/(60 + rank_list(d))`, fused top-[[RrfTopK]].
+    *
+    * Scale shape: pure composition — the [[graft.operators.TextAnalysis]]
+    * impact-pruned BM25 plan and the [[qKnnIvf]] probe plan run as
+    * branches (each already bounded: ≤ terms × 64 and
+    * ≤ nprobe × occupancy candidates), and the fusion itself touches
+    * only their top-k OUTPUTS: ≤ 13 rows per query, a UNION + one
+    * 2-key hash aggregate + a top-5 window. Cross-engine exactness:
+    * 1/(60+rank) is identical IEEE division on identical int ranks,
+    * rounded at 9 into DECIMAL(12,9) and summed exactly; fused order
+    * ties broken by doc_id. The doc↔vector identity (doc_id = vec_id,
+    * the testdata's 1:1 correspondence) is the join key between the two
+    * modalities. */
+  val qHybridRrf: Q = Q(
+    "q_hybrid_rrf",
+    s"""WITH $DuckIvfCtes,
+       |${graft.operators.TextAnalysis.DuckBm25Ctes},
+       |ivfscored AS (SELECT p.query_id, a.vec_id AS doc_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(n.embedding AS DOUBLE[])) AS sim
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings n ON n.vec_id = a.vec_id),
+       |sem AS (SELECT query_id, doc_id, rank FROM
+       |  (SELECT query_id, doc_id, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+       |   FROM ivfscored) WHERE rank <= $K),
+       |lex AS (SELECT query_id, doc_id, rank FROM bm25ranked
+       |  WHERE rank <= 10 AND query_id < $NumQueries),
+       |unioned AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+       |fused AS (SELECT query_id, doc_id,
+       |    sum(CAST(round(CAST(1.0 AS DOUBLE) / ($RrfK + rank), 9)
+       |      AS DECIMAL(12,9))) AS rrfsum
+       |  FROM unioned GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, round(CAST(rrfsum AS DOUBLE), 6) AS rrf, rank
+       |FROM (SELECT query_id, doc_id, rrfsum, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY rrfsum DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $RrfTopK""".stripMargin) { (s, d) =>
+    val lex = graft.operators.TextAnalysis.qBm25TopK.build(s, d)
+      .filter(col("query_id") < NumQueries)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = qKnnIvf.build(s, d)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val w = Window.partitionBy("query_id").orderBy(col("rrfsum").desc, col("doc_id"))
+    lex.unionByName(sem)
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1.0) / (lit(RrfK) + col("rank")), 9).cast("decimal(12,9)").as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("rrfsum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RrfTopK)
+      .select(col("query_id"), col("doc_id"),
+        round(col("rrfsum").cast("double"), 6).as("rrf"), col("rank"))
+  }
+
   /** Build-once / serve-many: the IVF index PERSISTED as parquet and the
     * query path served purely OFF DISK. The codebook lands as one small
     * file; the postings land CELL-PARTITIONED (`cell=<id>/part-*.parquet`,
@@ -1892,5 +1959,6 @@ object Similarity {
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
-    qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered)
+    qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered,
+    qHybridRrf)
 }

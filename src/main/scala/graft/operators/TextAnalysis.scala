@@ -1388,9 +1388,10 @@ object TextAnalysis {
     * partial merges — the [[qSparseCosine]] precedent); avgdl is exact
     * in both engines because integer sums below 2^53 are associative
     * in doubles. */
-  val qBm25TopK: Q = Q(
-    "q_bm25_topk",
-    """WITH toks AS (SELECT doc_id,
+  /** Shared oracle CTE chain for BM25 (through `bm25ranked`), reused by
+    * the hybrid-fusion gate in [[graft.operators.Similarity]]. */
+  private[operators] val DuckBm25Ctes: String =
+    """toks AS (SELECT doc_id,
       |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
       |  FROM documents),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -1413,29 +1414,58 @@ object TextAnalysis {
       |  FROM idx t JOIN qt q ON t.tok = q.tok
       |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s
       |  WHERE t.doc_id <> q.query_id),
-      |scored AS (SELECT query_id, doc_id, sum(term_w) AS score
-      |  FROM terms GROUP BY query_id, doc_id)
-      |SELECT query_id, doc_id, round(CAST(score AS DOUBLE), 4) AS bm25, rank
-      |FROM (SELECT query_id, doc_id, score, row_number() OVER
+      |bm25scored AS (SELECT query_id, doc_id, sum(term_w) AS score
+      |  FROM terms GROUP BY query_id, doc_id),
+      |bm25ranked AS (SELECT query_id, doc_id, score, row_number() OVER
       |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-      |  FROM scored)
-      |WHERE rank <= 10""".stripMargin) { (s, d) =>
+      |  FROM bm25scored)""".stripMargin
+
+  val qBm25TopK: Q = Q(
+    "q_bm25_topk",
+    s"""WITH $DuckBm25Ctes
+       |SELECT query_id, doc_id, round(CAST(score AS DOUBLE), 4) AS bm25, rank
+       |FROM bm25ranked WHERE rank <= 10""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    // impact-ordered capped index + TRUE df, one ObjectHashAggregate pass
-    val idx = tf.groupBy("tok")
+    bm25Serve(bm25Index(bm25Partial(bm25Postings(docs))), docs)
+  }
+
+  /** Per-document tf posting rows — a per-batch-safe narrow stage (each
+    * document is whole within its row, so the (doc, tok) aggregate never
+    * crosses batch boundaries in the streaming ingest). */
+  private[graft] def bm25Postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  /** The impact-capped partial index: per term, the 64 highest-impact
+    * postings (`graft_min_k` on (-tf, doc_id)) AND the true df, one
+    * ObjectHashAggregate pass. PARTIALs are mergeable: min-k is
+    * associative (min-k of a union = min-k of concatenated min-ks) and
+    * df is additive — the property [[graft.streaming.StreamBm25Ingest]]
+    * exploits to fold per-batch indexes into the exact batch-built
+    * index. */
+  private[graft] def bm25Partial(postings: DataFrame): DataFrame =
+    postings.groupBy("tok")
       .agg(
         graft.functions.GraftFunctions.minK(
           struct((-col("tf")).as("negtf"), col("doc_id"), col("tf")), 64).as("kept"),
         count(lit(1)).as("dfc"))
+
+  /** Explode a (merged) partial index into serving rows. */
+  private[graft] def bm25Index(partial: DataFrame): DataFrame =
+    partial
       .select(col("tok"), col("dfc"), explode(col("kept")).as("kv"))
       .select(col("tok"), col("kv.doc_id").as("doc_id"), col("kv.tf").as("tf"), col("dfc"))
+
+  /** BM25 scoring of the first [[Bm25Queries]] docs against a capped
+    * index — only needs (index, corpus): query terms come straight off
+    * the query docs' text. */
+  private[graft] def bm25Serve(idx: DataFrame, docs: DataFrame): DataFrame = {
     val dl = docs.select(col("doc_id"), wordCountFloor1(col("text")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val qt = tf.filter(col("doc_id") < Bm25Queries)
-      .select(col("doc_id").as("query_id"), col("tok"))
+    val qt = docs.filter(col("doc_id") < Bm25Queries)
+      .select(col("doc_id").as("query_id"), explode(Portable.words(col("text"))).as("tok"))
+      .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     idx.join(broadcast(qt), "tok")
       .filter(col("doc_id") =!= col("query_id"))

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Ingest-time lexical indexing, micro-batch by micro-batch: land the
+  * document batch shard-partitioned ([[StreamShardRouter]], idempotent
+  * replay), read the LANDED files back, and fold the batch into the
+  * impact-capped BM25 index — the corpus side of `q_bm25_topk`.
+  *
+  * The load-bearing property is that the capped index is a MERGEABLE
+  * SKETCH: per term, the partial is (min-k of postings by impact,
+  * partial df). min-k is associative — the min-k of a union equals the
+  * min-k of the concatenated per-batch min-ks — and df is additive, so
+  * per-batch partials fold into EXACTLY the index a single batch build
+  * would produce, bit for bit (StreamBm25IngestSpec pins this and the
+  * end-to-end serve parity against `q_bm25_topk`'s oracle-gated output).
+  * The same property is what makes the BATCH build's map-side partials
+  * correct under any partitioning — the stream fold is just that merge
+  * tree with batch boundaries as the partition boundaries.
+  *
+  * Scale shape per batch: tf is per-document (documents arrive whole, so
+  * the (doc, tok) aggregate never crosses batches), the partial index is
+  * one tok-key ObjectHashAggregate over the batch with O(64) state per
+  * term, and the landed partial is vocab-sized, NOT batch-sized. History
+  * is never re-touched at ingest; the serve-time fold touches only
+  * vocab × generations rows. Periodically folding generations down is
+  * [[DeltaCompact]]'s generation fold, same as the ANN paths.
+  */
+object StreamBm25Ingest {
+
+  /** One ingest micro-batch: land `batch` (documents with `doc_id`,
+    * `text`) under `outDir/docs/batch=<id>/shard_id=<k>/`, then write
+    * the batch's capped partial index (tok, kept min-k postings, partial
+    * df) under `outDir/idx/batch=<id>/` — both overwrite-idempotent on
+    * replay. Returns the landed partial index. */
+  def ingestStep(batch: DataFrame, outDir: String, batchId: Long,
+      numShards: Int = 16): DataFrame = {
+    val s = batch.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val dir = StreamShardRouter.landBatch(batch, s"$outDir/docs", batchId, numShards)
+    val landed = s.read.parquet(dir)
+    val idxDir = s"$outDir/idx/batch=$batchId"
+    TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(landed))
+      .write.mode("overwrite").parquet(idxDir)
+    s.read.parquet(idxDir)
+  }
+
+  /** Fold every landed per-batch partial into the serving index: re-cap
+    * the concatenated min-k lists per term (associativity) and sum the
+    * partial dfs. Output rows are `(tok, doc_id, tf, dfc)` — identical
+    * to the batch-built `bm25Index`. */
+  def mergeIndexes(s: SparkSession, outDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val partials = s.read.parquet(s"$outDir/idx")
+    val dfs = partials.groupBy("tok").agg(sum(col("dfc")).as("dfc"))
+    val kept = partials
+      .select(col("tok"), explode(col("kept")).as("kv"))
+      .groupBy("tok")
+      .agg(graft.functions.GraftFunctions.minK(
+        struct(col("kv.negtf").as("negtf"), col("kv.doc_id").as("doc_id"),
+          col("kv.tf").as("tf")), 64).as("kept"))
+    kept.join(dfs, "tok")
+      .select(col("tok"), col("dfc"), explode(col("kept")).as("kv"))
+      .select(col("tok"), col("kv.doc_id").as("doc_id"),
+        col("kv.tf").as("tf"), col("dfc"))
+  }
+}

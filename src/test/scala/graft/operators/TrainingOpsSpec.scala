@@ -739,6 +739,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"filtered-ANN recall $recall below floor")
   }
 
+  test("q_hybrid_rrf: fusion is exactly the RRF of the two input lists") {
+    val lex = TextAnalysis.qBm25TopK.build(spark, sf).collect()
+      .filter(_.getLong(0) < 5)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val sem = Similarity.qKnnIvf.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    // recompute RRF from the two ranked lists the gate composes
+    val expected = (lex.keySet ++ sem.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        keys.toSeq
+          .map { k =>
+            // per-component round-at-9 BEFORE the sum, as the gate does
+            def c(rank: Option[Int]): BigDecimal = rank
+              .map(r => BigDecimal(1.0 / (60 + r))
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP))
+              .getOrElse(BigDecimal(0))
+            (k._2, c(lex.get(k)) + c(sem.get(k)))
+          }
+          .sortBy { case (doc, s) => (-s, doc) }.take(5).zipWithIndex
+          .map { case ((doc, _), i) => (qid, doc) -> (i + 1) }
+      }
+    val got = Similarity.qHybridRrf.build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(got === expected)
+  }
+
   test("sparse cosine: df cap drops stopword-ish tokens before pairing") {
     import spark.implicits._
     // "common" appears in 70 docs (df > 64) → dropped; the per-doc unique

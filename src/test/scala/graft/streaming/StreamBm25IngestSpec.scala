@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.operators.TextAnalysis
+
+/** The ingest-time BM25 indexing path (land → per-batch capped partial →
+  * serve-time fold): the folded index must be IDENTICAL to the
+  * single-pass batch build — min-k is associative and df additive, so
+  * micro-batching must not change one index bit — and serving off the
+  * folded index must reproduce `q_bm25_topk`'s oracle-gated output
+  * exactly. This is the mergeable-sketch evidence for the capped
+  * lexical index, the same property the streaming CMS gate pins for
+  * frequency sketches. */
+class StreamBm25IngestSpec extends SparkSpec {
+
+  test("folded per-batch partials ≡ batch index; serve parity with q_bm25_topk") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, sf)
+
+    val expectIdx = TextAnalysis
+      .bm25Index(TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(docs)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+
+    val outDir = Files.createTempDirectory("graft_bm25spec").toFile
+    try {
+      val tablePath = s"$sf/documents.parquet"
+      val reader = s.readStream.schema(docs.schema)
+      val src =
+        if (new java.io.File(tablePath).isDirectory) reader.parquet(tablePath)
+        else reader.option("pathGlobFilter", "documents.parquet").parquet(sf)
+      val q = src.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          StreamBm25Ingest.ingestStep(b, outDir.getAbsolutePath, id)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+
+      val merged = StreamBm25Ingest.mergeIndexes(s, outDir.getAbsolutePath)
+      val gotIdx = merged.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted
+      assert(gotIdx.nonEmpty)
+      assert(gotIdx === expectIdx,
+        "folded streaming index diverged from the single-pass batch build")
+
+      // end-to-end: serving off the folded index reproduces the
+      // oracle-gated batch gate bit-for-bit
+      val expectServe = TextAnalysis.qBm25TopK.build(s, sf).collect()
+        .map(_.toString).sorted
+      val gotServe = TextAnalysis.bm25Serve(merged, docs).collect()
+        .map(_.toString).sorted
+      assert(gotServe === expectServe,
+        "serve over the folded index diverged from q_bm25_topk")
+
+      // layout: docs landed shard-partitioned, one partial index per batch
+      val docBatches = new java.io.File(outDir, "docs")
+        .listFiles().filter(_.getName.startsWith("batch="))
+      assert(docBatches.nonEmpty, "no document batches landed")
+      assert(docBatches.forall(_.listFiles().exists(_.getName.startsWith("shard_id="))),
+        "landed batches are not shard-partitioned")
+      assert(new java.io.File(outDir, "idx")
+        .listFiles().exists(_.getName.startsWith("batch=")),
+        "no per-batch partial index landed")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    }
+  }
+}
