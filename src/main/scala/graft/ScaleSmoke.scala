@@ -154,9 +154,12 @@ object ScaleSmoke {
       operators.TextAnalysis.qReservoirSample,
       operators.TextAnalysis.qReservoirPerKey,
       operators.Features.qHeavyHittersCms,
-      // round 10b: impact-pruned BM25 (candidates a plan constant) and
-      // the widened-probe filtered ANN serve
-      operators.TextAnalysis.qBm25TopK, operators.Similarity.qKnnFiltered)
+      // round 10b: impact-pruned BM25 (candidates a plan constant), the
+      // widened-probe filtered ANN serve, and the RRF fusion of the two
+      // retrieval modes (cost should track the sum of its branches —
+      // fusion itself touches only top-k outputs)
+      operators.TextAnalysis.qBm25TopK, operators.Similarity.qKnnFiltered,
+      operators.Similarity.qHybridRrf)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {
