@@ -159,7 +159,10 @@ object ScaleSmoke {
       // retrieval modes (cost should track the sum of its branches —
       // fusion itself touches only top-k outputs)
       operators.TextAnalysis.qBm25TopK, operators.Similarity.qKnnFiltered,
-      operators.Similarity.qHybridRrf)
+      operators.Similarity.qHybridRrf,
+      // label-inequality twin of the filtered serve: same probe plan,
+      // ~9x the eligible candidates per cell
+      operators.Similarity.qHardNegatives)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {

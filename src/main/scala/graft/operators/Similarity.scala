@@ -222,6 +222,68 @@ object Similarity {
         round(col("sim"), 4).as("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining — for each query, the top-[[K]] most-similar
+    * candidates whose label DIFFERS from the query's: the contrastive-
+    * training counterpart of [[qKnnFiltered]] (high-similarity,
+    * wrong-class examples are the negatives that actually move an
+    * embedding model; random negatives are too easy to carry gradient).
+    * Same Lloyd-trained IVF probe path; the predicate flips to label
+    * INEQUALITY and lands in the same place — on the postings between
+    * probe join and ranking, never post-top-k.
+    *
+    * nprobe widens 4→8 like [[qKnnFiltered]], but for the OPPOSITE
+    * reason: eligibility is ~90% (selectivity says base nprobe), yet in
+    * a label-clustered embedding space the query's own nearest cells
+    * are dominated by SAME-label vectors — the near different-label
+    * candidates concentrate just across the class boundary, in cells
+    * adjacent to the query's. Measured on sf0.001: recall 0.4 at
+    * nprobe=4, above the 0.5 floor at 8 — the probe ring must cross
+    * the boundary, not just cover the eligible fraction.
+    * Scale shape is [[qKnnIvf]]'s: broadcast O(√n) codebook, one
+    * exchange row per vector, candidates ≤ nprobe × cell-occupancy,
+    * label carried by a co-keyed sidecar join AQE resolves (at scale it
+    * is a postings-scan column, the [[qKnnIvfPersist]] layout). */
+  val qHardNegatives: Q = Q(
+    "q_hard_negatives",
+    s"""WITH $DuckIvfCtes,
+       |probesf AS (SELECT vec_id AS query_id, cent_id AS cell FROM
+       |  (SELECT vec_id, cent_id, row_number() OVER
+       |     (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+       |   FROM sims WHERE vec_id < $NumQueries)
+       |  WHERE rn <= $FilteredProbes),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(n.embedding AS DOUBLE[])) AS sim
+       |  FROM probesf p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings n ON n.vec_id = a.vec_id
+       |  WHERE n.label <> q.label)
+       |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |  (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM scored)
+       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfCodebook(emb)
+    val assigned = ivfAssign(emb, cents)
+    val probes = ivfProbes(emb, cents, FilteredProbes)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qLabels = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
   /** Reciprocal-rank-fusion constant (Cormack et al., SIGIR'09): 60 is
     * the published default; RRF only reads RANKS, never raw scores, so
     * the lexical and semantic scales need no calibration. */
@@ -1960,5 +2022,5 @@ object Similarity {
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
     qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered,
-    qHybridRrf)
+    qHybridRrf, qHardNegatives)
 }

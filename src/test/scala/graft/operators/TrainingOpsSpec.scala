@@ -739,6 +739,48 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"filtered-ANN recall $recall below floor")
   }
 
+  test("q_hard_negatives: every neighbor differs in label, recall holds") {
+    import spark.implicits._
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.qHardNegatives.build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(labels(nid) != labels(qid),
+        s"negative $nid shares query $qid's label ${labels(qid)}")
+    }
+    // recall vs exact different-label brute force (500 vectors: cheap)
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val exactBest = (0L until 5L).map { qid =>
+      qid -> emb.keys.filter(n => n != qid && labels(n) != labels(qid)).toSeq
+        .map(n => (n, cos(emb(qid), emb(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(3)
+    }.toMap
+    val exact = exactBest.flatMap { case (qid, best) =>
+      best.map { case (n, _) => (qid, n) } }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"hard-negative recall $recall below floor")
+    // hardness: each query's mined rank-1 negative scores well above the
+    // corpus-wide mean negative similarity — these are HARD negatives
+    rows.filter(_.getInt(3) == 1).foreach { r =>
+      val qid = r.getLong(0)
+      val negs = emb.keys.filter(n => n != qid && labels(n) != labels(qid))
+      val mean = negs.map(n => cos(emb(qid), emb(n))).sum / negs.size
+      assert(r.getDouble(2) > mean,
+        s"query $qid rank-1 negative ${r.getDouble(2)} not above mean $mean")
+    }
+  }
+
   test("q_hybrid_rrf: fusion is exactly the RRF of the two input lists") {
     val lex = TextAnalysis.qBm25TopK.build(spark, sf).collect()
       .filter(_.getLong(0) < 5)
