@@ -242,7 +242,15 @@ object Similarity {
     * Scale shape is [[qKnnIvf]]'s: broadcast O(√n) codebook, one
     * exchange row per vector, candidates ≤ nprobe × cell-occupancy,
     * label carried by a co-keyed sidecar join AQE resolves (at scale it
-    * is a postings-scan column, the [[qKnnIvfPersist]] layout). */
+    * is a postings-scan column, the [[qKnnIvfPersist]] layout).
+    *
+    * Oracle note: the candidate CTE is MATERIALIZED so the label
+    * INEQUALITY stays a filter over the (tiny, equi-joined) candidate
+    * set. Inlined, DuckDB's join-order search can pick `<>` as the
+    * join driver — embeddings × embeddings ≈ n²·0.9 pairs, which at
+    * the 10× corpus exhausted 100 GB RAM + 79 GB spill before the
+    * fence was added ('=' in [[qKnnFiltered]] never tempts it: an
+    * equality is a hash-join key). */
   val qHardNegatives: Q = Q(
     "q_hard_negatives",
     s"""WITH $DuckIvfCtes,
@@ -251,13 +259,15 @@ object Similarity {
        |     (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
        |   FROM sims WHERE vec_id < $NumQueries)
        |  WHERE rn <= $FilteredProbes),
-       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |cand AS MATERIALIZED (SELECT p.query_id, a.vec_id AS neighbor_id,
        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-       |      CAST(n.embedding AS DOUBLE[])) AS sim
+       |      CAST(n.embedding AS DOUBLE[])) AS sim,
+       |    q.label AS q_label, n.label AS n_label
        |  FROM probesf p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
        |  JOIN embeddings q ON q.vec_id = p.query_id
-       |  JOIN embeddings n ON n.vec_id = a.vec_id
-       |  WHERE n.label <> q.label)
+       |  JOIN embeddings n ON n.vec_id = a.vec_id),
+       |scored AS (SELECT query_id, neighbor_id, sim FROM cand
+       |  WHERE n_label <> q_label)
        |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
        |  (SELECT query_id, neighbor_id, sim, row_number() OVER
        |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
