@@ -333,7 +333,7 @@ object Similarity {
        |     (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
        |   FROM ivfscored) WHERE rank <= $K),
        |lex AS (SELECT query_id, doc_id, rank FROM bm25ranked
-       |  WHERE rank <= 10 AND query_id < $NumQueries),
+       |  WHERE rank <= ${graft.operators.TextAnalysis.Bm25K} AND query_id < $NumQueries),
        |unioned AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
        |fused AS (SELECT query_id, doc_id,
        |    sum(CAST(round(CAST(1.0 AS DOUBLE) / ($RrfK + rank), 9)
@@ -1700,11 +1700,18 @@ object Similarity {
       (Portable.hash60Local(s"$t:$b,$k").toDouble / math.pow(2, 59) - 1).toFloat)
 
   /** The `t`-th table's sign-bucket of vector column `v`: bit b set iff
-    * cosine(v, plane(t,b)) > 0 — each bit one fused codegen'd loop. */
+    * cosine(v, plane(t,b)) > 0 — each bit one fused codegen'd loop.
+    *
+    * NaN guard: a zero-norm embedding's cosine is NaN, and the engines
+    * disagree on `NaN > 0` (Spark: false; DuckDB's comparison order
+    * treats NaN as greater than any value) — `nanvl` pins the degenerate
+    * case to bit 0 on BOTH sides (the SQL twin spells it
+    * `NOT isnan(…) AND … > 0`), so bucket parity can never hinge on a
+    * zero vector. Never fires on the generated corpora; library surface. */
   private def lshBucket(t: Int, v: Column): Column =
     (0 until LshBits).map { b =>
-      when(GraftFunctions.cosine(v, lit(lshPlane(t, b))) > 0, lit(1L << b))
-        .otherwise(lit(0L))
+      when(nanvl(GraftFunctions.cosine(v, lit(lshPlane(t, b))), lit(0.0)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN top-k via multi-table random-hyperplane LSH — the bucketed
@@ -1738,7 +1745,9 @@ object Similarity {
        |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
        |  FROM range($LshTables) s(t), range($LshBits) v(b), range(64) u(k) GROUP BY t, b),
        |sigs AS (SELECT e.vec_id, pl.t,
-       |    CAST(sum(CASE WHEN list_cosine_similarity(
+       |    CAST(sum(CASE WHEN NOT isnan(list_cosine_similarity(
+       |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])))
+       |      AND list_cosine_similarity(
        |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])) > 0
        |      THEN CAST(pow(2, pl.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
@@ -1798,6 +1807,11 @@ object Similarity {
   // ---- q_knn_lsh_persist: the LSH postings persisted bucket-partitioned ----
 
   private val lshPersistDone = scala.collection.mutable.Set.empty[String]
+
+  /** Max size of the full-tb literal IN-list pushed into the postings
+    * scan for row-group skipping; larger probe batches rely on the
+    * broadcast join alone (see the pushdown note in [[qKnnLshPersist]]). */
+  private val MaxPushedTbs = 1024
 
   /** The combined posting key for one LSH table's bucket: table id in
     * the high bits, sign bucket in the low [[LshBits]]. */
@@ -1911,9 +1925,22 @@ object Similarity {
     val probedTbs = probesCk.select("tb").distinct().collect().map(_.getLong(0))
     val probedHis = probedTbs.map(_ >> LshDirShift).distinct
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    postings
-      .filter(col("tb_hi").isin(probedHis.toSeq: _*))
-      .filter(col("tb").isin(probedTbs.toSeq: _*))
+    // Two-level pushdown, each sized to stay a cheap literal predicate:
+    // tb_hi is BOUNDED BY GEOMETRY (≤ tables × 2^(bits−shift) = 128
+    // directory values regardless of query count) — always pushed as the
+    // static partition filter. The full-tb list grows as queries ×
+    // tables × (bits+1), so a production-sized query batch would turn it
+    // into a huge literal IN; past [[MaxPushedTbs]] the residual tb
+    // filtering is left to the broadcast hash join on tb itself (a
+    // broadcast semi-filter — every non-probed posting row dies at the
+    // join, only row-group min/max skipping inside probed directories is
+    // forgone), keeping predicate size a plan constant (round-10 advice).
+    val prunedDirs = postings.filter(col("tb_hi").isin(probedHis.toSeq: _*))
+    val pruned =
+      if (probedTbs.length <= MaxPushedTbs)
+        prunedDirs.filter(col("tb").isin(probedTbs.toSeq: _*))
+      else prunedDirs
+    pruned
       .drop("tb_hi")
       .join(broadcast(probesCk), Seq("tb"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -1947,7 +1974,9 @@ object Similarity {
        |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
        |  FROM range($LshTables) s(t), range($LshBits) v(b), range(64) u(k) GROUP BY t, b),
        |sigs AS (SELECT e.vec_id, pl.t,
-       |    CAST(sum(CASE WHEN list_cosine_similarity(
+       |    CAST(sum(CASE WHEN NOT isnan(list_cosine_similarity(
+       |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])))
+       |      AND list_cosine_similarity(
        |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])) > 0
        |      THEN CAST(pow(2, pl.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),

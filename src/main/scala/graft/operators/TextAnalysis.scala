@@ -1357,9 +1357,18 @@ object TextAnalysis {
   }
 
   /** BM25 Okapi parameters (Robertson et al., TREC-3): the standard
-    * k1/b and the +1-smoothed idf that keeps high-df terms non-negative. */
-  private val Bm25Queries = 8
-  private val Bm25K = 10
+    * k1/b and the +1-smoothed idf that keeps high-df terms non-negative.
+    * `private[graft]`: the hybrid-fusion gate and the streaming ingest
+    * fold interpolate the SAME constants into their oracle SQL / cap
+    * logic — one definition, so changing a plan constant can never
+    * silently break engine/oracle parity (round-10 advice). */
+  private[graft] val Bm25Queries = 8
+  private[graft] val Bm25K = 10
+
+  /** Impact-pruning cap: postings kept per term (Carmel-style static
+    * index pruning — see [[qBm25TopK]]). Shared by the batch build, the
+    * streaming fold's re-cap, and both oracles' row_number cut. */
+  private[graft] val Bm25Cap = 64
 
   /** BM25 top-k retrieval — the query→document ranking that powers
     * retrieval-based curation (dataset search, hard-negative mining,
@@ -1391,19 +1400,19 @@ object TextAnalysis {
   /** Shared oracle CTE chain for BM25 (through `bm25ranked`), reused by
     * the hybrid-fusion gate in [[graft.operators.Similarity]]. */
   private[operators] val DuckBm25Ctes: String =
-    """toks AS (SELECT doc_id,
+    raw"""toks AS (SELECT doc_id,
       |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
       |  FROM documents),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
       |idx AS (SELECT tok, doc_id, tf, dfc FROM (
       |    SELECT tok, doc_id, tf, count(*) OVER (PARTITION BY tok) AS dfc,
       |      row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rn
-      |    FROM tf) WHERE rn <= 64),
+      |    FROM tf) WHERE rn <= $Bm25Cap),
       |dl AS (SELECT doc_id,
       |    greatest(len(string_split_regex(trim(text), '\s+')), 1) AS dl
       |  FROM documents),
       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-      |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < 8),
+      |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < $Bm25Queries),
       |terms AS (SELECT q.query_id, t.doc_id,
       |    CAST(round(ln(1 + (CAST(s.n - t.dfc AS DOUBLE) + CAST(0.5 AS DOUBLE))
       |        / (CAST(t.dfc AS DOUBLE) + CAST(0.5 AS DOUBLE)))
@@ -1424,7 +1433,7 @@ object TextAnalysis {
     "q_bm25_topk",
     s"""WITH $DuckBm25Ctes
        |SELECT query_id, doc_id, round(CAST(score AS DOUBLE), 4) AS bm25, rank
-       |FROM bm25ranked WHERE rank <= 10""".stripMargin) { (s, d) =>
+       |FROM bm25ranked WHERE rank <= $Bm25K""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
     bm25Serve(bm25Index(bm25Partial(bm25Postings(docs))), docs)
@@ -1448,7 +1457,7 @@ object TextAnalysis {
     postings.groupBy("tok")
       .agg(
         graft.functions.GraftFunctions.minK(
-          struct((-col("tf")).as("negtf"), col("doc_id"), col("tf")), 64).as("kept"),
+          struct((-col("tf")).as("negtf"), col("doc_id"), col("tf")), Bm25Cap).as("kept"),
         count(lit(1)).as("dfc"))
 
   /** Explode a (merged) partial index into serving rows. */

@@ -50,9 +50,33 @@ object StreamBm25Ingest {
   /** Fold every landed per-batch partial into the serving index: re-cap
     * the concatenated min-k lists per term (associativity) and sum the
     * partial dfs. Output rows are `(tok, doc_id, tf, dfc)` — identical
-    * to the batch-built `bm25Index`. */
+    * to the batch-built `bm25Index`.
+    *
+    * Exactness PRECONDITION, now enforced rather than assumed: each
+    * doc_id must appear in exactly ONE batch. A document re-ingested
+    * under a second batch id would double-count df (partial dfs are
+    * summed) and could seat the same doc_id twice in a term's re-capped
+    * min-k list, displacing a legitimate posting — and the damage is NOT
+    * repairable at merge time from capped partials alone (a doc's
+    * postings beyond the cap are gone, so "dedupe and recount df from
+    * distinct doc_ids" can't reconstruct the true df). So the fold
+    * ASSERTS disjointness against the landed corpus: one column-pruned
+    * aggregate over (doc_id, batch=partition-column) — metadata-cheap,
+    * paid once per serve-time fold, never per batch. A crash-replay of
+    * the SAME batch id is fine (landBatch overwrites its own directory,
+    * so the doc still lives under one batch). */
   def mergeIndexes(s: SparkSession, outDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val crossBatch = s.read.parquet(s"$outDir/docs")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("batch")).as("nb"))
+      .filter(col("nb") > 1)
+    val offenders = crossBatch.limit(5).collect()
+    if (offenders.nonEmpty)
+      throw new IllegalStateException(
+        "BM25 fold precondition violated: doc_ids ingested under more than " +
+          "one batch id (df would double-count): " +
+          offenders.map(_.getLong(0)).mkString(", "))
     val partials = s.read.parquet(s"$outDir/idx")
     val dfs = partials.groupBy("tok").agg(sum(col("dfc")).as("dfc"))
     val kept = partials
@@ -60,7 +84,7 @@ object StreamBm25Ingest {
       .groupBy("tok")
       .agg(graft.functions.GraftFunctions.minK(
         struct(col("kv.negtf").as("negtf"), col("kv.doc_id").as("doc_id"),
-          col("kv.tf").as("tf")), 64).as("kept"))
+          col("kv.tf").as("tf")), TextAnalysis.Bm25Cap).as("kept"))
     kept.join(dfs, "tok")
       .select(col("tok"), col("dfc"), explode(col("kept")).as("kv"))
       .select(col("tok"), col("kv.doc_id").as("doc_id"),

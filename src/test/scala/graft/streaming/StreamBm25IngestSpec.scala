@@ -73,4 +73,31 @@ class StreamBm25IngestSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(outDir)
     }
   }
+
+  test("merge enforces batch-disjoint doc_ids; same-id replay stays mergeable") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val batch = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bm25dis").toFile
+    try {
+      StreamBm25Ingest.ingestStep(batch, outDir.getAbsolutePath, 0L)
+      // crash-replay of the SAME batch id: landBatch overwrites its own
+      // directory — each doc still lives under exactly one batch, merge ok
+      StreamBm25Ingest.ingestStep(batch, outDir.getAbsolutePath, 0L)
+      assert(StreamBm25Ingest.mergeIndexes(s, outDir.getAbsolutePath).count() > 0)
+      // the SAME doc re-ingested under a NEW batch id: df would
+      // double-count and the re-capped min-k could seat doc 1 twice —
+      // the fold must refuse, not silently corrupt the index
+      StreamBm25Ingest.ingestStep(batch.filter(col("doc_id") === 1L),
+        outDir.getAbsolutePath, 1L)
+      val e = intercept[IllegalStateException] {
+        StreamBm25Ingest.mergeIndexes(s, outDir.getAbsolutePath).count()
+      }
+      assert(e.getMessage.contains("more than one batch"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    }
+  }
 }
