@@ -318,8 +318,10 @@ object Similarity {
     * ties broken by doc_id. The doc↔vector identity (doc_id = vec_id,
     * the testdata's 1:1 correspondence) is the join key between the two
     * modalities. */
-  val qHybridRrf: Q = Q(
-    "q_hybrid_rrf",
+  /** The full hybrid pipeline in DuckDB, shared verbatim by [[qHybridRrf]]
+    * and [[qHybridRrfPersist]] — persistence must not change a result bit,
+    * so the oracle is identical (the [[DuckLshSql]] discipline). */
+  private val DuckHybridSql: String =
     s"""WITH $DuckIvfCtes,
        |${graft.operators.TextAnalysis.DuckBm25Ctes},
        |ivfscored AS (SELECT p.query_id, a.vec_id AS doc_id,
@@ -343,12 +345,13 @@ object Similarity {
        |FROM (SELECT query_id, doc_id, rrfsum, row_number() OVER
        |    (PARTITION BY query_id ORDER BY rrfsum DESC, doc_id) AS rank
        |  FROM fused)
-       |WHERE rank <= $RrfTopK""".stripMargin) { (s, d) =>
-    val lex = graft.operators.TextAnalysis.qBm25TopK.build(s, d)
-      .filter(col("query_id") < NumQueries)
-      .select(col("query_id"), col("doc_id"), col("rank"))
-    val sem = qKnnIvf.build(s, d)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+       |WHERE rank <= $RrfTopK""".stripMargin
+
+  /** RRF fusion of two ranked lists — touches only the branches' top-k
+    * OUTPUTS (≤ 13 rows per query): a union, one 2-key hash aggregate of
+    * the exactly-summable DECIMAL rank reciprocals, and a top-[[RrfTopK]]
+    * window. Shared by the in-flight and persisted hybrid gates. */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("rrfsum").desc, col("doc_id"))
     lex.unionByName(sem)
       .select(col("query_id"), col("doc_id"),
@@ -359,6 +362,37 @@ object Similarity {
       .filter(col("rank") <= RrfTopK)
       .select(col("query_id"), col("doc_id"),
         round(col("rrfsum").cast("double"), 6).as("rrf"), col("rank"))
+  }
+
+  val qHybridRrf: Q = Q("q_hybrid_rrf", DuckHybridSql) { (s, d) =>
+    val lex = graft.operators.TextAnalysis.qBm25TopK.build(s, d)
+      .filter(col("query_id") < NumQueries)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = qKnnIvf.build(s, d)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(lex, sem)
+  }
+
+  /** Hybrid retrieval SERVED OFF PERSISTED INDEXES — the production
+    * hybrid-search shape [[qHybridRrf]] builds toward: BOTH branches read
+    * landed artifacts with zero in-flight index construction. The lexical
+    * branch scores against the impact-capped BM25 partial on disk
+    * ([[graft.operators.TextAnalysis]] `ensureBm25Index` — the same
+    * mergeable artifact the streaming ingest lands per batch); the
+    * semantic branch is [[qKnnIvfPersist]]'s partition-pruned
+    * cell-directory scan. Fusion is [[rrfFuse]], unchanged — it never
+    * sees where the ranked lists came from, which is exactly why the
+    * oracle is IDENTICAL to [[qHybridRrf]]'s: persistence must not change
+    * a bit. At 100 TB this is the RAG serving tier: two index lookups
+    * (each bounded — ≤ query-terms × cap lexical rows, ≤ nprobe ×
+    * cell-occupancy semantic rows) and a ≤13-rows-per-query fusion. */
+  val qHybridRrfPersist: Q = Q("q_hybrid_rrf_persist", DuckHybridSql) { (s, d) =>
+    val lex = graft.operators.TextAnalysis.bm25ServePersisted(s, d)
+      .filter(col("query_id") < NumQueries)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = qKnnIvfPersist.build(s, d)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(lex, sem)
   }
 
   /** Build-once / serve-many: the IVF index PERSISTED as parquet and the
@@ -2061,5 +2095,5 @@ object Similarity {
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
     qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered,
-    qHybridRrf, qHardNegatives)
+    qHybridRrf, qHybridRrfPersist, qHardNegatives)
 }

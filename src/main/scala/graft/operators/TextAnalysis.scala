@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
@@ -1492,6 +1492,65 @@ object TextAnalysis {
       .filter(col("rank") <= Bm25K)
       .select(col("query_id"), col("doc_id"),
         round(col("score").cast("double"), 4).as("bm25"), col("rank"))
+  }
+
+  // ---- persisted BM25 index: build-once / serve-many for lexical retrieval ----
+
+  private val bm25PersistDone = scala.collection.mutable.Set.empty[String]
+
+  /** Build-once half of the lexical build/serve split: the impact-capped
+    * PARTIAL index (tok, kept min-k postings, true df) landed as parquet,
+    * memoized per (data fingerprint, pid) exactly like
+    * [[graft.operators.Similarity]]'s `ensureIvfIndex`/`ensureLshIndex`.
+    * The landed artifact is the SAME mergeable partial
+    * [[graft.streaming.StreamBm25Ingest]] writes per batch — batch build
+    * and streaming ingest land one format, so a serve path reads either
+    * interchangeably. Layout: range-partitioned + sorted by `tok`, so
+    * each file carries a token range and parquet row-group min/max stats
+    * can skip files/row-groups for a query's term set. The index is
+    * vocab × [[Bm25Cap]] postings — already corpus-size-INDEPENDENT in
+    * row count (the impact cap), so serve cost is index-bound, never
+    * corpus-bound. */
+  private[graft] def ensureBm25Index(s: SparkSession, d: String): String = synchronized {
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_bm25/${Similarity.dataFingerprint(s"$d/documents.parquet")}_$pid"
+    if (!bm25PersistDone(dir)) {
+      TmpDirs.reap("/tmp/graft_bm25", pid, TmpDirs.pidSuffix)
+      bm25Partial(bm25Postings(Tables.documents(s, d)))
+        .repartitionByRange(col("tok"))
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite").parquet(s"$dir/partial")
+      bm25PersistDone += dir
+    }
+    dir
+  }
+
+  /** Bench hook: drop the memoized index for `d` and rebuild from
+    * scratch — isolates the lexical BUILD cost (tokenize + capped
+    * partial + write) from the SERVE cost, mirroring `rebuildLshIndex`. */
+  private[graft] def rebuildBm25Index(s: SparkSession, d: String): String = {
+    val dir = synchronized {
+      val dd = s"/tmp/graft_bm25/${Similarity.dataFingerprint(s"$d/documents.parquet")}" +
+        s"_${ProcessHandle.current().pid()}"
+      bm25PersistDone -= dd
+      val p = new org.apache.hadoop.fs.Path(dd)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      dd
+    }
+    ensureBm25Index(s, d)
+    dir
+  }
+
+  /** The lexical serve path with ZERO in-flight index construction: read
+    * the persisted partial back, explode to serving rows, score. The
+    * document-length/avgdl sidecar is recomputed from the corpus here
+    * (cheap single-column aggregates); a production layout would land dl
+    * as a second index artifact — the SERVE plan shape is unchanged
+    * either way. */
+  private[graft] def bm25ServePersisted(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dir = ensureBm25Index(s, d)
+    bm25Serve(bm25Index(s.read.parquet(s"$dir/partial")), Tables.documents(s, d))
   }
 
   /** BPE tokenizer-merge training as a Spark plan — the first `steps`

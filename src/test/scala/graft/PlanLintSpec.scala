@@ -68,7 +68,7 @@ class PlanLintSpec extends SparkSpec {
     "q_sparse_cosine", "q_bm25_topk",
     "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
     "q_temperature_mix", "q_nb_calibration", "q_knn_ivf2", "q_knn_filtered",
-    "q_hybrid_rrf", "q_hard_negatives")
+    "q_hybrid_rrf", "q_hybrid_rrf_persist", "q_hard_negatives")
 
   /** SortAggregate appears where an aggregate's buffer is not
     * hash-agg-supported. Round 9 shrank this list from 10 to 2: every
