@@ -1553,6 +1553,54 @@ object TextAnalysis {
     bm25Serve(bm25Index(s.read.parquet(s"$dir/partial")), Tables.documents(s, d))
   }
 
+  /** The ingest-to-serve lexical lifecycle under ONE oracle: the corpus
+    * is replayed as a real multi-batch file stream (source split into 4
+    * files, one per `AvailableNow` trigger), each micro-batch landed and
+    * indexed by [[graft.streaming.StreamBm25Ingest.ingestStep]] (docs
+    * shard-partitioned + the batch's impact-capped partial), the landed
+    * partials FOLDED by `mergeIndexes` (min-k re-cap — associative — +
+    * additive df, behind the batch-disjointness guard), and BM25 served
+    * off the folded index. Facing the IDENTICAL DuckDB oracle as
+    * [[qBm25TopK]] pins stream-ingest indistinguishable from the
+    * single-pass batch build, hash-for-hash — the mergeable-sketch
+    * property promoted from spec evidence to a registry gate (the
+    * `q_nb_stream_score` discipline). The 4-file split is gate plumbing;
+    * production streams are multi-batch by nature. */
+  private val bm25StreamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  val qBm25StreamTopK: Q = Q(
+    "q_bm25_stream_topk",
+    s"""WITH $DuckBm25Ctes
+       |SELECT query_id, doc_id, round(CAST(score AS DOUBLE), 4) AS bm25, rank
+       |FROM bm25ranked WHERE rank <= $Bm25K""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val pid = ProcessHandle.current().pid()
+    val run = bm25StreamRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_bm25stream/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_bm25stream", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+    val srcDir = s"$root/src"
+    val outDir = s"$root/ingested"
+    // 4 source files → 4 AvailableNow micro-batches → 4 landed partials
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val q = s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.streaming.StreamBm25Ingest.ingestStep(batch, outDir, id)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val merged = graft.streaming.StreamBm25Ingest.mergeIndexes(s, outDir)
+    // decoupled from the run dir (reaped 3 builds later), like
+    // q_stream_ann_compact's read-back
+    bm25Serve(merged, docs).localCheckpoint()
+  }
+
   /** BPE tokenizer-merge training as a Spark plan — the first `steps`
     * byte-pair-encoding merges learned from the corpus, the actual
     * algorithm behind GPT/Llama tokenizer vocabularies: count adjacent
@@ -1694,7 +1742,7 @@ object TextAnalysis {
     qTextStats, qTokenCount, qTokFertility, qQuality, qGopherRules, qLangId, qLangIdEval,
     qFingerprint,
     qDedupExact,
-    qHashSample, qTfidfTop, qBm25TopK, qPiiScrub, qTextNormalize, qRepetition,
+    qHashSample, qTfidfTop, qBm25TopK, qBm25StreamTopK, qPiiScrub, qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
     qNbCalibration,
