@@ -181,8 +181,10 @@ object Similarity {
     * label equality in the candidate join. */
   private val FilteredProbes = 8
 
-  val qKnnFiltered: Q = Q(
-    "q_knn_filtered",
+  /** The full filtered-ANN pipeline in DuckDB, shared verbatim by
+    * [[qKnnFiltered]] and [[qKnnFilteredPersist]] — persistence must not
+    * change a result bit, so the oracle is identical. */
+  private val DuckFilteredSql: String =
     s"""WITH $DuckIvfCtes,
        |probesf AS (SELECT vec_id AS query_id, cent_id AS cell FROM
        |  (SELECT vec_id, cent_id, row_number() OVER
@@ -200,18 +202,21 @@ object Similarity {
        |  (SELECT query_id, neighbor_id, sim, row_number() OVER
        |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |   FROM scored)
-       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+       |WHERE rank <= $K""".stripMargin
+
+  val qKnnFiltered: Q = Q("q_knn_filtered", DuckFilteredSql) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val cents = ivfCodebook(emb)
     val assigned = ivfAssign(emb, cents)
     val probes = ivfProbes(emb, cents, FilteredProbes)
-    val labels = emb.select(col("vec_id"), col("label"))
     val qLabels = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
-      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+    // label rides IN the posting row (ivfAssign carries it) — no corpus
+    // back-join for metadata, the same shape the persisted layout serves
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label"), col("cell"))
       .join(broadcast(probes), Seq("cell"))
       .join(broadcast(qLabels), Seq("query_id"))
       .filter(col("neighbor_id") =!= col("query_id") && col("label") === col("q_label"))
@@ -251,8 +256,9 @@ object Similarity {
     * the 10× corpus exhausted 100 GB RAM + 79 GB spill before the
     * fence was added ('=' in [[qKnnFiltered]] never tempts it: an
     * equality is a hash-join key). */
-  val qHardNegatives: Q = Q(
-    "q_hard_negatives",
+  /** [[qHardNegatives]]' oracle, shared with [[qHardNegativesPersist]]
+    * (identical-oracle persistence discipline). */
+  private val DuckHardNegSql: String =
     s"""WITH $DuckIvfCtes,
        |probesf AS (SELECT vec_id AS query_id, cent_id AS cell FROM
        |  (SELECT vec_id, cent_id, row_number() OVER
@@ -272,19 +278,94 @@ object Similarity {
        |  (SELECT query_id, neighbor_id, sim, row_number() OVER
        |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |   FROM scored)
-       |WHERE rank <= $K""".stripMargin) { (s, d) =>
+       |WHERE rank <= $K""".stripMargin
+
+  val qHardNegatives: Q = Q("q_hard_negatives", DuckHardNegSql) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val cents = ivfCodebook(emb)
     val assigned = ivfAssign(emb, cents)
     val probes = ivfProbes(emb, cents, FilteredProbes)
-    val labels = emb.select(col("vec_id"), col("label"))
     val qLabels = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
-      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+    // label in the posting row, same as qKnnFiltered — no sidecar join
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label"), col("cell"))
       .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id") && col("label") =!= col("q_label"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
+  /** [[qKnnFiltered]] served off the PERSISTED index — the layout
+    * completion the filtered gate's notes promised: the label is a
+    * COLUMN OF THE LANDED POSTINGS ([[ivfAssign]] carries it through the
+    * cell-partitioned write), so the filtered serve is a pure index read
+    * with metadata needing NO corpus back-join, and the label predicate
+    * is PUSHED INTO THE POSTINGS SCAN. The query batch's label set is a
+    * bounded plan parameter (≤ queries distinct values, like the
+    * probed-cell list) pushed as a static isin the scan's PushedFilters
+    * carry into row-group skipping; the exact per-query equality rides
+    * the broadcast join. Probes behind an eager localCheckpoint (the
+    * [[qKnnIvfPersist]] discipline), so the served plan is
+    * checkpoint-scan → pruned postings scan → hash joins only. Oracle
+    * IDENTICAL to [[qKnnFiltered]] — persistence must not change a bit. */
+  val qKnnFilteredPersist: Q = Q("q_knn_filtered_persist", DuckFilteredSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val dir = ensureIvfIndex(s, d)
+    val codebook = s.read.parquet(s"$dir/codebook")
+    val postings = s.read.parquet(s"$dir/postings")
+      .withColumn("cell", col("cell").cast("long"))
+    val emb = Tables.embeddings(s, d)
+    val probesCk = ivfProbes(emb, codebook, FilteredProbes).localCheckpoint()
+    val probedCells = probesCk.select("cell").distinct().collect().map(_.getLong(0))
+    val qLabels = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+      .localCheckpoint()
+    val qLabelVals = qLabels.select("q_label").distinct().collect().map(_.getInt(0))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    postings.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label"), col("cell"))
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .filter(col("label").isin(qLabelVals.toSeq: _*))
+      .join(broadcast(probesCk), Seq("cell"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("query_id") && col("label") === col("q_label"))
+      .withColumn("sim", cosExpr)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
+  /** [[qHardNegatives]] served off the PERSISTED index. Same layout win
+    * as [[qKnnFilteredPersist]] — the label is a postings column, no
+    * sidecar join — but NO global label pushdown: with a multi-label
+    * query batch the inequality-eligible set is (almost always) the full
+    * label domain, so a static NOT-IN buys nothing; the per-query
+    * inequality stays on the joined rows, between probe join and ranking
+    * as always. Oracle identical to [[qHardNegatives]]. */
+  val qHardNegativesPersist: Q = Q("q_hard_negatives_persist", DuckHardNegSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val dir = ensureIvfIndex(s, d)
+    val codebook = s.read.parquet(s"$dir/codebook")
+    val postings = s.read.parquet(s"$dir/postings")
+      .withColumn("cell", col("cell").cast("long"))
+    val emb = Tables.embeddings(s, d)
+    val probesCk = ivfProbes(emb, codebook, FilteredProbes).localCheckpoint()
+    val probedCells = probesCk.select("cell").distinct().collect().map(_.getLong(0))
+    val qLabels = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    postings.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label"), col("cell"))
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .join(broadcast(probesCk), Seq("cell"))
       .join(broadcast(qLabels), Seq("query_id"))
       .filter(col("neighbor_id") =!= col("query_id") && col("label") =!= col("q_label"))
       .withColumn("sim", cosExpr)
@@ -872,15 +953,20 @@ object Similarity {
   private def maskedCand(sim: Column, cand: Column): Column =
     GraftFunctions.minKCandidate(sim, cand)
 
+  /** Carries `label` through to the assignment output: metadata rides IN
+    * the posting row (and thus in the persisted postings layout), so
+    * filtered serves never need a corpus back-join for it — the
+    * label-in-postings design [[qKnnFiltered]]'s notes promise. */
   private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
       .groupBy("vec_id")
       .agg(
         any_value(col("embedding")).as("embedding"),
+        any_value(col("label")).as("label"),
         GraftFunctions.minK(maskedCand(col("csim"),
           struct((-col("csim")).as("neg"), col("cent_id"))), 1).as("am"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("label"),
         col("am").getItem(0).getField("cent_id").as("cell"))
 
   /** The Lloyd-trained IVF codebook: ≈√n stride seeds, 2 fixed iterations
@@ -2095,5 +2181,6 @@ object Similarity {
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
     qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered,
-    qHybridRrf, qHybridRrfPersist, qHardNegatives)
+    qKnnFilteredPersist, qHybridRrf, qHybridRrfPersist, qHardNegatives,
+    qHardNegativesPersist)
 }

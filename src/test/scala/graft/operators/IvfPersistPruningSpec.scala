@@ -31,7 +31,7 @@ class IvfPersistPruningSpec extends SparkSpec {
     }
 
   private def assertPruned(df: org.apache.spark.sql.DataFrame,
-      indexRoot: String, partCol: String): Unit = {
+      indexRoot: String, partCol: String): FileSourceScanExec = {
     df.collect() // execute so metrics populate
     val postingsScan = allScans(df.queryExecution.executedPlan).find { s =>
       s.relation.location.rootPaths.exists(_.toString.contains(indexRoot)) &&
@@ -48,6 +48,7 @@ class IvfPersistPruningSpec extends SparkSpec {
     assert(readFiles < totalFiles,
       s"scan read all $totalFiles postings files — partition pruning did not engage " +
         "(the inverted-file seek degraded to a full index scan)")
+    postingsScan
   }
 
   test("q_knn_ivf_persist: postings scan carries a cell partition filter and prunes files") {
@@ -60,5 +61,25 @@ class IvfPersistPruningSpec extends SparkSpec {
 
   test("q_knn_lsh_persist: postings scan carries a tb_hi partition filter and prunes files") {
     assertPruned(Similarity.qKnnLshPersist.build(spark, sf), "graft_lsh/", "tb_hi")
+  }
+
+  test("q_knn_filtered_persist: label predicate pushed into the pruned postings scan") {
+    val scan = assertPruned(
+      Similarity.qKnnFilteredPersist.build(spark, sf), "graft_ivf/", "cell")
+    // the label rides IN the postings layout, and the query batch's
+    // label set is a static isin the scan itself carries — the
+    // "label-in-postings" design completion, not a post-join residue
+    assert(scan.dataFilters.map(_.toString.toLowerCase).exists(_.contains("label")),
+      s"postings scan carries no pushed label filter: ${scan.dataFilters}")
+  }
+
+  test("q_hard_negatives_persist: serves off pruned label-carrying postings") {
+    val scan = assertPruned(
+      Similarity.qHardNegativesPersist.build(spark, sf), "graft_ivf/", "cell")
+    // inequality vs a multi-label query batch: no useful static label
+    // pushdown (the eligible set is the full domain) — but the label must
+    // be read FROM the postings, not joined from a corpus sidecar
+    assert(scan.schema.fieldNames.contains("label"),
+      s"postings scan does not read the label column: ${scan.schema.fieldNames.toSeq}")
   }
 }
