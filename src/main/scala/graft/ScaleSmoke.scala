@@ -162,7 +162,16 @@ object ScaleSmoke {
       operators.Similarity.qHybridRrf,
       // label-inequality twin of the filtered serve: same probe plan,
       // ~9x the eligible candidates per cell
-      operators.Similarity.qHardNegatives)
+      operators.Similarity.qHardNegatives,
+      // round 11: the persisted serve family — filtered/hard-negative
+      // serves off label-carrying postings, hybrid fusion off landed
+      // BM25 + IVF indexes, and the streamed BM25 ingest-to-serve gate;
+      // their ratios vs the in-flight twins ARE the build/serve split
+      // evidence at scale
+      operators.Similarity.qKnnFilteredPersist,
+      operators.Similarity.qHardNegativesPersist,
+      operators.Similarity.qHybridRrfPersist,
+      operators.TextAnalysis.qBm25StreamTopK)
     // optional 2nd arg: comma-separated query names, for measuring one
     // plan change without re-timing the whole family
     val family = args.lift(1).map(_.split(',').toSet) match {

@@ -1828,8 +1828,8 @@ object Similarity {
     * case to bit 0 on BOTH sides (the SQL twin spells it
     * `NOT isnan(…) AND … > 0`), so bucket parity can never hinge on a
     * zero vector. Never fires on the generated corpora; library surface. */
-  private def lshBucket(t: Int, v: Column): Column =
-    (0 until LshBits).map { b =>
+  private def lshBucket(t: Int, v: Column, bits: Int = LshBits): Column =
+    (0 until bits).map { b =>
       when(nanvl(GraftFunctions.cosine(v, lit(lshPlane(t, b))), lit(0.0)) > 0,
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -1934,9 +1934,11 @@ object Similarity {
   private val MaxPushedTbs = 1024
 
   /** The combined posting key for one LSH table's bucket: table id in
-    * the high bits, sign bucket in the low [[LshBits]]. */
-  private def lshTb(t: Int, v: Column): Column =
-    lit(t.toLong << LshBits) + lshBucket(t, v)
+    * the high bits, sign bucket in the low `bits`. Geometry defaults to
+    * the registry constants; the recall smoke passes a WIDER `bits` to
+    * demonstrate the bits ∝ log n scale adjustment. */
+  private def lshTb(t: Int, v: Column, bits: Int = LshBits): Column =
+    lit(t.toLong << bits) + lshBucket(t, v, bits)
 
   /** Directory granularity of the persisted layout: the partition column
     * is `tb_hi = tb >> 4` — table id ∥ top 4 bucket bits, ≤ 128
@@ -1960,14 +1962,15 @@ object Similarity {
     * ([[graft.streaming.StreamLshIngest]]) indexes each micro-batch with
     * zero training dependencies, where the ivf2 chain needs the frozen
     * leaf codebook first. */
-  private[graft] def lshPostings(vectors: DataFrame): DataFrame = {
+  private[graft] def lshPostings(vectors: DataFrame, tables: Int = LshTables,
+      bits: Int = LshBits): DataFrame = {
     // idempotent: the fused-cosine expression rides the session registry,
     // and this kernel's callers include paths (streaming foreachBatch)
     // that never went through a gate's register() call
     GraftFunctions.register(vectors.sparkSession)
     vectors.select(col("vec_id").as("neighbor_id"), col("embedding"),
-      explode(array((0 until LshTables).map(t =>
-        lshTb(t, col("embedding"))): _*)).as("tb"))
+      explode(array((0 until tables).map(t =>
+        lshTb(t, col("embedding"), bits)): _*)).as("tb"))
   }
 
   /** Build-once half of the LSH build/serve split: [[qKnnLsh]]'s posting
@@ -2024,6 +2027,45 @@ object Similarity {
     * scan's PushedFilters carry into row-group min/max skipping over the
     * tb-sorted files. Bit-flips on the combined key touch only the low
     * [[LshBits]], so the table prefix is preserved by construction. */
+  /** Query-side probe keys on the combined `tb` key: the exact bucket
+    * plus every Hamming-1 flip, per table — ≤ queries × tables ×
+    * (bits+1) rows, a bounded plan parameter. Shared by
+    * [[qKnnLshPersist]] and the streaming delta-fold serve path. */
+  private[graft] def lshQueryProbes(emb: DataFrame, tables: Int = LshTables,
+      bits: Int = LshBits): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        explode(array((0 until tables).map(t =>
+          lshTb(t, col("embedding"), bits)): _*)).as("base"))
+      .select(col("query_id"), col("q_embedding"),
+        explode(array(col("base") +: (0 until bits).map(b =>
+          col("base").bitwiseXOR(lit(1L << b))): _*)).as("tb"))
+  }
+
+  /** Serve join over tb-keyed posting rows (tb, neighbor_id, embedding):
+    * broadcast probe keys, candidate dedup by max(sim) (a pair colliding
+    * in several tables/probes has identical sim), per-query top-[[K]].
+    * ONE implementation for the persisted serve and the streaming
+    * delta-fold serve, so the layouts cannot drift in semantics. */
+  private[graft] def lshServeJoin(postings: DataFrame, qProbes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    postings
+      .join(broadcast(qProbes), Seq("tb"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosExpr)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("cosine"), col("rank"))
+  }
+
+  /** The serve-layout directory key of a posting row (see [[LshDirShift]]). */
+  private[graft] def lshDirKey(tb: Column): Column =
+    shiftright(tb, LshDirShift).cast("long")
+
   val qKnnLshPersist: Q = Q("q_knn_lsh_persist", DuckLshSql) { (s, d) =>
     GraftFunctions.register(s)
     val dir = ensureLshIndex(s, d)
@@ -2032,19 +2074,11 @@ object Similarity {
     // cast references only the partition column, so pruning holds)
     val postings = s.read.parquet(s"$dir/postings")
       .withColumn("tb_hi", col("tb_hi").cast("long"))
-    val qProbes = Tables.embeddings(s, d)
-      .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
-        explode(array((0 until LshTables).map(t =>
-          lshTb(t, col("embedding"))): _*)).as("base"))
-      .select(col("query_id"), col("q_embedding"),
-        explode(array(col("base") +: (0 until LshBits).map(b =>
-          col("base").bitwiseXOR(lit(1L << b))): _*)).as("tb"))
+    val qProbes = lshQueryProbes(Tables.embeddings(s, d))
     // probe set needed twice (static filter + broadcast side): compute once
     val probesCk = qProbes.localCheckpoint()
     val probedTbs = probesCk.select("tb").distinct().collect().map(_.getLong(0))
     val probedHis = probedTbs.map(_ >> LshDirShift).distinct
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     // Two-level pushdown, each sized to stay a cheap literal predicate:
     // tb_hi is BOUNDED BY GEOMETRY (≤ tables × 2^(bits−shift) = 128
     // directory values regardless of query count) — always pushed as the
@@ -2060,17 +2094,7 @@ object Similarity {
       if (probedTbs.length <= MaxPushedTbs)
         prunedDirs.filter(col("tb").isin(probedTbs.toSeq: _*))
       else prunedDirs
-    pruned
-      .drop("tb_hi")
-      .join(broadcast(probesCk), Seq("tb"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosExpr)
-      .groupBy("query_id", "neighbor_id")
-      .agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("cosine"), col("rank"))
+    lshServeJoin(pruned.drop("tb_hi"), probesCk)
   }
 
   // ---- q_knn_lsh_capped: bounded posting lists — O(1) serve cost ----
@@ -2144,35 +2168,28 @@ object Similarity {
     * capped index needs no back-join to the corpus. The cap composes
     * with the [[qKnnLshPersist]] layout unchanged — capping happens
     * before the write, everything downstream is identical. */
-  val qKnnLshCapped: Q = Q("q_knn_lsh_capped", DuckLshCappedSql) { (s, d) =>
-    GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, d)
-    val capped = lshPostings(emb)
+  /** The capped-LSH pipeline with geometry as parameters: postings capped
+    * per bucket by the `graft_min_k` id-hash reservoir, served through the
+    * shared [[lshServeJoin]]. The registry gate runs the default geometry;
+    * the recall smoke ([[graft.LshRecallSmoke]]) passes a wider `bits` at
+    * larger corpora to demonstrate the bits ∝ log n adjustment that holds
+    * recall as occupancy-per-bucket grows. */
+  private[graft] def knnLshCapped(emb: DataFrame, tables: Int = LshTables,
+      bits: Int = LshBits, cap: Int = LshCap): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val capped = lshPostings(emb, tables, bits)
       .withColumn("prio", Portable.hash60(col("neighbor_id").cast("string")))
       .groupBy("tb")
       .agg(GraftFunctions.minK(
-        struct(col("prio"), col("neighbor_id"), col("embedding")), LshCap).as("kept"))
+        struct(col("prio"), col("neighbor_id"), col("embedding")), cap).as("kept"))
       .select(col("tb"), explode(col("kept")).as("kv"))
       .select(col("tb"), col("kv.neighbor_id").as("neighbor_id"),
         col("kv.embedding").as("embedding"))
-    val qProbes = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
-        explode(array((0 until LshTables).map(t =>
-          lshTb(t, col("embedding"))): _*)).as("base"))
-      .select(col("query_id"), col("q_embedding"),
-        explode(array(col("base") +: (0 until LshBits).map(b =>
-          col("base").bitwiseXOR(lit(1L << b))): _*)).as("tb"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    capped
-      .join(broadcast(qProbes), Seq("tb"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosExpr)
-      .groupBy("query_id", "neighbor_id")
-      .agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("cosine"), col("rank"))
+    lshServeJoin(capped, lshQueryProbes(emb, tables, bits))
+  }
+
+  val qKnnLshCapped: Q = Q("q_knn_lsh_capped", DuckLshCappedSql) { (s, d) =>
+    knnLshCapped(Tables.embeddings(s, d))
   }
 
   val all: Seq[Q] = Seq(

@@ -121,16 +121,25 @@ object DeltaCompact {
     * own maintenance cadence (e.g. every N batches inside foreachBatch,
     * or with the stream quiesced), the same single-maintainer discipline
     * a Delta-Lake-style log would enforce with optimistic locking. */
-  def compact(spark: SparkSession, outDir: String, numShards: Int = 16): Manifest = {
+  def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
+      sortCols: Seq[String] = Nil): Manifest = {
     val prev = readManifest(outDir)
     val deltas = unfoldedDeltas(outDir, prev)
     val corpus = assemble(spark, outDir, prev, deltas)
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
     // step 1: the new base, one file per shard — repartition on the
-    // shard key is the ONLY shuffle, sized by shard count not data
-    corpus
-      .repartition(numShards, org.apache.spark.sql.functions.col("shard_id"))
+    // shard key is the ONLY shuffle, sized by shard count not data.
+    // sortCols: optional within-shard clustering (e.g. the LSH layout's
+    // tb sort, so row-group min/max stats keep carrying the residual
+    // probe filter across generation folds) — a per-partition sort, no
+    // extra exchange
+    import org.apache.spark.sql.functions.col
+    val folded = corpus.repartition(numShards, col("shard_id"))
+    val clustered =
+      if (sortCols.isEmpty) folded
+      else folded.sortWithinPartitions(sortCols.map(col): _*)
+    clustered
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$outDir/base_gen=$nextGen")
     // step 2: atomic commit

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Ingest-time LSH indexing, micro-batch by micro-batch: land the batch
   * shard-partitioned ([[StreamShardRouter]], idempotent replay), read the
@@ -37,4 +38,43 @@ object StreamLshIngest {
     val landed = batch.sparkSession.read.parquet(dir)
     graft.operators.Similarity.lshPostings(landed)
   }
+
+  /** tb_hi domain size: tables × 2^(bits − dirShift) = 128 — the serve
+    * layout's directory count, a property of the index geometry. */
+  private val NumDirKeys = 128
+
+  /** Land one batch's POSTING rows as a delta generation in the SERVE
+    * layout key: `shard_id = tb_hi` (the `qKnnLshPersist` directory key),
+    * each delta its own overwrite-idempotent `batch=<id>` directory, rows
+    * tb-sorted within each shard file so row-group stats carry the
+    * residual probe filter even BEFORE any fold. This is the
+    * postings-side twin of [[StreamShardRouter.landBatch]]'s corpus
+    * landing — same layout contract, different partition key. */
+  def landPostingsDelta(postings: DataFrame, idxDir: String, batchId: Long): String = {
+    val dir = s"$idxDir/batch=$batchId"
+    postings
+      .withColumn("shard_id", graft.operators.Similarity.lshDirKey(col("tb")))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions("tb")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+    dir
+  }
+
+  /** Fold every landed posting delta into the next base generation —
+    * [[DeltaCompact]]'s manifest-committed fold with the LSH layout's
+    * within-shard tb clustering preserved across generations. Because the
+    * posting expansion is a pure per-row function and the fold is a pure
+    * union-repartition, N landed deltas fold into EXACTLY the rows a
+    * single batch build would produce (StreamLshCompactSpec pins this
+    * against `q_knn_lsh`'s oracle-gated serve output). */
+  def compactPostings(s: SparkSession, idxDir: String): DeltaCompact.Manifest =
+    DeltaCompact.compact(s, idxDir, numShards = NumDirKeys, sortCols = Seq("tb"))
+
+  /** The posting corpus as of now (committed base + unfolded deltas) in
+    * the serve schema — (tb, neighbor_id, embedding) plus the `tb_hi`
+    * directory key for pruning. */
+  def readPostings(s: SparkSession, idxDir: String): DataFrame =
+    DeltaCompact.readCorpus(s, idxDir)
+      .select(col("shard_id").cast("long").as("tb_hi"), col("tb"),
+        col("neighbor_id"), col("embedding"))
 }
