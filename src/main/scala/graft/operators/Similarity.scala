@@ -2174,10 +2174,15 @@ object Similarity {
     * the recall smoke ([[graft.LshRecallSmoke]]) passes a wider `bits` at
     * larger corpora to demonstrate the bits ∝ log n adjustment that holds
     * recall as occupancy-per-bucket grows. */
-  private[graft] def knnLshCapped(emb: DataFrame, tables: Int = LshTables,
+  /** The capped posting index alone — per (table, bucket), the `cap`
+    * entries with the lowest portable id-hash, in serve schema
+    * (tb, neighbor_id, embedding). This is the artifact that would land
+    * on disk in the [[qKnnLshPersist]] layout (capping happens before
+    * the write; everything downstream is identical). */
+  private[graft] def knnLshCappedIndex(emb: DataFrame, tables: Int = LshTables,
       bits: Int = LshBits, cap: Int = LshCap): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val capped = lshPostings(emb, tables, bits)
+    lshPostings(emb, tables, bits)
       .withColumn("prio", Portable.hash60(col("neighbor_id").cast("string")))
       .groupBy("tb")
       .agg(GraftFunctions.minK(
@@ -2185,8 +2190,12 @@ object Similarity {
       .select(col("tb"), explode(col("kept")).as("kv"))
       .select(col("tb"), col("kv.neighbor_id").as("neighbor_id"),
         col("kv.embedding").as("embedding"))
-    lshServeJoin(capped, lshQueryProbes(emb, tables, bits))
   }
+
+  private[graft] def knnLshCapped(emb: DataFrame, tables: Int = LshTables,
+      bits: Int = LshBits, cap: Int = LshCap): DataFrame =
+    lshServeJoin(knnLshCappedIndex(emb, tables, bits, cap),
+      lshQueryProbes(emb, tables, bits))
 
   val qKnnLshCapped: Q = Q("q_knn_lsh_capped", DuckLshCappedSql) { (s, d) =>
     knnLshCapped(Tables.embeddings(s, d))
