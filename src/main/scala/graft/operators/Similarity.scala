@@ -1891,37 +1891,16 @@ object Similarity {
        |WHERE rank <= $K""".stripMargin
 
   val qKnnLsh: Q = Q("q_knn_lsh", DuckLshSql) { (s, d) =>
-    GraftFunctions.register(s)
+    // ONE posting/probe/serve implementation across the whole LSH
+    // family: corpus expanded on the combined tb key ([[lshPostings]] —
+    // a narrow ×tables pass, no shuffle), query probes = exact bucket +
+    // every Hamming-1 flip on the same key ([[lshQueryProbes]], the
+    // bit-flips touch only the low bits so the table prefix is preserved
+    // by construction), candidates deduped + ranked by [[lshServeJoin]].
+    // The in-flight gate, the persisted serve, the capped variant, and
+    // the streaming delta fold all serve through the same three kernels.
     val emb = Tables.embeddings(s, d)
-    // corpus postings: (t, bucket, vec) — one narrow pass, explode ×8
-    val posted = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding"),
-        explode(array((0 until LshTables).map(t =>
-          struct(lit(t).as("t"), lshBucket(t, col("embedding")).as("bucket"))): _*)).as("tb"))
-      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
-        col("neighbor_id"), col("embedding"))
-    // query probes: exact bucket + every Hamming-1 flip, per table
-    val qBase = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
-        explode(array((0 until LshTables).map(t =>
-          struct(lit(t).as("t"), lshBucket(t, col("embedding")).as("base"))): _*)).as("tb"))
-    val qProbes = qBase
-      .select(col("query_id"), col("q_embedding"), col("tb.t").as("t"),
-        explode(array(col("tb.base") +: (0 until LshBits).map(b =>
-          col("tb.base").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    posted
-      .join(broadcast(qProbes), Seq("t", "bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosExpr)
-      // a (query, neighbor) pair can collide in several tables/probes;
-      // sim is identical across duplicates, so max() IS the dedup
-      .groupBy("query_id", "neighbor_id")
-      .agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("sim"), 4).as("cosine"), col("rank"))
+    lshServeJoin(lshPostings(emb), lshQueryProbes(emb))
   }
 
   // ---- q_knn_lsh_persist: the LSH postings persisted bucket-partitioned ----

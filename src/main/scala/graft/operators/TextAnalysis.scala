@@ -1469,10 +1469,18 @@ object TextAnalysis {
   /** BM25 scoring of the first [[Bm25Queries]] docs against a capped
     * index — only needs (index, corpus): query terms come straight off
     * the query docs' text. */
-  private[graft] def bm25Serve(idx: DataFrame, docs: DataFrame): DataFrame = {
-    val dl = docs.select(col("doc_id"), wordCountFloor1(col("text")).as("dl"))
+  private[graft] def bm25Serve(idx: DataFrame, docs: DataFrame): DataFrame =
+    bm25ServeWith(idx,
+      docs.select(col("doc_id"), wordCountFloor1(col("text")).as("dl")), docs)
+
+  /** The serve join with the doc-length sidecar supplied EXPLICITLY —
+    * the persisted path passes the landed `dl` artifact so the corpus is
+    * never touched for scoring; `queryDocs` supplies only the query
+    * batch's text (queries are inputs by definition). */
+  private[graft] def bm25ServeWith(idx: DataFrame, dl: DataFrame,
+      queryDocs: DataFrame): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val qt = docs.filter(col("doc_id") < Bm25Queries)
+    val qt = queryDocs.filter(col("doc_id") < Bm25Queries)
       .select(col("doc_id").as("query_id"), explode(Portable.words(col("text"))).as("tok"))
       .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
@@ -1516,10 +1524,15 @@ object TextAnalysis {
     val dir = s"/tmp/graft_bm25/${Similarity.dataFingerprint(s"$d/documents.parquet")}_$pid"
     if (!bm25PersistDone(dir)) {
       TmpDirs.reap("/tmp/graft_bm25", pid, TmpDirs.pidSuffix)
-      bm25Partial(bm25Postings(Tables.documents(s, d)))
+      val docs = Tables.documents(s, d)
+      bm25Partial(bm25Postings(docs))
         .repartitionByRange(col("tok"))
         .sortWithinPartitions("tok")
         .write.mode("overwrite").parquet(s"$dir/partial")
+      // the doc-length sidecar lands WITH the index, so serving never
+      // touches the corpus: scoring needs (index, dl, query text) only
+      docs.select(col("doc_id"), wordCountFloor1(col("text")).as("dl"))
+        .write.mode("overwrite").parquet(s"$dir/dl")
       bm25PersistDone += dir
     }
     dir
@@ -1541,16 +1554,16 @@ object TextAnalysis {
     dir
   }
 
-  /** The lexical serve path with ZERO in-flight index construction: read
-    * the persisted partial back, explode to serving rows, score. The
-    * document-length/avgdl sidecar is recomputed from the corpus here
-    * (cheap single-column aggregates); a production layout would land dl
-    * as a second index artifact — the SERVE plan shape is unchanged
-    * either way. */
+  /** The lexical serve path with ZERO in-flight index construction AND
+    * zero corpus access for scoring: the capped partial and the
+    * doc-length sidecar both read back from the landed index; the corpus
+    * table supplies only the query batch's text (queries are inputs by
+    * definition — production would receive them over the wire). */
   private[graft] def bm25ServePersisted(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val dir = ensureBm25Index(s, d)
-    bm25Serve(bm25Index(s.read.parquet(s"$dir/partial")), Tables.documents(s, d))
+    bm25ServeWith(bm25Index(s.read.parquet(s"$dir/partial")),
+      s.read.parquet(s"$dir/dl"), Tables.documents(s, d))
   }
 
   /** The ingest-to-serve lexical lifecycle under ONE oracle: the corpus
