@@ -62,7 +62,10 @@ object DeltaCompact {
     }
   }
 
-  private def writeManifest(outDir: String, m: Manifest): Unit = {
+  /** `private[streaming]`: [[StreamBm25Ingest.compactIndex]] reuses the
+    * manifest commit protocol with an AGGREGATING fold (re-cap + df sum)
+    * that a plain union-repartition can't express. */
+  private[streaming] def writeManifest(outDir: String, m: Manifest): Unit = {
     val json = s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}}"""
     val tmp = Paths.get(outDir, s"_compaction.json.tmp.${System.nanoTime()}")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -94,7 +97,7 @@ object DeltaCompact {
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
   }
 
-  private def unfoldedDeltas(outDir: String, man: Option[Manifest]): Seq[Long] =
+  private[streaming] def unfoldedDeltas(outDir: String, man: Option[Manifest]): Seq[Long] =
     listDeltaBatches(outDir).filter(id => man.forall(id > _.maxFoldedBatch))
 
   /** The full corpus as of NOW: committed base (if any) + every delta

@@ -77,17 +77,74 @@ object StreamBm25Ingest {
         "BM25 fold precondition violated: doc_ids ingested under more than " +
           "one batch id (df would double-count): " +
           offenders.map(_.getLong(0)).mkString(", "))
-    val partials = s.read.parquet(s"$outDir/idx")
+    TextAnalysis.bm25Index(recapMergePartial(indexPartials(s, outDir)))
+  }
+
+  /** Every CURRENT partial — the committed base generation (if any index
+    * compaction has run) plus each batch delta above the fold watermark.
+    * Readers go through the manifest, never by listing, so a
+    * half-written base is invisible (the [[DeltaCompact]] discipline). */
+  private def indexPartials(s: SparkSession, outDir: String): DataFrame = {
+    val idxDir = s"$outDir/idx"
+    val man = DeltaCompact.readManifest(idxDir)
+    val parts =
+      man.map(m => s.read.parquet(s"$idxDir/base_gen=${m.gen}")).toSeq ++
+        DeltaCompact.unfoldedDeltas(idxDir, man)
+          .map(id => s.read.parquet(s"$idxDir/batch=$id"))
+    require(parts.nonEmpty, s"no landed index partials under $idxDir")
+    parts.map(_.select("tok", "kept", "dfc"))
+      .reduce(_ unionByName _)
+  }
+
+  /** The associative fold on PARTIAL schema: per term, re-cap the
+    * concatenated min-k lists and sum the partial dfs — output is again
+    * a partial (tok, kept, dfc), so folded generations keep folding with
+    * future batches exactly (min-k of a union = min-k of concatenated
+    * min-ks; df is additive given the batch-disjointness precondition). */
+  private def recapMergePartial(partials: DataFrame): DataFrame = {
     val dfs = partials.groupBy("tok").agg(sum(col("dfc")).as("dfc"))
-    val kept = partials
+    partials
       .select(col("tok"), explode(col("kept")).as("kv"))
       .groupBy("tok")
       .agg(graft.functions.GraftFunctions.minK(
         struct(col("kv.negtf").as("negtf"), col("kv.doc_id").as("doc_id"),
           col("kv.tf").as("tf")), TextAnalysis.Bm25Cap).as("kept"))
-    kept.join(dfs, "tok")
-      .select(col("tok"), col("dfc"), explode(col("kept")).as("kv"))
-      .select(col("tok"), col("kv.doc_id").as("doc_id"),
-        col("kv.tf").as("tf"), col("dfc"))
+      .join(dfs, "tok")
+      .select(col("tok"), col("kept"), col("dfc"))
+  }
+
+  /** Fold every landed per-batch partial into ONE base-generation
+    * partial under [[DeltaCompact]]'s manifest commit protocol — the
+    * AGGREGATING twin of the LSH postings fold: the fold step is the
+    * re-cap merge (vocab-sized output) instead of a union-repartition,
+    * everything else (write base completely → atomic manifest swap →
+    * GC folded deltas + old bases) is the same crash-safe discipline.
+    * The base keeps the PARTIAL schema and the batch-built index's
+    * layout (tok-range-partitioned, tok-sorted), so serve-time
+    * [[mergeIndexes]] and future batch folds read it like any other
+    * partial. Bounded idx growth: between compactions readers pay
+    * base + unfolded deltas; after, one vocab-sized generation. */
+  def compactIndex(s: SparkSession, outDir: String): DeltaCompact.Manifest = {
+    graft.functions.GraftFunctions.register(s)
+    val idxDir = s"$outDir/idx"
+    val prev = DeltaCompact.readManifest(idxDir)
+    val deltas = DeltaCompact.unfoldedDeltas(idxDir, prev)
+    val folded = recapMergePartial(indexPartials(s, outDir))
+    val nextGen = prev.map(_.gen + 1).getOrElse(0L)
+    val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
+    folded
+      .repartitionByRange(col("tok"))
+      .sortWithinPartitions("tok")
+      .write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen")
+    val man = DeltaCompact.Manifest(nextGen, watermark)
+    DeltaCompact.writeManifest(idxDir, man)
+    DeltaCompact.listDeltaBatches(idxDir).filter(_ <= watermark).foreach(id =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$idxDir/batch=$id")))
+    new java.io.File(idxDir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("base_gen=") &&
+        f.getName != s"base_gen=$nextGen")
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    man
   }
 }

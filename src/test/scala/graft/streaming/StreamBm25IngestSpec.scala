@@ -74,6 +74,52 @@ class StreamBm25IngestSpec extends SparkSpec {
     }
   }
 
+  test("index compaction: re-cap generation fold under the manifest protocol stays exact") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, sf)
+    val expectIdx = TextAnalysis
+      .bm25Index(TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(docs)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    def mergedNow(outDir: String) =
+      StreamBm25Ingest.mergeIndexes(s, outDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bm25cpt").toFile
+    try {
+      // 3 disjoint batches through the real ingest step
+      StreamBm25Ingest.ingestStep(docs.filter(col("doc_id") % 3 === 0), outDir.getAbsolutePath, 0L)
+      StreamBm25Ingest.ingestStep(docs.filter(col("doc_id") % 3 === 1), outDir.getAbsolutePath, 1L)
+      // maintenance-cadence fold after two batches...
+      val man0 = StreamBm25Ingest.compactIndex(s, outDir.getAbsolutePath)
+      assert(man0.maxFoldedBatch === 1L)
+      // ...then a third batch lands as a post-fold delta
+      StreamBm25Ingest.ingestStep(docs.filter(col("doc_id") % 3 === 2), outDir.getAbsolutePath, 2L)
+      // base partial + unfolded delta merge to the exact batch index
+      assert(mergedNow(outDir.getAbsolutePath) === expectIdx,
+        "base-generation partial + post-fold delta diverged from the batch build")
+      // an orphaned half-written base (crash between write and commit)
+      // is invisible: readers go through the manifest, never by listing
+      new java.io.File(outDir, "idx/base_gen=99").mkdirs()
+      assert(mergedNow(outDir.getAbsolutePath) === expectIdx,
+        "orphan base generation leaked into the merge")
+      // final fold: one generation, deltas GC'd, still exact
+      val man = StreamBm25Ingest.compactIndex(s, outDir.getAbsolutePath)
+      assert(man.maxFoldedBatch === 2L && man.gen === man0.gen + 1)
+      val children = new java.io.File(outDir, "idx").listFiles().map(_.getName).toSet
+      assert(!children.exists(_.startsWith("batch=")), s"unGC'd idx deltas: $children")
+      assert(children.contains(s"base_gen=${man.gen}") &&
+        !children.contains(s"base_gen=${man0.gen}"),
+        s"old/new base generations wrong: $children")
+      assert(mergedNow(outDir.getAbsolutePath) === expectIdx,
+        "compacted-only index diverged from the batch build")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    }
+  }
+
   test("merge enforces batch-disjoint doc_ids; same-id replay stays mergeable") {
     val s = spark
     import s.implicits._
