@@ -1822,11 +1822,13 @@ object Similarity {
   /** The `t`-th table's sign-bucket of vector column `v`: bit b set iff
     * cosine(v, plane(t,b)) > 0 — each bit one fused codegen'd loop.
     *
-    * NaN guard: a zero-norm embedding's cosine is NaN, and the engines
-    * disagree on `NaN > 0` (Spark: false; DuckDB's comparison order
-    * treats NaN as greater than any value) — `nanvl` pins the degenerate
-    * case to bit 0 on BOTH sides (the SQL twin spells it
-    * `NOT isnan(…) AND … > 0`), so bucket parity can never hinge on a
+    * NaN guard: a zero-norm embedding's cosine is NaN, and BOTH engines'
+    * comparison order treats NaN as greater than any other value, so a
+    * bare `NaN > 0` would SET the bit in Spark as well as DuckDB — do
+    * not "simplify" the `nanvl` away on the belief Spark yields false.
+    * `nanvl` pins the degenerate case to 0.0 (bit clear) on the Spark
+    * side and the SQL twin spells the same pin as
+    * `NOT isnan(…) AND … > 0`, so bucket parity can never hinge on a
     * zero vector. Never fires on the generated corpora; library surface. */
   private def lshBucket(t: Int, v: Column, bits: Int = LshBits): Column =
     (0 until bits).map { b =>
@@ -2044,6 +2046,14 @@ object Similarity {
   /** The serve-layout directory key of a posting row (see [[LshDirShift]]). */
   private[graft] def lshDirKey(tb: Column): Column =
     shiftright(tb, LshDirShift).cast("long")
+
+  /** Size of [[lshDirKey]]'s domain — tables × 2^(bits − dirShift), the
+    * serve layout's directory count. Exposed so the streaming delta
+    * landing ([[graft.streaming.StreamLshIngest]]) derives its shard
+    * count from the SAME geometry constants instead of duplicating the
+    * arithmetic: if the geometry ever changes, both layouts move
+    * together. */
+  private[graft] val lshDirKeyDomain: Int = LshTables << (LshBits - LshDirShift)
 
   val qKnnLshPersist: Q = Q("q_knn_lsh_persist", DuckLshSql) { (s, d) =>
     GraftFunctions.register(s)

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Delta→base compaction for the streaming-landed corpus — the LSM step
@@ -32,6 +32,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * invisible (readers go through the manifest, never by listing) and is
   * overwritten by the next compaction.
   *
+  * ALL storage access goes through the Hadoop `FileSystem`/`FileContext`
+  * API resolved from the corpus root's URI — so the same protocol runs
+  * against local disk (tests), HDFS, or an object store, exactly like
+  * the parquet reads/writes it brackets. The manifest swap uses
+  * `FileContext.rename(…, Options.Rename.OVERWRITE)`, the same primitive
+  * Spark's own streaming `CheckpointFileManager` relies on for its
+  * atomic commit rename.
+  *
   * Scale shape: the fold is one `repartition(shards, shard_id)` +
   * partitioned write — a single shuffle sized by shard count, no
   * driver-side data. Readers between compactions pay base + unfolded
@@ -44,14 +52,23 @@ object DeltaCompact {
     * highest batch id folded into it. */
   final case class Manifest(gen: Long, maxFoldedBatch: Long)
 
-  private def manifestPath(outDir: String) = Paths.get(outDir, "_compaction.json")
+  private def manifestPath(outDir: String) = new Path(outDir, "_compaction.json")
+
+  private[streaming] def fs(dir: String, conf: Configuration): FileSystem =
+    new Path(dir).getFileSystem(conf)
 
   /** Read the committed manifest, if any compaction has ever run. */
-  def readManifest(outDir: String): Option[Manifest] = {
+  def readManifest(outDir: String,
+      conf: Configuration = new Configuration()): Option[Manifest] = {
     val p = manifestPath(outDir)
-    if (!Files.exists(p)) None
+    val f = fs(outDir, conf)
+    if (!f.exists(p)) None
     else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val in = f.open(p)
+      val s =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
       def field(k: String): Long = {
         val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
           .getOrElse(throw new IllegalStateException(
@@ -65,22 +82,30 @@ object DeltaCompact {
   /** `private[streaming]`: [[StreamBm25Ingest.compactIndex]] reuses the
     * manifest commit protocol with an AGGREGATING fold (re-cap + df sum)
     * that a plain union-repartition can't express. */
-  private[streaming] def writeManifest(outDir: String, m: Manifest): Unit = {
+  private[streaming] def writeManifest(outDir: String, m: Manifest,
+      conf: Configuration = new Configuration()): Unit = {
     val json = s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}}"""
-    val tmp = Paths.get(outDir, s"_compaction.json.tmp.${System.nanoTime()}")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    // rename within one directory: atomic on POSIX — the commit point
-    Files.move(tmp, manifestPath(outDir), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(outDir, s"_compaction.json.tmp.${System.nanoTime()}")
+    val f = fs(outDir, conf)
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // rename-with-overwrite within one directory: the commit point.
+    // FileSystem.rename can't replace an existing destination portably;
+    // FileContext.rename(OVERWRITE) is the API contract for exactly this
+    // (what Spark's CheckpointFileManager uses on HDFS and local alike).
+    val fc = FileContext.getFileContext(manifestPath(outDir).toUri, conf)
+    fc.rename(tmp, manifestPath(outDir), Options.Rename.OVERWRITE)
   }
 
   /** Batch ids currently landed as delta directories. */
-  def listDeltaBatches(outDir: String): Seq[Long] = {
-    val root = new File(outDir)
-    if (!root.isDirectory) Seq.empty
-    else root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .flatMap(f => f.getName.stripPrefix("batch=").toLongOption)
+  def listDeltaBatches(outDir: String,
+      conf: Configuration = new Configuration()): Seq[Long] = {
+    val root = new Path(outDir)
+    val f = fs(outDir, conf)
+    if (!f.exists(root) || !f.getFileStatus(root).isDirectory) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap(st => st.getPath.getName.stripPrefix("batch=").toLongOption)
       .sorted
   }
 
@@ -97,16 +122,18 @@ object DeltaCompact {
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
   }
 
-  private[streaming] def unfoldedDeltas(outDir: String, man: Option[Manifest]): Seq[Long] =
-    listDeltaBatches(outDir).filter(id => man.forall(id > _.maxFoldedBatch))
+  private[streaming] def unfoldedDeltas(outDir: String, man: Option[Manifest],
+      conf: Configuration = new Configuration()): Seq[Long] =
+    listDeltaBatches(outDir, conf).filter(id => man.forall(id > _.maxFoldedBatch))
 
   /** The full corpus as of NOW: committed base (if any) + every delta
     * batch newer than the fold watermark. Never lists `base_gen`
     * directories — the manifest IS the source of truth, which is what
     * makes a half-written new base invisible. */
   def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
-    val man = readManifest(outDir)
-    assemble(spark, outDir, man, unfoldedDeltas(outDir, man))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val man = readManifest(outDir, conf)
+    assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf))
   }
 
   /** Fold every landed delta into the next base generation and commit.
@@ -126,8 +153,9 @@ object DeltaCompact {
     * a Delta-Lake-style log would enforce with optimistic locking. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
       sortCols: Seq[String] = Nil): Manifest = {
-    val prev = readManifest(outDir)
-    val deltas = unfoldedDeltas(outDir, prev)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prev = readManifest(outDir, conf)
+    val deltas = unfoldedDeltas(outDir, prev, conf)
     val corpus = assemble(spark, outDir, prev, deltas)
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
@@ -136,28 +164,42 @@ object DeltaCompact {
     // sortCols: optional within-shard clustering (e.g. the LSH layout's
     // tb sort, so row-group min/max stats keep carrying the residual
     // probe filter across generation folds) — a per-partition sort, no
-    // extra exchange
+    // extra exchange. The sort MUST lead with the dynamic-partition
+    // column: the partitioned writer requires its output ordered by
+    // shard_id and would insert its OWN sort otherwise, leaving the
+    // secondary clustering to survive only by sort-stability accident.
+    // Prefixing shard_id satisfies the writer's requirement, so the
+    // clustering within each shard file is guaranteed by contract.
     import org.apache.spark.sql.functions.col
     val folded = corpus.repartition(numShards, col("shard_id"))
     val clustered =
       if (sortCols.isEmpty) folded
-      else folded.sortWithinPartitions(sortCols.map(col): _*)
+      else folded.sortWithinPartitions(("shard_id" +: sortCols).map(col): _*)
     clustered
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$outDir/base_gen=$nextGen")
     // step 2: atomic commit
     val man = Manifest(nextGen, watermark)
-    writeManifest(outDir, man)
+    writeManifest(outDir, man, conf)
     // step 3: GC — safe only AFTER the commit, and swept by PREDICATE
     // (every delta at-or-under the watermark, every non-current base
     // generation) rather than by the captured lists, so orphans left by
     // a crash between a previous commit and its GC are also collected
-    listDeltaBatches(outDir).filter(_ <= watermark).foreach(id =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new File(s"$outDir/batch=$id")))
-    new File(outDir).listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("base_gen=") &&
-        f.getName != s"base_gen=$nextGen")
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    gcFolded(outDir, man, conf)
     man
+  }
+
+  /** Post-commit GC sweep by predicate — shared with
+    * [[StreamBm25Ingest.compactIndex]]'s aggregating fold. */
+  private[streaming] def gcFolded(outDir: String, man: Manifest,
+      conf: Configuration): Unit = {
+    val f = fs(outDir, conf)
+    listDeltaBatches(outDir, conf).filter(_ <= man.maxFoldedBatch).foreach(id =>
+      f.delete(new Path(outDir, s"batch=$id"), true))
+    val root = new Path(outDir)
+    f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("base_gen=") &&
+        st.getPath.getName != s"base_gen=${man.gen}")
+      .foreach(st => f.delete(st.getPath, true))
   }
 }

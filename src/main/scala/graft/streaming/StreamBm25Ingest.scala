@@ -34,17 +34,110 @@ object StreamBm25Ingest {
     * `text`) under `outDir/docs/batch=<id>/shard_id=<k>/`, then write
     * the batch's capped partial index (tok, kept min-k postings, partial
     * df) under `outDir/idx/batch=<id>/` — both overwrite-idempotent on
-    * replay. Returns the landed partial index. */
+    * replay. Also drops a `_docid_range.json` sidecar (min/max/count of
+    * the batch's doc_ids) into the batch directory: batch-sized to
+    * compute HERE, and what lets [[mergeIndexes]]' disjointness guard be
+    * O(batches) instead of re-scanning the whole landed corpus per fold.
+    * Underscore-prefixed, so parquet readers ignore it like `_SUCCESS`.
+    * Returns the landed partial index. */
   def ingestStep(batch: DataFrame, outDir: String, batchId: Long,
       numShards: Int = 16): DataFrame = {
     val s = batch.sparkSession
     graft.functions.GraftFunctions.register(s)
     val dir = StreamShardRouter.landBatch(batch, s"$outDir/docs", batchId, numShards)
     val landed = s.read.parquet(dir)
+    writeDocIdRange(s, dir, landed)
     val idxDir = s"$outDir/idx/batch=$batchId"
     TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(landed))
       .write.mode("overwrite").parquet(idxDir)
     s.read.parquet(idxDir)
+  }
+
+  /** Per-batch doc-id envelope, carried as metadata with the landed
+    * batch. `count == 0` marks an empty batch (no ids to overlap). */
+  private final case class DocIdRange(minId: Long, maxId: Long, count: Long)
+
+  private def rangePath(batchDir: String) =
+    new org.apache.hadoop.fs.Path(batchDir, "_docid_range.json")
+
+  private def writeDocIdRange(s: SparkSession, batchDir: String,
+      landed: DataFrame): Unit = {
+    val r = landed.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+      count(lit(1)).as("n")).head()
+    val range =
+      if (r.getLong(2) == 0L) DocIdRange(0L, -1L, 0L)
+      else DocIdRange(r.getLong(0), r.getLong(1), r.getLong(2))
+    val json =
+      s"""{"minId":${range.minId},"maxId":${range.maxId},"count":${range.count}}"""
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = rangePath(batchDir)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The batch's doc-id envelope: the sidecar when present (one tiny
+    * metadata read), else reconstructed from that batch's parquet — a
+    * BATCH-sized column scan, the pre-sidecar fallback, never
+    * corpus-sized. */
+  private def readDocIdRange(s: SparkSession, batchDir: String): DocIdRange = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = rangePath(batchDir)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      def field(k: String): Long =
+        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt doc-id range sidecar $p: $txt")).group(1).toLong
+      DocIdRange(field("minId"), field("maxId"), field("count"))
+    } else {
+      val r = s.read.parquet(batchDir)
+        .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+      if (r.getLong(2) == 0L) DocIdRange(0L, -1L, 0L)
+      else DocIdRange(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+  }
+
+  /** Enforce the fold's batch-disjointness precondition in O(batches),
+    * not O(docs): compare the per-batch doc-id ENVELOPES (the landed
+    * sidecars). Doc ids are assigned monotonically by the pipeline, so
+    * disjoint batches have disjoint envelopes and the common case is
+    * decided from metadata alone — ZERO data-column scan, zero Spark
+    * jobs. Only when envelopes genuinely intersect does the guard read
+    * doc_id from exactly the OVERLAPPING batches (never the whole
+    * corpus) for the precise countDistinct verdict, so interleaved-but-
+    * disjoint ids are still accepted — the guard's semantics are
+    * unchanged, only its cost. */
+  private def assertBatchDisjoint(s: SparkSession, docsDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val ranges = DeltaCompact.listDeltaBatches(docsDir, conf)
+      .map(id => (id, readDocIdRange(s, s"$docsDir/batch=$id")))
+      .filter(_._2.count > 0L)
+      .sortBy(_._2.minId)
+    // sweep envelopes in minId order, grouping transitive overlaps
+    val groups = ranges.foldLeft(List.empty[(Long, List[Long])]) {
+      case ((gMax, ids) :: rest, (id, r)) if r.minId <= gMax =>
+        (math.max(gMax, r.maxId), id :: ids) :: rest
+      case (acc, (id, r)) => (r.maxId, List(id)) :: acc
+    }.map(_._2.reverse).filter(_.size > 1)
+    groups.foreach { ids =>
+      val offenders = s.read.option("basePath", docsDir)
+        .parquet(ids.map(id => s"$docsDir/batch=$id"): _*)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("batch")).as("nb"))
+        .filter(col("nb") > 1)
+        .limit(5).collect()
+      if (offenders.nonEmpty)
+        throw new IllegalStateException(
+          "BM25 fold precondition violated: doc_ids ingested under more than " +
+            "one batch id (df would double-count): " +
+            offenders.map(_.getLong(0)).mkString(", "))
+    }
   }
 
   /** Fold every landed per-batch partial into the serving index: re-cap
@@ -60,23 +153,15 @@ object StreamBm25Ingest {
     * repairable at merge time from capped partials alone (a doc's
     * postings beyond the cap are gone, so "dedupe and recount df from
     * distinct doc_ids" can't reconstruct the true df). So the fold
-    * ASSERTS disjointness against the landed corpus: one column-pruned
-    * aggregate over (doc_id, batch=partition-column) — metadata-cheap,
-    * paid once per serve-time fold, never per batch. A crash-replay of
-    * the SAME batch id is fine (landBatch overwrites its own directory,
-    * so the doc still lives under one batch). */
+    * ASSERTS disjointness — via [[assertBatchDisjoint]]'s per-batch
+    * doc-id envelopes: O(batches) metadata reads on the fast path, a
+    * data-column read only over batches whose envelopes actually
+    * intersect, NEVER a corpus-sized scan at serve time. A crash-replay
+    * of the SAME batch id is fine (landBatch overwrites its own
+    * directory, so the doc still lives under one batch). */
   def mergeIndexes(s: SparkSession, outDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val crossBatch = s.read.parquet(s"$outDir/docs")
-      .groupBy("doc_id")
-      .agg(countDistinct(col("batch")).as("nb"))
-      .filter(col("nb") > 1)
-    val offenders = crossBatch.limit(5).collect()
-    if (offenders.nonEmpty)
-      throw new IllegalStateException(
-        "BM25 fold precondition violated: doc_ids ingested under more than " +
-          "one batch id (df would double-count): " +
-          offenders.map(_.getLong(0)).mkString(", "))
+    assertBatchDisjoint(s, s"$outDir/docs")
     TextAnalysis.bm25Index(recapMergePartial(indexPartials(s, outDir)))
   }
 
@@ -86,10 +171,11 @@ object StreamBm25Ingest {
     * half-written base is invisible (the [[DeltaCompact]] discipline). */
   private def indexPartials(s: SparkSession, outDir: String): DataFrame = {
     val idxDir = s"$outDir/idx"
-    val man = DeltaCompact.readManifest(idxDir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val man = DeltaCompact.readManifest(idxDir, conf)
     val parts =
       man.map(m => s.read.parquet(s"$idxDir/base_gen=${m.gen}")).toSeq ++
-        DeltaCompact.unfoldedDeltas(idxDir, man)
+        DeltaCompact.unfoldedDeltas(idxDir, man, conf)
           .map(id => s.read.parquet(s"$idxDir/batch=$id"))
     require(parts.nonEmpty, s"no landed index partials under $idxDir")
     parts.map(_.select("tok", "kept", "dfc"))
@@ -127,8 +213,9 @@ object StreamBm25Ingest {
   def compactIndex(s: SparkSession, outDir: String): DeltaCompact.Manifest = {
     graft.functions.GraftFunctions.register(s)
     val idxDir = s"$outDir/idx"
-    val prev = DeltaCompact.readManifest(idxDir)
-    val deltas = DeltaCompact.unfoldedDeltas(idxDir, prev)
+    val conf = s.sparkContext.hadoopConfiguration
+    val prev = DeltaCompact.readManifest(idxDir, conf)
+    val deltas = DeltaCompact.unfoldedDeltas(idxDir, prev, conf)
     val folded = recapMergePartial(indexPartials(s, outDir))
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
@@ -137,14 +224,11 @@ object StreamBm25Ingest {
       .sortWithinPartitions("tok")
       .write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen")
     val man = DeltaCompact.Manifest(nextGen, watermark)
-    DeltaCompact.writeManifest(idxDir, man)
-    DeltaCompact.listDeltaBatches(idxDir).filter(_ <= watermark).foreach(id =>
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$idxDir/batch=$id")))
-    new java.io.File(idxDir).listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("base_gen=") &&
-        f.getName != s"base_gen=$nextGen")
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    DeltaCompact.writeManifest(idxDir, man, conf)
+    // GC through the Hadoop FS API (never java.io) — same sweep-by-
+    // predicate as the union-repartition fold, shared so the protocol
+    // can't diverge between the two fold flavors
+    DeltaCompact.gcFolded(idxDir, man, conf)
     man
   }
 }

@@ -39,9 +39,11 @@ object StreamLshIngest {
     graft.operators.Similarity.lshPostings(landed)
   }
 
-  /** tb_hi domain size: tables × 2^(bits − dirShift) = 128 — the serve
-    * layout's directory count, a property of the index geometry. */
-  private val NumDirKeys = 128
+  /** tb_hi domain size (tables × 2^(bits − dirShift)) — the serve
+    * layout's directory count, derived from the SAME geometry constants
+    * the serve kernels use so the streaming delta layout can never
+    * silently diverge from the serve layout. */
+  private val NumDirKeys = graft.operators.Similarity.lshDirKeyDomain
 
   /** Land one batch's POSTING rows as a delta generation in the SERVE
     * layout key: `shard_id = tb_hi` (the `qKnnLshPersist` directory key),
@@ -55,7 +57,10 @@ object StreamLshIngest {
     postings
       .withColumn("shard_id", graft.operators.Similarity.lshDirKey(col("tb")))
       .repartition(col("shard_id"))
-      .sortWithinPartitions("tb")
+      // shard_id leads the sort: the dynamic-partition writer requires
+      // its output ordered by the partition column and would insert its
+      // own sort otherwise, voiding the tb clustering contract
+      .sortWithinPartitions("shard_id", "tb")
       .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
     dir
   }

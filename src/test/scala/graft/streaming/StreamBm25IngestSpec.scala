@@ -44,6 +44,20 @@ class StreamBm25IngestSpec extends SparkSpec {
       q.awaitTermination()
 
       val merged = StreamBm25Ingest.mergeIndexes(s, outDir.getAbsolutePath)
+      // the fold must be index-bound: its plan reads idx/ partials only —
+      // the disjointness guard decides from per-batch doc-id envelope
+      // sidecars, never a corpus-sized scan of docs/
+      val scanRoots = merged.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      assert(scanRoots.nonEmpty, "expected file scans in the fold plan")
+      assert(scanRoots.forall(p => !p.contains("/docs")),
+        s"fold plan scans the landed corpus: $scanRoots")
       val gotIdx = merged.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .sorted
@@ -142,6 +156,28 @@ class StreamBm25IngestSpec extends SparkSpec {
         StreamBm25Ingest.mergeIndexes(s, outDir.getAbsolutePath).count()
       }
       assert(e.getMessage.contains("more than one batch"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    }
+  }
+
+  test("interleaved-but-disjoint doc_id envelopes are still accepted") {
+    // the envelope guard's fast path is range metadata; when ranges
+    // intersect it must fall back to a precise check over just those
+    // batches — NOT reject on the envelope alone
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bm25ilv").toFile
+    try {
+      StreamBm25Ingest.ingestStep(
+        Seq((1L, "alpha beta"), (3L, "beta gamma")).toDF("doc_id", "text"),
+        outDir.getAbsolutePath, 0L)
+      StreamBm25Ingest.ingestStep(
+        Seq((2L, "gamma delta")).toDF("doc_id", "text"),
+        outDir.getAbsolutePath, 1L)
+      assert(StreamBm25Ingest.mergeIndexes(s, outDir.getAbsolutePath).count() > 0,
+        "disjoint-but-interleaved batches must merge")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(outDir)
     }
