@@ -83,6 +83,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Session-health calibration marker (SCALE.md round 11 measured
+    // cross-session absolute drift up to ±40% in degraded host windows):
+    // a FIXED-size microbench — a pure-CPU xxhash64 fold over 150M
+    // generated rows plus one 997-key shuffle — whose cost is independent
+    // of sf and of this library's code. Emitted as `calib_s` so future
+    // cross-round ratios can be normalized for host/session health
+    // without re-running old binaries: compare
+    // (metric_r{N}/calib_r{N}) vs (metric_r{M}/calib_r{M}).
+    val calibSec = {
+      def leg(): Double = time(force(
+        spark.range(0L, 150000000L, 1L, 32)
+          .selectExpr("xxhash64(id) % 997 AS k", "xxhash64(id + 1) AS h")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("h")).as("s"))))
+      leg() // warm the plan; the marker is the min of two measured legs
+      math.min(leg(), leg())
+    }
+    progress(f"calibration microbench: $calibSec%.2fs")
+
     // Two measured passes per query, min reported: at sub-second scale a
     // single run is dominated by GC/JIT/page-fault jitter (r04 vs r03
     // showed 2-3× swings on identical code — q_sessionize 0.54↔1.29 s,
@@ -157,6 +176,29 @@ object Bench {
     val lshServeSec = timedOr("knn_lsh_persist_serve")(force(
       SparkEntry.registry.find(_.name == "q_knn_lsh_persist").get.build(spark, sfDir)))
     progress(f"knn_lsh_persist build: $lshBuildSec%.2fs, serve: $lshServeSec%.2fs")
+    val ivfPqBuildSec = onceOr("knn_ivf_pq_persist_build") {
+      operators.Similarity.rebuildIvfPqIndex(spark, sfDir); ()
+    }
+    val ivfPqServeSec = timedOr("knn_ivf_pq_persist_serve")(force(
+      SparkEntry.registry.find(_.name == "q_knn_ivf_pq_persist").get.build(spark, sfDir)))
+    // Index-I/O comparison: both serves scan the SAME probed cells, so
+    // serve-time scan bytes scale with the postings' on-disk size — the
+    // code-only PQ postings vs the float-vector IVF postings is the ~8×
+    // shrink the PQ tier exists for, reported as a measured pair rather
+    // than a claim.
+    def duBytes(path: String): Long =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    val ivfPostingsBytes =
+      duBytes(s"${operators.Similarity.ivfIndexDir(spark, sfDir)}/postings")
+    val ivfPqPostingsBytes =
+      duBytes(s"${operators.Similarity.ivfPqIndexDir(spark, sfDir)}/postings")
+    progress(f"knn_ivf_pq_persist build: $ivfPqBuildSec%.2fs, serve: " +
+      f"$ivfPqServeSec%.2fs; postings bytes ivf=$ivfPostingsBytes " +
+      f"pq=$ivfPqPostingsBytes")
     // Hybrid retrieval build/serve split: the BUILD leg is the lexical
     // index only (tokenize + impact-capped partial + write) — the
     // semantic half's build is already the knn_ivf_persist_build row
@@ -602,7 +644,7 @@ object Bench {
         f""","stream_rate_probes":$probesJson,"stream_ann_e2e_batches":$annBatches,"stream_ann_e2e_rows":$annRows"""
     val soakDursJson = soakDurs.map(d => f"$d%.0f").mkString("[", ",", "]")
     val detail =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJson,$rateJson,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,"knn_lsh_persist_build_s":$lshBuildSec%.3f,"knn_lsh_persist_serve_s":$lshServeSec%.3f,"hybrid_bm25_persist_build_s":$bm25BuildSec%.3f,"hybrid_persist_serve_s":$hybridServeSec%.3f,$soakJson,"stream_soak_batch_ms":$soakDursJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"queries":$qsAll,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJson,$rateJson,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,"knn_lsh_persist_build_s":$lshBuildSec%.3f,"knn_lsh_persist_serve_s":$lshServeSec%.3f,"knn_ivf_pq_persist_build_s":$ivfPqBuildSec%.3f,"knn_ivf_pq_persist_serve_s":$ivfPqServeSec%.3f,"ivf_postings_bytes":$ivfPostingsBytes,"ivf_pq_postings_bytes":$ivfPqPostingsBytes,"hybrid_bm25_persist_build_s":$bm25BuildSec%.3f,"hybrid_persist_serve_s":$hybridServeSec%.3f,$soakJson,"stream_soak_batch_ms":$soakDursJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -629,7 +671,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.valuesIterator.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJsonLine,$rateJsonLine,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,"knn_lsh_persist_build_s":$lshBuildSec%.3f,"knn_lsh_persist_serve_s":$lshServeSec%.3f,"hybrid_bm25_persist_build_s":$bm25BuildSec%.3f,"hybrid_persist_serve_s":$hybridServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJsonLine,$rateJsonLine,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,"knn_lsh_persist_build_s":$lshBuildSec%.3f,"knn_lsh_persist_serve_s":$lshServeSec%.3f,"knn_ivf_pq_persist_build_s":$ivfPqBuildSec%.3f,"knn_ivf_pq_persist_serve_s":$ivfPqServeSec%.3f,"ivf_postings_bytes":$ivfPostingsBytes,"ivf_pq_postings_bytes":$ivfPqPostingsBytes,"hybrid_bm25_persist_build_s":$bm25BuildSec%.3f,"hybrid_persist_serve_s":$hybridServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1657,38 +1657,42 @@ object Similarity {
     * scoring is the same broadcast-LUT + pivot-aggregate as
     * [[qKnnPqAdc]]. Scan cost drops by the IVF pruning factor AND each
     * candidate costs 8 lookups instead of 64 float ops. */
-  val qKnnIvfPq: Q = Q(
-    "q_knn_ivf_pq", {
-      val luts = (0 until 8).map(s =>
-        s"list_sum([(qv[i]-c[i])*(qv[i]-c[i]) for i in range(${s * 8 + 1}, ${s * 8 + 9})]) AS l$s")
-        .mkString(",\n       |   ")
-      val codeCase = (0 until 8).map(s => s"WHEN $s THEN c$s").mkString(" ")
-      val partCase = (0 until 8).map(s => s"WHEN $s THEN l$s").mkString(" ")
-      val adcSum = (0 until 8).map(s => s"sum(CASE WHEN lx.s = $s THEN lx.part END)")
-        .mkString(" + ")
-      s"""WITH $DuckIvfCtes,
-         |$DuckPqCodesCtes,
-         |q2 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM embeddings WHERE vec_id < $NumQueries),
-         |lut AS (SELECT q2.query_id, c.cent_rank,
-         |   $luts
-         |  FROM q2 CROSS JOIN cents c),
-         |cl AS (SELECT vec_id, t.s AS s, CASE t.s $codeCase END AS code
-         |  FROM codes, range(0, 8) t(s)),
-         |lx AS (SELECT query_id, cent_rank, t.s AS s, CASE t.s $partCase END AS part
-         |  FROM lut, range(0, 8) t(s)),
-         |summed AS (SELECT p.query_id, cl.vec_id AS neighbor_id, $adcSum AS adc
-         |  FROM probes p
-         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
-         |  JOIN cl ON cl.vec_id = a.vec_id
-         |  JOIN lx ON lx.cent_rank = cl.code AND lx.s = cl.s AND lx.query_id = p.query_id
-         |  GROUP BY p.query_id, cl.vec_id)
-         |SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank FROM
-         |  (SELECT query_id, neighbor_id, adc, row_number() OVER
-         |     (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
-         |   FROM summed)
-         |WHERE rank <= $K""".stripMargin
-    }) { (s, d) =>
+  /** The full IVF-PQ pipeline in DuckDB, shared verbatim by
+    * [[qKnnIvfPq]] and [[qKnnIvfPqPersist]] — persistence must not
+    * change a result bit, so the oracle is identical. */
+  private val DuckIvfPqSql: String = {
+    val luts = (0 until 8).map(s =>
+      s"list_sum([(qv[i]-c[i])*(qv[i]-c[i]) for i in range(${s * 8 + 1}, ${s * 8 + 9})]) AS l$s")
+      .mkString(",\n       |   ")
+    val codeCase = (0 until 8).map(s => s"WHEN $s THEN c$s").mkString(" ")
+    val partCase = (0 until 8).map(s => s"WHEN $s THEN l$s").mkString(" ")
+    val adcSum = (0 until 8).map(s => s"sum(CASE WHEN lx.s = $s THEN lx.part END)")
+      .mkString(" + ")
+    s"""WITH $DuckIvfCtes,
+       |$DuckPqCodesCtes,
+       |q2 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |lut AS (SELECT q2.query_id, c.cent_rank,
+       |   $luts
+       |  FROM q2 CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, t.s AS s, CASE t.s $codeCase END AS code
+       |  FROM codes, range(0, 8) t(s)),
+       |lx AS (SELECT query_id, cent_rank, t.s AS s, CASE t.s $partCase END AS part
+       |  FROM lut, range(0, 8) t(s)),
+       |summed AS (SELECT p.query_id, cl.vec_id AS neighbor_id, $adcSum AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN cl ON cl.vec_id = a.vec_id
+       |  JOIN lx ON lx.cent_rank = cl.code AND lx.s = cl.s AND lx.query_id = p.query_id
+       |  GROUP BY p.query_id, cl.vec_id)
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist, rank FROM
+       |  (SELECT query_id, neighbor_id, adc, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+       |   FROM summed)
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  val qKnnIvfPq: Q = Q("q_knn_ivf_pq", DuckIvfPqSql) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     val icents = ivfCodebook(emb)
@@ -1715,6 +1719,121 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
     cand.join(codesLong, "vec_id")
       .join(broadcast(lut),
+        col("cs") === col("ls") && col("code") === col("cent_rank") &&
+          col("lq") === col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(pSums.head, pSums.tail: _*)
+      .withColumn("adc", (0 until 8).map(i => col(s"p$i")).reduce(_ + _))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rank"))
+  }
+
+  private val ivfPqPersistDone = scala.collection.mutable.Set.empty[String]
+
+  /** Build-once layout for the PQ serving tier, the memory-bounded 100 TB
+    * shape: alongside [[ensureIvfIndex]]'s full-vector postings, this
+    * index stores per vector only its cell and its 8 one-byte PQ codes —
+    * ~8× less index I/O per probed cell than the float postings (the
+    * whole point of IVF-PQ: at 10^9 vectors the code postings are ~16 GB
+    * where float postings are ~256 GB, so a probed-cell scan fits page
+    * cache). Layout:
+    * {{{
+    *   ivf_codebook/   √n coarse centroids (the probe router)
+    *   pq_codebook/    16 ranked sub-codebook entries (the ADC LUT base)
+    *   postings/cell=<c>/  (vec_id, c0..c7) — codes ONLY, no vectors
+    * }}} */
+  private def ensureIvfPqIndex(s: SparkSession, d: String): String = synchronized {
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_ivfpq/${dataFingerprint(s"$d/embeddings.parquet")}_$pid"
+    if (!ivfPqPersistDone(dir)) {
+      reapDeadDirs("/tmp/graft_ivfpq", pid)
+      val emb = Tables.embeddings(s, d)
+      val icents = ivfCodebook(emb)
+      icents.write.mode("overwrite").parquet(s"$dir/ivf_codebook")
+      val pcents = pqCodebook(emb)
+      pcents.write.mode("overwrite").parquet(s"$dir/pq_codebook")
+      val assigned = ivfAssign(emb, icents).select(col("vec_id"), col("cell"))
+      val codes = pqAssign(emb, pcents).select(col("vec_id") +:
+        (0 until 8).map(s0 => col(s"cc$s0").cast("int").as(s"c$s0")): _*)
+      assigned.join(codes, "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+      ivfPqPersistDone += dir
+    }
+    dir
+  }
+
+  /** Bench hook: drop the memoized IVF-PQ index and rebuild from scratch —
+    * isolates BUILD cost (train both codebooks + assign + encode +
+    * cell-partitioned code write) from the ADC SERVE cost. */
+  private[graft] def rebuildIvfPqIndex(s: SparkSession, d: String): String = {
+    val dir = synchronized {
+      val dd = s"/tmp/graft_ivfpq/${dataFingerprint(s"$d/embeddings.parquet")}" +
+        s"_${ProcessHandle.current().pid()}"
+      ivfPqPersistDone -= dd
+      val p = new org.apache.hadoop.fs.Path(dd)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      dd
+    }
+    ensureIvfPqIndex(s, d)
+    dir
+  }
+
+  /** Test/bench hook: the (built) IVF-PQ index dir for `d` in this JVM. */
+  private[graft] def ivfPqIndexDir(s: SparkSession, d: String): String =
+    ensureIvfPqIndex(s, d)
+
+  /** Persisted IVF-PQ serve — [[qKnnIvfPq]]'s production shape: both
+    * codebooks and the code-only cell-partitioned postings read back from
+    * the landed index ([[ensureIvfPqIndex]]), candidates generated by a
+    * partition-pruned scan of the probed cells (static `isin` pushdown,
+    * the [[qKnnIvfPersist]] discipline), and scored by PQ asymmetric
+    * distance against the per-query LUT — full-precision vectors are
+    * NEVER read at serve time, only 8 codes per candidate, which is the
+    * ~8× index-I/O shrink vs [[qKnnIvfPersist]]'s float postings (the
+    * bench emits both postings' on-disk bytes for the comparison).
+    *
+    * Served plan shape: checkpoint-scan (probes + LUT, both O(queries)
+    * and computed once, eagerly — so the lint sees no nested loop) →
+    * pruned postings scan → broadcast hash joins → one hash aggregate on
+    * (query, candidate) → per-query top-k. Oracle IDENTICAL to the
+    * in-flight gate: persistence and code-only serving change no bit. */
+  val qKnnIvfPqPersist: Q = Q("q_knn_ivf_pq_persist", DuckIvfPqSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val dir = ensureIvfPqIndex(s, d)
+    val emb = Tables.embeddings(s, d)
+    val icents = s.read.parquet(s"$dir/ivf_codebook")
+    val pcents = s.read.parquet(s"$dir/pq_codebook")
+    // probe set: O(queries × nprobe), computed once behind an eager
+    // checkpoint — used collected (static partition filter) and as the
+    // join's broadcast side, like qKnnIvfPersist
+    val probesCk = ivfProbes(emb, icents).select("query_id", "cell").localCheckpoint()
+    val probedCells = probesCk.select("cell").distinct().collect().map(_.getLong(0))
+    // ADC lookup table: queries × 16 entries × 8 subspaces — O(queries)
+    // rows from the read-back sub-codebook, checkpointed for the same
+    // two-consumer reason (and so the serve plan is nested-loop-free)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("lq"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    val lut = queries.crossJoin(broadcast(pcents))
+      .select(col("lq"), col("cent_rank"),
+        posexplode(array((0 until 8).map(s0 =>
+          pqSubDist(s0, col("qv"), col("c"))): _*)).as(Seq("ls", "part")))
+      .localCheckpoint()
+    // read-back partition column types int while ids fit; cast back to
+    // long so an id past 2^31 can never wrap (see qKnnIvfPersist)
+    val postings = s.read.parquet(s"$dir/postings")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val cand = postings.join(broadcast(probesCk), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val codesLong = cand.select(col("query_id"), col("vec_id"),
+      posexplode(array((0 until 8).map(i => col(s"c$i")): _*)).as(Seq("cs", "code")))
+    val pSums = (0 until 8).map(i => sum(when(col("ls") === i, col("part"))).as(s"p$i"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    codesLong.join(broadcast(lut),
         col("cs") === col("ls") && col("code") === col("cent_rank") &&
           col("lq") === col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -2194,7 +2313,7 @@ object Similarity {
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
-    qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvf2,
+    qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvfPqPersist, qKnnIvf2,
     qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered,
     qKnnFilteredPersist, qHybridRrf, qHybridRrfPersist, qHardNegatives,
     qHardNegativesPersist)
