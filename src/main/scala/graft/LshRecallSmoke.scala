@@ -49,15 +49,23 @@ object LshRecallSmoke {
       }.sum / truth.size
     }
 
+    // auto-sized rows: bits from Similarity.lshGeometry(corpusCount) —
+    // the sizer must reproduce the hand-tuned geometry at 1× and hold
+    // recall ≥ the 1× figure at 10× without a human picking bits
+    def autoBits(dir: String): Int =
+      Similarity.lshGeometry(Tables.embeddings(spark, dir).count())
+
     println(f"${"corpus"}%-34s ${"geometry"}%-12s ${"recall@K"}%9s")
     Seq(
-      (baseDir, 8, 8),   // registry geometry at the base corpus
-      (bigDir, 8, 8),    // same geometry, 10× occupancy per bucket
-      (bigDir, 8, 11),   // bits ∝ log n: +⌈log2 10⌉ bits restores occupancy
-      (bigDir, 8, 12)    // one further bit, the over-correction check
-    ).foreach { case (dir, tables, bits) =>
+      (baseDir, 8, 8, ""),                      // registry geometry at the base corpus
+      (bigDir, 8, 8, ""),                       // same geometry, 10× occupancy per bucket
+      (bigDir, 8, 11, ""),                      // bits ∝ log n: +⌈log2 10⌉ bits restores occupancy
+      (bigDir, 8, 12, ""),                      // one further bit, the over-correction check
+      (baseDir, 8, autoBits(baseDir), "auto"),  // lshGeometry at 1×
+      (bigDir, 8, autoBits(bigDir), "auto")     // lshGeometry at 10×
+    ).foreach { case (dir, tables, bits, tag) =>
       val r = recall(dir, tables, bits)
-      println(f"$dir%-34s ${s"${tables}t x ${bits}b"}%-12s $r%9.3f")
+      println(f"$dir%-34s ${s"${tables}t x ${bits}b $tag"}%-12s $r%9.3f")
     }
     spark.stop()
   }

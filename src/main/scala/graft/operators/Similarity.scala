@@ -2305,6 +2305,45 @@ object Similarity {
     lshServeJoin(knnLshCappedIndex(emb, tables, bits, cap),
       lshQueryProbes(emb, tables, bits))
 
+  /** Auto-sized sign-bit count for a corpus of `corpusCount` vectors —
+    * the bits ∝ log n rule SCALE.md's round-11 recall table measured,
+    * as code instead of operator lore.
+    *
+    * Model (empirically exact on the measured table): each table spreads
+    * its n postings over its own 2^bits buckets, so mean occupancy per
+    * probed bucket is n / 2^bits PER TABLE — table count multiplies the
+    * candidate union, not the per-bucket load, which is why `tables`
+    * does not appear. The cap starts discarding (and recall starts
+    * decaying) once occupancy crosses `cap`; sizing to half-cap
+    * occupancy keeps the reservoir dormant with 2× headroom for skewed
+    * buckets:
+    *   bits = ⌈log₂(n / (cap/2))⌉.
+    * Measured anchors (SCALE.md round 11): 2k vectors → 8 bits
+    * (occupancy 7.8, recall 0.600 = the geometry's own collision
+    * recall); 20k vectors → 12 bits (occupancy 4.9, recall 1.000, vs
+    * 0.333 at stock 8 bits). One extra decade adds ⌈log₂10⌉ ≈ 3-4 bits;
+    * directory count in the [[qKnnLshPersist]] layout grows with
+    * 2^(bits−dirShift), i.e. linearly with n — the layout scales by
+    * design. Floor of [[LshBits]]: never size BELOW the registry
+    * geometry (tiny corpora don't need fewer buckets, and the floor
+    * keeps the oracle-pinned default reachable). */
+  private[graft] def lshGeometry(corpusCount: Long, cap: Int = LshCap): Int = {
+    require(corpusCount > 0, s"corpusCount must be positive: $corpusCount")
+    require(cap > 0, s"cap must be positive: $cap")
+    val targetOccupancy = math.max(1.0, cap / 2.0)
+    val needed = math.ceil(
+      math.log(corpusCount / targetOccupancy) / math.log(2)).toInt
+    math.max(LshBits, needed)
+  }
+
+  /** [[knnLshCapped]] with bits auto-sized from the corpus count — the
+    * serve shape a production deployment runs: geometry follows the
+    * corpus instead of being a hand-tuned constant. The count is one
+    * driver-side plan parameter (like the IVF codebook sizing). */
+  private[graft] def knnLshCappedAuto(emb: DataFrame,
+      tables: Int = LshTables, cap: Int = LshCap): DataFrame =
+    knnLshCapped(emb, tables, lshGeometry(emb.count(), cap), cap)
+
   val qKnnLshCapped: Q = Q("q_knn_lsh_capped", DuckLshCappedSql) { (s, d) =>
     knnLshCapped(Tables.embeddings(s, d))
   }
