@@ -432,7 +432,7 @@ object Similarity {
     * OUTPUTS (≤ 13 rows per query): a union, one 2-key hash aggregate of
     * the exactly-summable DECIMAL rank reciprocals, and a top-[[RrfTopK]]
     * window. Shared by the in-flight and persisted hybrid gates. */
-  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("rrfsum").desc, col("doc_id"))
     lex.unionByName(sem)
       .select(col("query_id"), col("doc_id"),
@@ -1980,8 +1980,11 @@ object Similarity {
   /** The full LSH pipeline in DuckDB, shared verbatim by [[qKnnLsh]] and
     * [[qKnnLshPersist]] — persistence must not change a result bit, so
     * the oracle is identical (same discipline as [[DuckIvf2Sql]]). */
-  private val DuckLshSql: String =
-    s"""WITH planes AS (SELECT t, b,
+  /** The LSH CTE chain through `sims` — composable, so the hybrid
+    * stream gate can fuse the LSH branch against the BM25 CTEs the way
+    * [[DuckHybridSql]] composes the IVF chain. */
+  private val DuckLshCtes: String =
+    s"""planes AS (SELECT t, b,
        |    list(CAST(CAST(('0x' || substr(md5(t || ':' || b || ',' || k), 1, 15)) AS BIGINT)
        |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
        |  FROM range($LshTables) s(t), range($LshBits) v(b), range(64) u(k) GROUP BY t, b),
@@ -1992,19 +1995,22 @@ object Similarity {
        |        CAST(e.embedding AS DOUBLE[]), CAST(pl.p AS DOUBLE[])) > 0
        |      THEN CAST(pow(2, pl.b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t),
-       |probes AS (SELECT s.vec_id AS query_id, s.t,
+       |lprobes AS (SELECT s.vec_id AS query_id, s.t,
        |    CASE WHEN pr.p = 0 THEN s.bucket
        |         ELSE xor(s.bucket, CAST(pow(2, pr.p - 1) AS BIGINT)) END AS bucket
        |  FROM sigs s CROSS JOIN range(${LshBits + 1}) pr(p)
        |  WHERE s.vec_id < $NumQueries),
        |cands AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
-       |  FROM probes p JOIN sigs s ON s.t = p.t AND s.bucket = p.bucket
+       |  FROM lprobes p JOIN sigs s ON s.t = p.t AND s.bucket = p.bucket
        |  WHERE s.vec_id <> p.query_id),
        |sims AS (SELECT c.query_id, c.neighbor_id,
        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
        |      CAST(n.embedding AS DOUBLE[])) AS sim
        |  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
-       |  JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       |  JOIN embeddings n ON n.vec_id = c.neighbor_id)""".stripMargin
+
+  private val DuckLshSql: String =
+    s"""WITH $DuckLshCtes
        |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
        |  (SELECT query_id, neighbor_id, sim, row_number() OVER
        |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -2348,12 +2354,137 @@ object Similarity {
     knnLshCapped(Tables.embeddings(s, d))
   }
 
+  // ---- q_hybrid_stream_persist: the full streamed RAG lifecycle ----
+
+  /** Oracle for the streamed-lifecycle hybrid gate: the [[DuckLshCtes]]
+    * chain (the semantic branch is LSH here — the training-free index a
+    * stream can build at ingest with zero codebook dependencies) fused
+    * against [[graft.operators.TextAnalysis.DuckBm25Ctes]] by the same
+    * RRF CTEs as [[DuckHybridSql]]. The oracle knows nothing about
+    * streams, batches, deltas, or compaction — which is the point: the
+    * stream-ingested, mid-run-compacted, persisted indexes must serve
+    * results indistinguishable from a single-pass batch build. */
+  private val DuckHybridStreamSql: String =
+    s"""WITH $DuckLshCtes,
+       |${graft.operators.TextAnalysis.DuckBm25Ctes},
+       |sem AS (SELECT query_id, neighbor_id AS doc_id, rank FROM
+       |  (SELECT query_id, neighbor_id, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM sims) WHERE rank <= $K),
+       |lex AS (SELECT query_id, doc_id, rank FROM bm25ranked
+       |  WHERE rank <= ${graft.operators.TextAnalysis.Bm25K} AND query_id < $NumQueries),
+       |unioned AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+       |fused AS (SELECT query_id, doc_id,
+       |    sum(CAST(round(CAST(1.0 AS DOUBLE) / ($RrfK + rank), 9)
+       |      AS DECIMAL(12,9))) AS rrfsum
+       |  FROM unioned GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, round(CAST(rrfsum AS DOUBLE), 6) AS rrf, rank
+       |FROM (SELECT query_id, doc_id, rrfsum, row_number() OVER
+       |    (PARTITION BY query_id ORDER BY rrfsum DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $RrfTopK""".stripMargin
+
+  private val hybridStreamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The FULL streamed RAG lifecycle under one oracle — the composition
+    * gate for everything the streaming retrieval tier provides: both
+    * corpora replayed as real multi-batch file streams (4 files → 4
+    * `AvailableNow` triggers each), BOTH retrieval indexes built AT
+    * INGEST ([[graft.streaming.StreamBm25Ingest.ingestStep]] landing
+    * capped lexical partials; [[graft.streaming.StreamLshIngest]]
+    * landing serve-layout LSH posting deltas — the training-free index
+    * that needs no codebook before a vector is searchable), both
+    * COMPACTED MID-RUN from inside the ingest itself (the
+    * single-maintainer cadence [[graft.streaming.DeltaCompact]]'s
+    * contract prescribes: the generation fold commits at batch 1,
+    * batches 2-3 land as post-fold deltas), and hybrid RRF served
+    * purely OFF THE FOLDED ARTIFACTS through the exact serve kernels the
+    * batch gates use ([[graft.operators.TextAnalysis.bm25Serve]] over
+    * the manifest-read fold; [[lshServeJoin]] over
+    * [[graft.streaming.StreamLshIngest.readPostings]]).
+    *
+    * Facing a batch-only oracle ([[DuckHybridStreamSql]] — BM25 CTEs +
+    * LSH CTEs + RRF, no stream anywhere) pins the whole lifecycle:
+    * ingest batching, delta landing, crash-safe generation folds, and
+    * persisted serving compose to the bit-identical answer a single
+    * batch pass computes. Scale shape: per-batch ingest cost tracks
+    * batch size (history never re-touched), folds are bounded by
+    * vocab/postings size, serve is two bounded index lookups + a
+    * ≤13-rows-per-query fusion. */
+  val qHybridStreamPersist: Q = Q(
+    "q_hybrid_stream_persist", DuckHybridStreamSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val pid = ProcessHandle.current().pid()
+    val run = hybridStreamRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_hybridstream/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_hybridstream", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+
+    // lexical ingest: 4-batch replay, per-batch capped partials landed,
+    // index generation-folded mid-run (batch 1), batches 2-3 post-fold
+    val lexSrc = s"$root/lex_src"
+    val lexOut = s"$root/lex"
+    docs.repartition(4).write.mode("overwrite").parquet(lexSrc)
+    val lexQ = s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+      .parquet(lexSrc)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.StreamBm25Ingest.ingestStep(b, lexOut, id)
+        if (id == 1L) {
+          graft.streaming.StreamBm25Ingest.compactIndex(s, lexOut); ()
+        }
+        ()
+      }
+      .start()
+    lexQ.awaitTermination()
+
+    // semantic ingest: LSH posting deltas landed in SERVE layout per
+    // batch, postings generation-folded mid-run (batch 1)
+    val semSrc = s"$root/sem_src"
+    val semDocs = s"$root/sem_docs"
+    val semIdx = s"$root/sem_idx"
+    emb.repartition(4).write.mode("overwrite").parquet(semSrc)
+    val semQ = s.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+      .parquet(semSrc)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val batch = b.withColumn("doc_id", col("vec_id"))
+          .select("doc_id", "vec_id", "label", "embedding")
+        val postings = graft.streaming.StreamLshIngest.ingestStep(batch, semDocs, id)
+        graft.streaming.StreamLshIngest.landPostingsDelta(postings, semIdx, id)
+        if (id == 1L) {
+          graft.streaming.StreamLshIngest.compactPostings(s, semIdx); ()
+        }
+        ()
+      }
+      .start()
+    semQ.awaitTermination()
+
+    // serve BOTH branches off the folded artifacts, fuse, done —
+    // checkpointed because the run dir is reaped 3 builds later
+    val lex = graft.operators.TextAnalysis
+      .bm25Serve(graft.streaming.StreamBm25Ingest.mergeIndexes(s, lexOut), docs)
+      .filter(col("query_id") < NumQueries)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val probes = lshQueryProbes(emb).localCheckpoint()
+    val sem = lshServeJoin(
+        graft.streaming.StreamLshIngest.readPostings(s, semIdx).drop("tb_hi"),
+        probes)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(lex, sem).localCheckpoint()
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
     qEmbedNormCheck, qKnnRerank, qKnnIncrAssign, qKnnStreamAssign,
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvfPqPersist, qKnnIvf2,
     qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered,
-    qKnnFilteredPersist, qHybridRrf, qHybridRrfPersist, qHardNegatives,
-    qHardNegativesPersist)
+    qKnnFilteredPersist, qHybridRrf, qHybridRrfPersist, qHybridStreamPersist,
+    qHardNegatives, qHardNegativesPersist)
 }
