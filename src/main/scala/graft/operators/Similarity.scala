@@ -1982,8 +1982,11 @@ object Similarity {
     * the oracle is identical (same discipline as [[DuckIvf2Sql]]). */
   /** The LSH CTE chain through `sims` — composable, so the hybrid
     * stream gate can fuse the LSH branch against the BM25 CTEs the way
-    * [[DuckHybridSql]] composes the IVF chain. */
-  private val DuckLshCtes: String =
+    * [[DuckHybridSql]] composes the IVF chain. `corpusCond` restricts
+    * the POSTING side (which vectors are indexed) without touching the
+    * query side — the delete gates pass the tombstone predicate's
+    * complement; everything else takes the default full corpus. */
+  private def duckLshCtes(corpusCond: String = "TRUE"): String =
     s"""planes AS (SELECT t, b,
        |    list(CAST(CAST(('0x' || substr(md5(t || ':' || b || ',' || k), 1, 15)) AS BIGINT)
        |      / pow(2, 59) - 1 AS FLOAT) ORDER BY k) AS p
@@ -2002,12 +2005,14 @@ object Similarity {
        |  WHERE s.vec_id < $NumQueries),
        |cands AS (SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
        |  FROM lprobes p JOIN sigs s ON s.t = p.t AND s.bucket = p.bucket
-       |  WHERE s.vec_id <> p.query_id),
+       |  WHERE s.vec_id <> p.query_id AND ($corpusCond)),
        |sims AS (SELECT c.query_id, c.neighbor_id,
        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
        |      CAST(n.embedding AS DOUBLE[])) AS sim
        |  FROM cands c JOIN embeddings q ON q.vec_id = c.query_id
        |  JOIN embeddings n ON n.vec_id = c.neighbor_id)""".stripMargin
+
+  private val DuckLshCtes: String = duckLshCtes()
 
   private val DuckLshSql: String =
     s"""WITH $DuckLshCtes
@@ -2479,6 +2484,93 @@ object Similarity {
     rrfFuse(lex, sem).localCheckpoint()
   }
 
+  // ---- delete lifecycle: tombstoned vectors leave the index — logically
+  // at serve time, physically at the next fold ----------------------------
+  //
+  // The missing verb of the persisted-index story: takedowns/opt-outs
+  // arrive as key sets against a multi-TB landed index that can't be
+  // rewritten per delete. The protocol ([[graft.streaming.DeltaCompact]]
+  // tombstones) gives EXACT deletion in two phases with one oracle:
+  //  1. logical — the tombstone delta lands, [[StreamLshIngest
+  //     .readPostingsLive]] anti-joins it at serve (broadcast-sized by
+  //     compaction cadence): the deleted vector is unfindable the moment
+  //     the delete commits, no index rewrite;
+  //  2. physical — the next generation fold excludes tombstoned rows and
+  //     folds the tombstone away: storage actually forgets.
+  // LSH is the index family where physical deletion is EXACT BY
+  // CONSTRUCTION: postings are pure per-vector expansions, so dropping a
+  // vector's rows is the same index a from-scratch build over the
+  // surviving corpus would produce. (Contrast the BM25 partial, which is
+  // a capped aggregate and NOT closed under deletion — its delete gate
+  // rebuilds; see `q_bm25_delete`.) Both gates face ONE oracle — the
+  // stock LSH chain with the delete set's complement as the posting-side
+  // predicate — so logical and physical serves are pinned bit-identical.
+
+  /** Delete-set rule for the delete gates — vec_id ≡ [[DeleteRem]]
+    * (mod [[DeleteMod]]), ~1/7 of the corpus — interpolated into the
+    * engine predicate and the oracle SQL from this ONE definition
+    * (the [[graft.operators.TextAnalysis.Bm25Cap]] discipline). */
+  private[operators] val DeleteMod = 7
+  private[operators] val DeleteRem = 3
+
+  private val DuckLshDeleteSql: String =
+    s"""WITH ${duckLshCtes(s"NOT (s.vec_id % $DeleteMod = $DeleteRem)")}
+       |SELECT query_id, neighbor_id, round(sim,4) AS cosine, rank FROM
+       |  (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |   FROM sims)
+       |WHERE rank <= $K""".stripMargin
+
+  private val deleteRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Shared setup for both delete gates: the posting index landed as
+    * three serve-layout deltas (sliced by vec_id mod 3 — the posting
+    * expansion is per-row, so the slice union is exactly the full
+    * build), then one tombstone delta for the delete set. Queries stay
+    * the standard first-[[NumQueries]] set — a deleted vector may still
+    * QUERY (query vectors are inputs, not corpus members); it just can't
+    * be FOUND. */
+  private def lshDeleteSetup(s: SparkSession, d: String): String = {
+    val emb = Tables.embeddings(s, d)
+    val pid = ProcessHandle.current().pid()
+    val run = deleteRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_lshdelete/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_lshdelete", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+    val idx = s"$root/idx"
+    (0 until 3).foreach { i =>
+      val slice = emb.filter(col("vec_id") % 3 === i)
+      graft.streaming.StreamLshIngest.landPostingsDelta(lshPostings(slice), idx, i.toLong)
+    }
+    graft.streaming.StreamLshIngest.landTombstones(
+      emb.filter(col("vec_id") % DeleteMod === DeleteRem)
+        .select(col("vec_id").as("neighbor_id")), idx, 0L)
+    idx
+  }
+
+  val qKnnDeleteServe: Q = Q("q_knn_delete_serve", DuckLshDeleteSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val idx = lshDeleteSetup(s, d)
+    // localCheckpoint: the run dir is reaped 3 builds later, like the
+    // other run-dir gates
+    lshServeJoin(
+      graft.streaming.StreamLshIngest.readPostingsLive(s, idx).drop("tb_hi"),
+      lshQueryProbes(Tables.embeddings(s, d))).localCheckpoint()
+  }
+
+  val qKnnDeleteCompact: Q = Q("q_knn_delete_compact", DuckLshDeleteSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val idx = lshDeleteSetup(s, d)
+    graft.streaming.StreamLshIngest.compactPostings(s, idx)
+    // PLAIN read, not Live: the fold applied the tombstones physically,
+    // so the raw postings already lack the deleted vectors — same oracle
+    // as the logical serve, bit for bit
+    lshServeJoin(
+      graft.streaming.StreamLshIngest.readPostings(s, idx).drop("tb_hi"),
+      lshQueryProbes(Tables.embeddings(s, d))).localCheckpoint()
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
@@ -2486,5 +2578,6 @@ object Similarity {
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvfPqPersist, qKnnIvf2,
     qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered,
     qKnnFilteredPersist, qHybridRrf, qHybridRrfPersist, qHybridStreamPersist,
+    qKnnDeleteServe, qKnnDeleteCompact,
     qHardNegatives, qHardNegativesPersist)
 }

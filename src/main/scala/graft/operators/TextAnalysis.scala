@@ -1398,11 +1398,13 @@ object TextAnalysis {
     * in both engines because integer sums below 2^53 are associative
     * in doubles. */
   /** Shared oracle CTE chain for BM25 (through `bm25ranked`), reused by
-    * the hybrid-fusion gate in [[graft.operators.Similarity]]. */
-  private[operators] val DuckBm25Ctes: String =
+    * the hybrid-fusion gate in [[graft.operators.Similarity]]. `corpus`
+    * names the document relation — the delete gate passes a
+    * tombstone-filtered CTE; everything else takes the full table. */
+  private[operators] def duckBm25Ctes(corpus: String = "documents"): String =
     raw"""toks AS (SELECT doc_id,
       |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-      |  FROM documents),
+      |  FROM $corpus),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
       |idx AS (SELECT tok, doc_id, tf, dfc FROM (
       |    SELECT tok, doc_id, tf, count(*) OVER (PARTITION BY tok) AS dfc,
@@ -1410,7 +1412,7 @@ object TextAnalysis {
       |    FROM tf) WHERE rn <= $Bm25Cap),
       |dl AS (SELECT doc_id,
       |    greatest(len(string_split_regex(trim(text), '\s+')), 1) AS dl
-      |  FROM documents),
+      |  FROM $corpus),
       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
       |qt AS (SELECT doc_id AS query_id, tok FROM tf WHERE doc_id < $Bm25Queries),
       |terms AS (SELECT q.query_id, t.doc_id,
@@ -1428,6 +1430,8 @@ object TextAnalysis {
       |bm25ranked AS (SELECT query_id, doc_id, score, row_number() OVER
       |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
       |  FROM bm25scored)""".stripMargin
+
+  private[operators] val DuckBm25Ctes: String = duckBm25Ctes()
 
   val qBm25TopK: Q = Q(
     "q_bm25_topk",
@@ -1614,6 +1618,61 @@ object TextAnalysis {
     bm25Serve(merged, docs).localCheckpoint()
   }
 
+  /** BM25 deletion — the lexical half of the delete lifecycle, and the
+    * index family where deletion CANNOT be a posting filter: the
+    * impact-capped partial is not closed under deletion (dropping a
+    * top-[[Bm25Cap]] posting must promote a discarded one, which the cap
+    * already forgot) and the global stats (N, avgdl, every term's df)
+    * all shrink when documents leave — a filtered serve would score the
+    * survivors against a corpus that no longer exists. So the
+    * stats-correct delete is: tombstone the corpus tree (exact logical
+    * delete for any DOCUMENT read via `readCorpusLive`), apply
+    * physically at the next generation fold, and REBUILD the capped
+    * index from the surviving corpus at that same maintenance cadence —
+    * the rebuild is the cost class compaction already pays, and the
+    * index build is one tokenize + capped-partial pass (`q_bm25_topk`'s
+    * build leg). Gate: land the corpus as three deltas, tombstone
+    * doc_id ≡ [[graft.operators.Similarity.DeleteRem]]
+    * (mod [[graft.operators.Similarity.DeleteMod]]) — the SAME delete
+    * rule as the ANN delete gates — fold, rebuild, serve; the oracle is
+    * the stock BM25 chain over the tombstone-filtered corpus, so
+    * stats correctness (df/avgdl/N all recomputed over survivors) is
+    * hash-checked, not asserted. Queries are the live corpus's first
+    * [[Bm25Queries]] docs on both sides. */
+  private val bm25DeleteRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  val qBm25Delete: Q = Q(
+    "q_bm25_delete",
+    s"""WITH dlive AS (SELECT * FROM documents WHERE NOT (doc_id % ${Similarity.DeleteMod} = ${Similarity.DeleteRem})),
+       |${duckBm25Ctes("dlive")}
+       |SELECT query_id, doc_id, round(CAST(score AS DOUBLE), 4) AS bm25, rank
+       |FROM bm25ranked WHERE rank <= $Bm25K""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val pid = ProcessHandle.current().pid()
+    val run = bm25DeleteRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_bm25delete/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_bm25delete", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+    val corpusDir = s"$root/docs"
+    (0 until 3).foreach { i =>
+      graft.streaming.StreamShardRouter.landBatch(
+        docs.filter(col("doc_id") % 3 === i), corpusDir, i.toLong)
+    }
+    graft.streaming.DeltaCompact.landTombstones(
+      docs.filter(col("doc_id") % Similarity.DeleteMod === Similarity.DeleteRem)
+        .select(col("doc_id")), corpusDir, 0L)
+    // maintenance fold: tombstones applied physically, then folded away
+    graft.streaming.DeltaCompact.compact(s, corpusDir,
+      tombstoneKey = Some("doc_id"))
+    val live = graft.streaming.DeltaCompact.readCorpus(s, corpusDir)
+      .select(col("doc_id"), col("text"))
+    // rebuild-from-survivors: the one deletion rule that keeps the capped
+    // index and its global stats exact (see the scaladoc)
+    bm25Serve(bm25Index(bm25Partial(bm25Postings(live))), live).localCheckpoint()
+  }
+
   /** BPE tokenizer-merge training as a Spark plan — the first `steps`
     * byte-pair-encoding merges learned from the corpus, the actual
     * algorithm behind GPT/Llama tokenizer vocabularies: count adjacent
@@ -1755,7 +1814,8 @@ object TextAnalysis {
     qTextStats, qTokenCount, qTokFertility, qQuality, qGopherRules, qLangId, qLangIdEval,
     qFingerprint,
     qDedupExact,
-    qHashSample, qTfidfTop, qBm25TopK, qBm25StreamTopK, qPiiScrub, qTextNormalize, qRepetition,
+    qHashSample, qTfidfTop, qBm25TopK, qBm25StreamTopK, qBm25Delete, qPiiScrub,
+    qTextNormalize, qRepetition,
     qChunkDocs, qBoilerplate, qSourceSample, qCorpusPipeline,
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
     qNbCalibration,

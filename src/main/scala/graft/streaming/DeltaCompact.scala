@@ -136,6 +136,69 @@ object DeltaCompact {
     assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf))
   }
 
+  // ---- tombstones: the DELETE half of the corpus lifecycle ----
+  //
+  // Deletes (takedowns, licensing revocations, opt-outs) arrive as key
+  // sets, not row rewrites — rewriting a multi-TB base per delete batch
+  // would be absurd. The protocol mirrors the delta discipline exactly:
+  //  * a delete batch LANDS as its own `_tombstones/batch=<id>/` parquet
+  //    (idempotent overwrite, same as data deltas);
+  //  * readers get EXACT logical deletion immediately — [[readCorpusLive]]
+  //    anti-joins the landed tombstone keys, whose volume is bounded by
+  //    compaction cadence, so the anti-join's build side stays broadcast
+  //    -sized by construction;
+  //  * the next [[compact]] applies them PHYSICALLY — the fold excludes
+  //    tombstoned rows from the new base, then GCs the applied tombstone
+  //    directories (after the manifest commit, like data-delta GC).
+  // Crash-safety falls out of idempotence: a crash between commit and
+  // tombstone-GC leaves tombstone files whose keys are already absent
+  // from the new base — re-applying an anti-join on absent keys is a
+  // no-op, so stale tombstones are harmless and swept by the next fold.
+
+  private def tombstoneRoot(outDir: String) = s"$outDir/_tombstones"
+
+  /** Land one tombstone delta: `keys` (the delete-key column(s) only,
+    * e.g. a single `doc_id`) under `_tombstones/batch=<id>/`. Overwrite
+    * -idempotent like [[StreamShardRouter.landBatch]]. Coalesced to one
+    * file: a delete batch is key-sized, not corpus-sized, and per-file
+    * constant costs dominate tiny writes. */
+  def landTombstones(keys: DataFrame, outDir: String, batchId: Long): String = {
+    val dir = s"${tombstoneRoot(outDir)}/batch=$batchId"
+    keys.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Tombstone batch ids currently landed (not yet folded away). */
+  def listTombstoneBatches(outDir: String,
+      conf: Configuration = new Configuration()): Seq[Long] =
+    listDeltaBatches(tombstoneRoot(outDir), conf)
+
+  /** All landed tombstone keys, or None when no delete has ever landed
+    * (schema is the caller's key schema, so an empty frame can't be
+    * conjured here). */
+  def readTombstones(spark: SparkSession, outDir: String): Option[DataFrame] = {
+    val ids = listTombstoneBatches(outDir, spark.sparkContext.hadoopConfiguration)
+    if (ids.isEmpty) None
+    else Some(ids.map(id => spark.read.parquet(s"${tombstoneRoot(outDir)}/batch=$id"))
+      .reduce(_ unionByName _))
+  }
+
+  /** The LIVE corpus: [[readCorpus]] minus every landed tombstone key —
+    * exact logical deletion the moment the tombstone lands, no base
+    * rewrite. `keyCol` names the delete key in both trees. The tombstone
+    * side is deduped and broadcast: its volume is bounded by compaction
+    * cadence (each fold clears it), the invariant that keeps this an
+    * O(corpus-scan) map-side anti-join rather than a shuffle. */
+  def readCorpusLive(spark: SparkSession, outDir: String,
+      keyCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    readTombstones(spark, outDir) match {
+      case None => readCorpus(spark, outDir)
+      case Some(ts) => readCorpus(spark, outDir)
+        .join(broadcast(ts.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+    }
+  }
+
   /** Fold every landed delta into the next base generation and commit.
     * Idempotent: compacting with no unfolded deltas rewrites the base
     * (a no-op fold) and re-commits. Returns the committed manifest.
@@ -152,11 +215,30 @@ object DeltaCompact {
     * or with the stream quiesced), the same single-maintainer discipline
     * a Delta-Lake-style log would enforce with optimistic locking. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
-      sortCols: Seq[String] = Nil): Manifest = {
+      sortCols: Seq[String] = Nil,
+      tombstoneKey: Option[String] = None): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val prev = readManifest(outDir, conf)
     val deltas = unfoldedDeltas(outDir, prev, conf)
-    val corpus = assemble(spark, outDir, prev, deltas)
+    // tombstone application: capture the landed tombstone batches ONCE
+    // (the delta-capture discipline — a delete landing mid-fold stays
+    // pending and applies logically via readCorpusLive until the next
+    // fold), exclude their keys from the new base, and GC exactly the
+    // captured batches after the commit. No manifest field needed: a
+    // crash between commit and tombstone-GC leaves tombstones whose
+    // keys the new base already lacks — re-application is a no-op.
+    val tsBatches = tombstoneKey.fold(Seq.empty[Long])(_ =>
+      listTombstoneBatches(outDir, conf))
+    val assembled = assemble(spark, outDir, prev, deltas)
+    val corpus = tombstoneKey match {
+      case Some(k) if tsBatches.nonEmpty =>
+        import org.apache.spark.sql.functions.broadcast
+        val ts = tsBatches
+          .map(id => spark.read.parquet(s"${tombstoneRoot(outDir)}/batch=$id"))
+          .reduce(_ unionByName _).select(k).distinct()
+        assembled.join(broadcast(ts), Seq(k), "left_anti")
+      case _ => assembled
+    }
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
     // step 1: the new base, one file per shard — repartition on the
@@ -186,6 +268,14 @@ object DeltaCompact {
     // generation) rather than by the captured lists, so orphans left by
     // a crash between a previous commit and its GC are also collected
     gcFolded(outDir, man, conf)
+    // applied tombstones fold away too: only the CAPTURED batches (a
+    // delete landed mid-fold was not applied and must survive to apply
+    // logically / at the next fold)
+    if (tsBatches.nonEmpty) {
+      val f = fs(outDir, conf)
+      tsBatches.foreach(id =>
+        f.delete(new Path(tombstoneRoot(outDir), s"batch=$id"), true))
+    }
     man
   }
 

@@ -73,13 +73,36 @@ object StreamLshIngest {
     * single batch build would produce (StreamLshCompactSpec pins this
     * against `q_knn_lsh`'s oracle-gated serve output). */
   def compactPostings(s: SparkSession, idxDir: String): DeltaCompact.Manifest =
-    DeltaCompact.compact(s, idxDir, numShards = NumDirKeys, sortCols = Seq("tb"))
+    DeltaCompact.compact(s, idxDir, numShards = NumDirKeys, sortCols = Seq("tb"),
+      // deletes apply physically at the fold: a tombstoned vector's
+      // posting rows (×tables of them) are excluded from the new base —
+      // exact for LSH because postings are pure per-vector expansions
+      // (nothing aggregated), so removal can never under-promote the way
+      // a capped aggregate would (contrast: the BM25 partial is NOT
+      // closed under deletion — see `q_bm25_delete`'s rebuild rationale)
+      tombstoneKey = Some("neighbor_id"))
 
   /** The posting corpus as of now (committed base + unfolded deltas) in
     * the serve schema — (tb, neighbor_id, embedding) plus the `tb_hi`
     * directory key for pruning. */
   def readPostings(s: SparkSession, idxDir: String): DataFrame =
     DeltaCompact.readCorpus(s, idxDir)
+      .select(col("shard_id").cast("long").as("tb_hi"), col("tb"),
+        col("neighbor_id"), col("embedding"))
+
+  /** Land a delete batch against the posting index: `ids` is a frame of
+    * `neighbor_id` keys. Serving picks it up immediately via
+    * [[readPostingsLive]]; the next [[compactPostings]] applies it
+    * physically and folds the tombstone away. */
+  def landTombstones(ids: DataFrame, idxDir: String, batchId: Long): String =
+    DeltaCompact.landTombstones(ids.select(col("neighbor_id")), idxDir, batchId)
+
+  /** [[readPostings]] minus tombstoned vectors — exact logical deletion
+    * (every posting row of a deleted vector drops, across all tables)
+    * with zero index rewrite; the anti-join's tombstone side is bounded
+    * by compaction cadence and broadcasts. */
+  def readPostingsLive(s: SparkSession, idxDir: String): DataFrame =
+    DeltaCompact.readCorpusLive(s, idxDir, keyCol = "neighbor_id")
       .select(col("shard_id").cast("long").as("tb_hi"), col("tb"),
         col("neighbor_id"), col("embedding"))
 }
