@@ -74,15 +74,20 @@ object Dedup {
         Portable.shingles(ws, col("text"), 3).as("sh"))
   }
 
-  private def duckShingles: String =
-    """SELECT doc_id, source,
+  /** The shingle CTE body over an arbitrary document relation — the
+    * persisted-index gate passes split CTEs; everything else takes the
+    * full table via [[duckShingles]]. */
+  private def duckShinglesOf(rel: String): String =
+    s"""SELECT doc_id, source,
       |    CASE WHEN len(words) >= 3
       |      THEN [words[i] || ' ' || words[i+1] || ' ' || words[i+2]
       |            for i in range(1, len(words)-1)]
       |      ELSE [lower(trim(text))] END AS sh
       |  FROM (SELECT doc_id, source, text,
-      |      string_split_regex(lower(trim(text)), '\s+') AS words
-      |    FROM documents)""".stripMargin
+      |      string_split_regex(lower(trim(text)), '\\s+') AS words
+      |    FROM $rel)""".stripMargin
+
+  private def duckShingles: String = duckShinglesOf("documents")
 
   private def duckHash60(e: String): String =
     s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
@@ -118,12 +123,18 @@ object Dedup {
 
   /** The 8 minhash signature components per document (the stage
     * [[qMinhashBands]] bands up and [[qMinhashJaccardEst]] audits). */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    sigsOf(withShingles(s, d))
+
+  /** [[minhashSigs]] over an arbitrary pre-shingled frame (doc_id, sh) —
+    * shared with the persisted-index build and its incoming-batch serve,
+    * which sign DIFFERENT document subsets through one definition. */
+  private def sigsOf(shingled: DataFrame): DataFrame = {
     // ONE fused native digest+slice call per shingle (Md5Slices) instead
     // of md5-to-hex plus 8 substring+conv base-16 parses; identical
     // values (Md5HashSpec pins parity with the conv formulation the
     // DuckDB oracle mirrors).
-    val hashed = withShingles(s, d)
+    val hashed = shingled
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"),
         Portable.minhashSlices(col("shingle"), NumHashes).as("sl"))
@@ -131,6 +142,11 @@ object Dedup {
       min(element_at(col("sl"), i + 1)).as(s"mh$i"))
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
+
+  /** (doc_id, sh) for an arbitrary documents frame (doc_id, text). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      Portable.shingles(Portable.words(col("text")), col("text"), 3).as("sh"))
 
   /** LSH candidate pairs: the bucket join on band keys. Empty when the
     * corpus has no near-duplicates (the oracle agrees on empty). */
@@ -846,10 +862,154 @@ object Dedup {
       .agg((max(col("n_hist")) > 0).as("is_dup"))
   }
 
+  // ---- persisted near-dup index: build-once / serve-many dedup -----------
+  //
+  // The production shape of "dedup the new crawl": the landed corpus is
+  // signed ONCE — its LSH band index persists as (band_id, bhash, doc_id,
+  // mh0..mh7) — and every incoming batch thereafter is checked against
+  // that artifact with zero corpus re-reads. The stored row is bucket
+  // membership (candidate generation) PLUS the full 8-component signature
+  // (index-only verification): at 100 TB the corpus TEXT never moves
+  // again — the index is ~100 bytes/doc regardless of document size, and
+  // serve cost is batch-sized signing + a bucket join + a signature
+  // compare. Est-Jaccard (agreeing components / 8) is the standard sketch
+  // verdict a pipeline acts on before any exact-verify fetch of the few
+  // survivor pairs ([[qMinhashJaccardEst]] is the audit that calibrates
+  // the threshold on this corpus).
+
+  /** Incoming-batch split rule for the persisted-dedup gate: doc_id ≡ 7
+    * (mod 10) plays the NEW CRAWL; the rest is the landed corpus. ONE
+    * definition interpolated into engine predicate and oracle SQL. */
+  private val IncomingMod = 10
+  private val IncomingRem = 7
+
+  /** Duplicate verdict threshold: ≥ 4 of 8 agreeing signature
+    * components ≈ Jaccard ≥ 0.5 (k/8 is binary-exact in both engines). */
+  private val NeardupMinEst = 0.5
+
+  private val neardupPersistDone = scala.collection.mutable.Set.empty[String]
+
+  private def mhNames: Seq[String] = (0 until NumHashes).map(i => s"mh$i")
+
+  /** Wide band columns from a signature frame — the [[qMinhashBands]]
+    * band rule (md5 of the band's two minhash components), shared by the
+    * index build and the incoming-batch serve. */
+  private def withBandCols(sigs: DataFrame): DataFrame =
+    sigs.select(
+      (col("doc_id") +: mhNames.map(col)) ++
+        (0 until Bands).map { b =>
+          md5(concat_ws("_", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
+            .as(s"band$b")
+        }: _*)
+
+  /** Unpivot wide bands to (doc_id, mh*, band_id, bhash) posting rows. */
+  private def bandsLong(wide: DataFrame): DataFrame =
+    wide.selectExpr(
+      (Seq("doc_id") ++ mhNames) :+
+        s"stack($Bands, ${(0 until Bands).map(b => s"$b, band$b").mkString(", ")}) AS (band_id, bhash)": _*)
+
+  /** Build-once half: sign the corpus, band it, cap each (band_id, bhash)
+    * bucket at [[MaxBucket]] (the [[qMinhashPairs]] skew rule — oversized
+    * buckets carry no near-dup signal and would expand quadratically),
+    * and land the posting rows range-partitioned + sorted on (band_id,
+    * bhash) so probe-side row-group min/max skipping works. Memoized per
+    * (data fingerprint, pid) like `ensureBm25Index`. */
+  private[graft] def ensureNeardupIndex(s: SparkSession, d: String): String = synchronized {
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_neardup/${Similarity.dataFingerprint(s"$d/documents.parquet")}_$pid"
+    if (!neardupPersistDone(dir)) {
+      GraftFunctions.register(s) // collectCapped — callers may arrive unregistered
+      TmpDirs.reap("/tmp/graft_neardup", pid, TmpDirs.pidSuffix)
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % IncomingMod =!= IncomingRem)
+        .select(col("doc_id"), col("text"))
+      val rows = bandsLong(withBandCols(sigsOf(shingled(corpus))))
+      rows.groupBy("band_id", "bhash")
+        .agg(GraftFunctions.collectCapped(
+          struct(col("doc_id") +: mhNames.map(col): _*), MaxBucket).as("docs"))
+        .filter(size(col("docs")).between(1, MaxBucket))
+        .select(col("band_id"), col("bhash"), explode(col("docs")).as("m"))
+        .select(col("band_id") +: col("bhash") +:
+          col("m.doc_id").as("doc_id") +: mhNames.map(n => col(s"m.$n").as(n)): _*)
+        .repartitionByRange(col("band_id"), col("bhash"))
+        .sortWithinPartitions("band_id", "bhash")
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      neardupPersistDone += dir
+    }
+    dir
+  }
+
+  /** Serve-many half as a gate: the incoming batch signs ITSELF (inherent
+    * batch-sized work), bucket-joins the landed index for candidates, and
+    * verdicts each incoming doc by its best est-Jaccard — never touching
+    * corpus text. The incoming side broadcasts here (a crawl batch is
+    * small next to the landed index); a corpus-sized backfill would drop
+    * the hint and let the (band_id, bhash) shuffle join ride the same
+    * bucket-capped bound. Oracle: the full pipeline over the split CTEs —
+    * corpus-side bucket cap included — so the persisted artifact is pinned
+    * to produce exactly what a single-pass build would. */
+  val qNeardupPersist: Q = Q(
+    "q_neardup_persist", {
+      val mh = (0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(", ")
+      val bands = (0 until Bands).map(b =>
+        s"md5(CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR)) AS band$b").mkString(", ")
+      def unpivot(src: String) = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS bhash FROM $src")
+        .mkString(" UNION ALL ")
+      val estSum = (0 until NumHashes).map(i =>
+        s"CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH corpus AS (SELECT * FROM documents WHERE NOT (doc_id % $IncomingMod = $IncomingRem)),
+         |incoming AS (SELECT * FROM documents WHERE doc_id % $IncomingMod = $IncomingRem),
+         |csh AS (${duckShinglesOf("corpus")}),
+         |cmh AS (SELECT doc_id, $mh FROM csh),
+         |cbands AS (SELECT doc_id, $bands FROM cmh),
+         |clong AS (${unpivot("cbands")}),
+         |clongc AS (SELECT doc_id, band_id, bhash FROM
+         |  (SELECT *, count(*) OVER (PARTITION BY band_id, bhash) AS bsz FROM clong)
+         |  WHERE bsz <= $MaxBucket),
+         |ish AS (${duckShinglesOf("incoming")}),
+         |imh AS (SELECT doc_id, $mh FROM ish),
+         |ibands AS (SELECT doc_id, $bands FROM imh),
+         |ilong AS (${unpivot("ibands")}),
+         |cand AS (SELECT DISTINCT i.doc_id AS in_doc, c.doc_id AS dup_of
+         |  FROM ilong i JOIN clongc c ON i.band_id = c.band_id AND i.bhash = c.bhash),
+         |est AS (SELECT cd.in_doc, cd.dup_of, ($estSum) / 8.0 AS est
+         |  FROM cand cd JOIN imh ma ON ma.doc_id = cd.in_doc
+         |  JOIN cmh mb ON mb.doc_id = cd.dup_of)
+         |SELECT doc_id, dup_of, est_jaccard FROM
+         |  (SELECT in_doc AS doc_id, dup_of, round(est, 4) AS est_jaccard,
+         |     row_number() OVER (PARTITION BY in_doc ORDER BY est DESC, dup_of) AS rn
+         |   FROM est WHERE est >= $NeardupMinEst)
+         |WHERE rn = 1""".stripMargin
+    }) { (s, d) =>
+    GraftFunctions.register(s)
+    val dir = ensureNeardupIndex(s, d)
+    val idx = s.read.parquet(s"$dir/bands")
+    val incoming = Tables.documents(s, d)
+      .filter(col("doc_id") % IncomingMod === IncomingRem)
+      .select(col("doc_id"), col("text"))
+    val probes = bandsLong(withBandCols(sigsOf(shingled(incoming))))
+      .select(col("doc_id").as("in_doc") +:
+        mhNames.map(n => col(n).as(s"i$n")) :+ col("band_id") :+ col("bhash"): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"imh$i") === col(s"mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val w = Window.partitionBy("in_doc")
+      .orderBy(col("est").desc, col("dup_of"))
+    idx.join(broadcast(probes), Seq("band_id", "bhash"))
+      .select(col("in_doc"), col("doc_id").as("dup_of"), (agree / lit(8.0)).as("est"))
+      .distinct()
+      .filter(col("est") >= NeardupMinEst)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("in_doc").as("doc_id"), col("dup_of"),
+        round(col("est"), 4).as("est_jaccard"))
+  }
+
   val all: Seq[Q] = Seq(
     qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
     qSimhash, qSimhashPairs, qSimhashPairs32,
     qDedupNear, qDedupClusters, qDedupClusterSizes, qCrossSourceDups,
     qDedupDegree, qContamination, qDedupKeepBest,
-    qDupSpanCoverage, qDupSpanRemoval, qIncrDedup)
+    qDupSpanCoverage, qDupSpanRemoval, qIncrDedup, qNeardupPersist)
 }

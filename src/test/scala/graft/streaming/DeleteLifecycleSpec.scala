@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 import graft.operators.Similarity
 
+
 /** The DELETE half of the persisted-index lifecycle, end to end:
   * tombstone deltas land like data deltas, serve drops the deleted keys
   * IMMEDIATELY (logical delete via the live read's anti-join), the next
