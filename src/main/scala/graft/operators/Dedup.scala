@@ -918,25 +918,58 @@ object Dedup {
     val pid = ProcessHandle.current().pid()
     val dir = s"/tmp/graft_neardup/${Similarity.dataFingerprint(s"$d/documents.parquet")}_$pid"
     if (!neardupPersistDone(dir)) {
-      GraftFunctions.register(s) // collectCapped — callers may arrive unregistered
       TmpDirs.reap("/tmp/graft_neardup", pid, TmpDirs.pidSuffix)
-      val corpus = Tables.documents(s, d)
-        .filter(col("doc_id") % IncomingMod =!= IncomingRem)
-        .select(col("doc_id"), col("text"))
-      val rows = bandsLong(withBandCols(sigsOf(shingled(corpus))))
-      rows.groupBy("band_id", "bhash")
-        .agg(GraftFunctions.collectCapped(
-          struct(col("doc_id") +: mhNames.map(col): _*), MaxBucket).as("docs"))
-        .filter(size(col("docs")).between(1, MaxBucket))
-        .select(col("band_id"), col("bhash"), explode(col("docs")).as("m"))
-        .select(col("band_id") +: col("bhash") +:
-          col("m.doc_id").as("doc_id") +: mhNames.map(n => col(s"m.$n").as(n)): _*)
-        .repartitionByRange(col("band_id"), col("bhash"))
-        .sortWithinPartitions("band_id", "bhash")
-        .write.mode("overwrite").parquet(s"$dir/bands")
+      buildNeardupIndex(
+        Tables.documents(s, d)
+          .filter(col("doc_id") % IncomingMod =!= IncomingRem)
+          .select(col("doc_id"), col("text")),
+        dir)
       neardupPersistDone += dir
     }
     dir
+  }
+
+  /** The build kernel over an ARBITRARY corpus frame (doc_id, text) —
+    * shared by the memoized gate build and the scale smoke, so the
+    * measured artifact is the served artifact. */
+  private[graft] def buildNeardupIndex(corpus: DataFrame, dir: String): Unit = {
+    GraftFunctions.register(corpus.sparkSession) // collectCapped
+    bandsLong(withBandCols(sigsOf(shingled(corpus))))
+      .groupBy("band_id", "bhash")
+      .agg(GraftFunctions.collectCapped(
+        struct(col("doc_id") +: mhNames.map(col): _*), MaxBucket).as("docs"))
+      .filter(size(col("docs")).between(1, MaxBucket))
+      .select(col("band_id"), col("bhash"), explode(col("docs")).as("m"))
+      .select(col("band_id") +: col("bhash") +:
+        col("m.doc_id").as("doc_id") +: mhNames.map(n => col(s"m.$n").as(n)): _*)
+      .repartitionByRange(col("band_id"), col("bhash"))
+      .sortWithinPartitions("band_id", "bhash")
+      .write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  /** The serve kernel over an ARBITRARY incoming batch (doc_id, text)
+    * against a landed index — "serve-many" made literal: the gate passes
+    * the split's incoming docs; production passes each crawl batch. */
+  private[graft] def neardupServe(s: SparkSession, indexDir: String,
+      incoming: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = s.read.parquet(s"$indexDir/bands")
+    val probes = bandsLong(withBandCols(sigsOf(shingled(incoming))))
+      .select(col("doc_id").as("in_doc") +:
+        mhNames.map(n => col(n).as(s"i$n")) :+ col("band_id") :+ col("bhash"): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"imh$i") === col(s"mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val w = Window.partitionBy("in_doc")
+      .orderBy(col("est").desc, col("dup_of"))
+    idx.join(broadcast(probes), Seq("band_id", "bhash"))
+      .select(col("in_doc"), col("doc_id").as("dup_of"), (agree / lit(8.0)).as("est"))
+      .distinct()
+      .filter(col("est") >= NeardupMinEst)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("in_doc").as("doc_id"), col("dup_of"),
+        round(col("est"), 4).as("est_jaccard"))
   }
 
   /** Serve-many half as a gate: the incoming batch signs ITSELF (inherent
@@ -982,28 +1015,10 @@ object Dedup {
          |   FROM est WHERE est >= $NeardupMinEst)
          |WHERE rn = 1""".stripMargin
     }) { (s, d) =>
-    GraftFunctions.register(s)
-    val dir = ensureNeardupIndex(s, d)
-    val idx = s.read.parquet(s"$dir/bands")
-    val incoming = Tables.documents(s, d)
-      .filter(col("doc_id") % IncomingMod === IncomingRem)
-      .select(col("doc_id"), col("text"))
-    val probes = bandsLong(withBandCols(sigsOf(shingled(incoming))))
-      .select(col("doc_id").as("in_doc") +:
-        mhNames.map(n => col(n).as(s"i$n")) :+ col("band_id") :+ col("bhash"): _*)
-    val agree = (0 until NumHashes)
-      .map(i => when(col(s"imh$i") === col(s"mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val w = Window.partitionBy("in_doc")
-      .orderBy(col("est").desc, col("dup_of"))
-    idx.join(broadcast(probes), Seq("band_id", "bhash"))
-      .select(col("in_doc"), col("doc_id").as("dup_of"), (agree / lit(8.0)).as("est"))
-      .distinct()
-      .filter(col("est") >= NeardupMinEst)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("in_doc").as("doc_id"), col("dup_of"),
-        round(col("est"), 4).as("est_jaccard"))
+    neardupServe(s, ensureNeardupIndex(s, d),
+      Tables.documents(s, d)
+        .filter(col("doc_id") % IncomingMod === IncomingRem)
+        .select(col("doc_id"), col("text")))
   }
 
   val all: Seq[Q] = Seq(

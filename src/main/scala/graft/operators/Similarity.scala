@@ -1490,7 +1490,7 @@ object Similarity {
     * `m0..m7`. Argmin is a HASH-aggregable graft_min_k AGGREGATE
     * (map-side combined, one exchange row per vector — the min_by
     * struct-ordering formulation planned SortAggregate; see ivfAssign). */
-  private def pqAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def pqAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val vd = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     val withD = vd.crossJoin(broadcast(cents))

@@ -116,4 +116,80 @@ object StreamAnnRefresh {
     DeltaCompact.readManifest(idxDir, s.sparkContext.hadoopConfiguration)
       .getOrElse(throw new IllegalStateException(
         s"no committed codebook generation under $idxDir — run refresh first"))
+
+  // ---- the PQ tier's refresh: re-pick entries, re-encode, cut over ----
+
+  /** PQ codebook entries per generation — 16 one-byte codes per
+    * subspace, the `q_knn_ivf_pq` geometry. */
+  val PqEntries = 16
+
+  /** Generation refresh for the PQ (memory-bounded) serving tier. The
+    * batch index quantizes against codebook entries DRAWN FROM the
+    * corpus; under distribution drift those entries stop covering the
+    * incoming vectors and the per-vector reconstruction error — PQ's
+    * drift audit, emitted by the assignment as m0..m7 — sags upward.
+    * This is what a pipeline does when that alert fires: re-pick the
+    * [[PqEntries]] codebook entries from a bounded deterministic
+    * reservoir of the landed corpus (the [[reservoir]] hash order makes
+    * replay retrain the identical codebook), re-encode EVERY vector's 8
+    * codes as the next generation — re-encoding is the retrain cost,
+    * one broadcast×16 distance pass per vector, the same shape as
+    * ingest encoding — and cut serving over atomically under the
+    * [[DeltaCompact]] manifest. Layout per generation:
+    * `base_gen=<g>/pq_codebook` + `base_gen=<g>/codes`. */
+  def refreshPq(s: SparkSession, corpusDir: String, idxDir: String,
+      sampleSize: Int = DefaultSampleSize): DeltaCompact.Manifest = {
+    GraftFunctions.register(s)
+    val conf = s.sparkContext.hadoopConfiguration
+    val batches = DeltaCompact.listDeltaBatches(corpusDir, conf)
+    require(batches.nonEmpty, s"no landed corpus batches under $corpusDir")
+    val corpus = batches
+      .map(id => s.read.parquet(s"$corpusDir/batch=$id"))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
+    // the new codebook: the PqEntries lowest-hash corpus vectors (the
+    // reservoir rule at k = entries), ranked by the same hash — uniform
+    // over the CURRENT distribution, deterministic under replay. The
+    // rank window sorts 16 rows.
+    val pcents = reservoir(corpus, PqEntries)
+      .withColumn("prio", Portable.hash60(col("vec_id").cast("string")))
+      .withColumn("cent_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("prio"), col("vec_id"))) - 1)
+      .select(col("cent_rank"),
+        transform(col("embedding"), _.cast("double")).as("c"))
+      .localCheckpoint()
+    val prev = DeltaCompact.readManifest(idxDir, conf)
+    val nextGen = prev.map(_.gen + 1).getOrElse(0L)
+    // step 1: the new generation, COMPLETELY, before any commit
+    pcents.write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen/pq_codebook")
+    graft.operators.Similarity.pqAssign(corpus, pcents)
+      .write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen/codes")
+    // step 2: atomic cut-over; step 3: predicate-sweep GC
+    val man = DeltaCompact.Manifest(nextGen, batches.max)
+    DeltaCompact.writeManifest(idxDir, man, conf)
+    DeltaCompact.gcFolded(idxDir, man, conf)
+    man
+  }
+
+  /** The SERVING PQ codebook — current generation per the manifest. */
+  def currentPqCodebook(s: SparkSession, idxDir: String): DataFrame = {
+    val man = committed(s, idxDir)
+    s.read.parquet(s"$idxDir/base_gen=${man.gen}/pq_codebook")
+  }
+
+  /** The SERVING code table (vec_id, cc0..cc7, m0..m7). */
+  def currentPqCodes(s: SparkSession, idxDir: String): DataFrame = {
+    val man = committed(s, idxDir)
+    s.read.parquet(s"$idxDir/base_gen=${man.gen}/codes")
+  }
+
+  /** The PQ drift audit: mean total reconstruction error of `emb`
+    * under `pcents` — the number that sags upward when the codebook
+    * stops fitting and recovers after [[refreshPq]]. */
+  def pqReconError(emb: DataFrame, pcents: DataFrame): Double = {
+    import org.apache.spark.sql.functions.avg
+    graft.operators.Similarity.pqAssign(emb, pcents)
+      .select(((0 until 8).map(i => col(s"m$i")).reduce(_ + _)).as("err"))
+      .agg(avg(col("err"))).head().getDouble(0)
+  }
 }
