@@ -92,9 +92,15 @@ object Bench {
     // without re-running old binaries: compare
     // (metric_r{N}/calib_r{N}) vs (metric_r{M}/calib_r{M}).
     val calibSec = {
+      // h is reduced mod a prime BEFORE the sum: raw xxhash64 values are
+      // full-range longs whose ANSI sum over 150M rows overflows or not
+      // depending on partial-aggregation ORDER (task scheduling) — a
+      // flaky crash, observed live. |sum| ≤ 150M × 1000003 « 2^63; the
+      // modulo is noise next to the hash, so the marker's cost is
+      // unchanged.
       def leg(): Double = time(force(
         spark.range(0L, 150000000L, 1L, 32)
-          .selectExpr("xxhash64(id) % 997 AS k", "xxhash64(id + 1) AS h")
+          .selectExpr("xxhash64(id) % 997 AS k", "xxhash64(id + 1) % 1000003 AS h")
           .groupBy("k").agg(org.apache.spark.sql.functions.sum(
             org.apache.spark.sql.functions.col("h")).as("s"))))
       leg() // warm the plan; the marker is the min of two measured legs

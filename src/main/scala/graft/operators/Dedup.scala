@@ -947,14 +947,32 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/bands")
   }
 
+  /** One document frame's signature posting rows — (doc_id, mh0..mh7,
+    * band_id, bhash), the near-dup index's row format. Shared by the
+    * batch build, the serve probes, and the streaming ingest's per-batch
+    * delta landing. */
+  private[graft] def signatureRows(docs: DataFrame): DataFrame =
+    bandsLong(withBandCols(sigsOf(shingled(docs))))
+
+  /** Shard count for the streamed signature index's delta/fold layout
+    * (= band count: the serve join's leading key). */
+  private[graft] val NeardupShards = Bands
+
   /** The serve kernel over an ARBITRARY incoming batch (doc_id, text)
     * against a landed index — "serve-many" made literal: the gate passes
     * the split's incoming docs; production passes each crawl batch. */
   private[graft] def neardupServe(s: SparkSession, indexDir: String,
+      incoming: DataFrame): DataFrame =
+    neardupServeIndex(s.read.parquet(s"$indexDir/bands"), incoming)
+
+  /** [[neardupServe]] with the index supplied as a frame — the streamed
+    * variant serves off a [[graft.streaming.DeltaCompact]] tree (base +
+    * unfolded deltas, tombstones anti-joined) through this same kernel. */
+  private[graft] def neardupServeIndex(idx: DataFrame,
       incoming: DataFrame): DataFrame = {
+    val s = incoming.sparkSession
     GraftFunctions.register(s)
-    val idx = s.read.parquet(s"$indexDir/bands")
-    val probes = bandsLong(withBandCols(sigsOf(shingled(incoming))))
+    val probes = signatureRows(incoming)
       .select(col("doc_id").as("in_doc") +:
         mhNames.map(n => col(n).as(s"i$n")) :+ col("band_id") :+ col("bhash"): _*)
     val agree = (0 until NumHashes)
@@ -1021,10 +1039,77 @@ object Dedup {
         .select(col("doc_id"), col("text")))
   }
 
+  /** Crawl batches in the streamed-dedup gate (batch of doc = doc_id
+    * mod this — deterministic membership AND order, interpolated into
+    * the oracle's earlier-batch predicate). */
+  private val StreamBatches = 4
+
+  private val neardupStreamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The streamed crawl-dedup loop as ONE oracle gate: the corpus
+    * replayed as [[StreamBatches]] ordered batches through
+    * [[graft.streaming.StreamNeardupIngest.ingestStep]] — each batch
+    * verdicted against everything crawled BEFORE it (dedup-before-index),
+    * then indexed itself; the signature index generation-folded MID-RUN
+    * (after batch 1) to pin fold-transparency inside the gate. The
+    * oracle is the whole history in one closed form: a doc's best
+    * earlier-batch match with est ≥ threshold — exactly what the
+    * sequential replay accumulates, because the index-as-of-batch-k IS
+    * the earlier-batch predicate. The serve joins the raw signature
+    * index (no bucket cap): at gate scales no band bucket approaches
+    * [[MaxBucket]], so the oracle stays closed-form; a skew-prone corpus
+    * would apply the batch build's bucket-drop rule as an AGGREGATING
+    * fold in `compactIndex` (the `StreamBm25Ingest.compactIndex`
+    * precedent). */
+  val qNeardupStream: Q = Q(
+    "q_neardup_stream", {
+      val mh = (0 until NumHashes).map(i => s"${duckMinhash(i)} AS mh$i").mkString(", ")
+      val bands = (0 until Bands).map(b =>
+        s"md5(CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR)) AS band$b").mkString(", ")
+      val unpivot = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band_id, band$b AS bhash FROM bandsw")
+        .mkString(" UNION ALL ")
+      val estSum = (0 until NumHashes).map(i =>
+        s"CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh AS ($duckShingles),
+         |mh AS (SELECT doc_id, $mh FROM sh),
+         |bandsw AS (SELECT doc_id, $bands FROM mh),
+         |long AS ($unpivot),
+         |cand AS (SELECT DISTINCT a.doc_id AS in_doc, b.doc_id AS dup_of
+         |  FROM long a JOIN long b ON a.band_id = b.band_id AND a.bhash = b.bhash
+         |    AND (b.doc_id % $StreamBatches) < (a.doc_id % $StreamBatches)),
+         |est AS (SELECT cd.in_doc, cd.dup_of, ($estSum) / 8.0 AS est
+         |  FROM cand cd JOIN mh ma ON ma.doc_id = cd.in_doc
+         |  JOIN mh mb ON mb.doc_id = cd.dup_of)
+         |SELECT doc_id, dup_of, est_jaccard FROM
+         |  (SELECT in_doc AS doc_id, dup_of, round(est, 4) AS est_jaccard,
+         |     row_number() OVER (PARTITION BY in_doc ORDER BY est DESC, dup_of) AS rn
+         |   FROM est WHERE est >= $NeardupMinEst)
+         |WHERE rn = 1""".stripMargin
+    }) { (s, d) =>
+    GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val pid = ProcessHandle.current().pid()
+    val run = neardupStreamRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_neardupstream/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_neardupstream", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+    val idx = s"$root/idx"
+    val verdicts = (0 until StreamBatches).map { k =>
+      val v = graft.streaming.StreamNeardupIngest.ingestStep(
+        docs.filter(col("doc_id") % StreamBatches === k), idx, k.toLong)
+      if (k == 1) { graft.streaming.StreamNeardupIngest.compactIndex(s, idx); () }
+      v // already eagerly checkpointed by ingestStep
+    }
+    verdicts.reduce(_ unionByName _)
+  }
+
   val all: Seq[Q] = Seq(
     qMinhashBands, qMinhashPairs, qMinhashJaccardEst, qNgramJaccard,
     qSimhash, qSimhashPairs, qSimhashPairs32,
     qDedupNear, qDedupClusters, qDedupClusterSizes, qCrossSourceDups,
     qDedupDegree, qContamination, qDedupKeepBest,
-    qDupSpanCoverage, qDupSpanRemoval, qIncrDedup, qNeardupPersist)
+    qDupSpanCoverage, qDupSpanRemoval, qIncrDedup, qNeardupPersist,
+    qNeardupStream)
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The streamed crawl-dedup loop — dedup-BEFORE-index, micro-batch by
+  * micro-batch: each incoming batch is verdicted against the landed
+  * signature index (everything crawled before it), then lands its OWN
+  * signature rows as a delta generation so later batches can match it.
+  * This is the production shape of continuous corpus construction: the
+  * crawl never stops, the index never rebuilds, and every document is
+  * checked against the full history at batch cost.
+  *
+  * Index rows are [[graft.operators.Dedup.signatureRows]] — (doc_id,
+  * mh0..mh7, band_id, bhash), ~100 bytes/doc — landed under
+  * [[DeltaCompact]]'s protocol (`batch=<id>` deltas, overwrite-
+  * idempotent), folded by [[compactIndex]] at maintenance cadence, and
+  * deletable via [[DeltaCompact.landTombstones]] (a taken-down document
+  * must stop matching future crawls — the tombstone anti-join removes
+  * its signatures from every subsequent serve, and the next fold
+  * removes them physically).
+  *
+  * ALL batch rows index, flagged or not: a later near-dup of a FLAGGED
+  * document must still match it (the cluster's representative is a
+  * downstream keep-best decision, not an index-membership one).
+  *
+  * Scale shape per batch: signing is a narrow map + one doc_id hash
+  * aggregate over the BATCH; the serve join's corpus side is the
+  * signature index (never corpus text); the delta write is one
+  * band-partitioned exchange of batch-sized rows. History is re-touched
+  * only by the fold, at cadence. */
+object StreamNeardupIngest {
+
+  /** One crawl micro-batch: verdict `batch` (doc_id, text) against the
+    * index as of the batches BEFORE it, then land the batch's signature
+    * delta. Returns the verdicts (doc_id, dup_of, est_jaccard), one row
+    * per flagged incoming doc. The verdicts are MATERIALIZED (eager
+    * checkpoint) before the batch's own delta lands — a lazy plan would
+    * otherwise read the index after the append and match the batch
+    * against itself. */
+  def ingestStep(batch: DataFrame, idxDir: String, batchId: Long): DataFrame = {
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val hasIndex = DeltaCompact.readManifest(idxDir, conf).nonEmpty ||
+      DeltaCompact.listDeltaBatches(idxDir, conf).nonEmpty
+    val verdicts =
+      if (!hasIndex)
+        // first batch ever: nothing can precede it — empty verdict frame
+        // in the serve schema
+        batch.select(col("doc_id"), col("doc_id").as("dup_of"),
+          lit(0d).as("est_jaccard")).limit(0).localCheckpoint()
+      else
+        graft.operators.Dedup.neardupServeIndex(readIndex(s, idxDir), batch)
+          .localCheckpoint()
+    landSignatureDelta(batch, idxDir, batchId)
+    verdicts
+  }
+
+  /** Land one batch's signature rows as a delta in the serve layout:
+    * `shard_id = band_id` (the serve join's leading key), bhash-sorted
+    * within each shard file for row-group skipping, overwrite-idempotent
+    * `batch=<id>` directory. */
+  def landSignatureDelta(batch: DataFrame, idxDir: String, batchId: Long): String = {
+    val dir = s"$idxDir/batch=$batchId"
+    graft.operators.Dedup.signatureRows(batch)
+      .withColumn("shard_id", col("band_id"))
+      .repartition(col("shard_id"))
+      // shard_id leads the sort: the dynamic-partition writer's required
+      // ordering (the DeltaCompact sortCols contract)
+      .sortWithinPartitions("shard_id", "bhash")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+    dir
+  }
+
+  /** The signature index as of now: committed base + unfolded deltas,
+    * minus tombstoned doc_ids — deleted documents stop matching the
+    * moment their tombstone lands. */
+  def readIndex(s: SparkSession, idxDir: String): DataFrame =
+    DeltaCompact.readCorpusLive(s, idxDir, keyCol = "doc_id").drop("shard_id")
+
+  /** Generation fold for the signature index — a PLAIN union-repartition
+    * fold (signature rows are pure per-doc expansions, so the fold is
+    * verdict-transparent: serve pre-fold ≡ serve post-fold), with
+    * tombstones applied physically. */
+  def compactIndex(s: SparkSession, idxDir: String): DeltaCompact.Manifest =
+    DeltaCompact.compact(s, idxDir,
+      numShards = graft.operators.Dedup.NeardupShards,
+      sortCols = Seq("bhash"), tombstoneKey = Some("doc_id"))
+}
