@@ -109,15 +109,29 @@ object DeltaCompact {
       .sorted
   }
 
+  /** Sequence-number column tagged onto assembled rows: the batch id a
+    * row landed in (base rows carry the base's fold watermark — every
+    * base row came from a batch at-or-under it). Tombstones apply only
+    * to rows with sequence ≤ the tombstone's watermark — the
+    * Iceberg-sequence-number / Delta-deletion-vector rule that makes
+    * DELETE-then-REINGEST correct: a re-crawled key landed AFTER its
+    * deletion is a new row, not a resurrected one, and must survive. */
+  private val WmCol = "__graft_wm"
+  private val TsWmCol = "__graft_ts_wm"
+
   /** ONE definition of "the corpus as of (manifest, deltaIds)": committed
     * base (if any) + exactly the given delta batches, schema-aligned by
-    * name. Shared by [[readCorpus]] and [[compact]] so the data the fold
-    * writes can never diverge from the data readers see. */
+    * name, each row tagged with its landing sequence ([[WmCol]]). Shared
+    * by [[readCorpus]] and [[compact]] so the data the fold writes can
+    * never diverge from the data readers see. */
   private def assemble(spark: SparkSession, outDir: String,
       man: Option[Manifest], deltaIds: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val parts =
-      man.map(m => spark.read.parquet(s"$outDir/base_gen=${m.gen}")).toSeq ++
-        deltaIds.map(id => spark.read.parquet(s"$outDir/batch=$id"))
+      man.map(m => spark.read.parquet(s"$outDir/base_gen=${m.gen}")
+        .withColumn(WmCol, lit(m.maxFoldedBatch))).toSeq ++
+        deltaIds.map(id => spark.read.parquet(s"$outDir/batch=$id")
+          .withColumn(WmCol, lit(id)))
     require(parts.nonEmpty, s"no landed data under $outDir")
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
   }
@@ -133,7 +147,7 @@ object DeltaCompact {
   def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val man = readManifest(outDir, conf)
-    assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf))
+    assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf)).drop(WmCol)
   }
 
   // ---- tombstones: the DELETE half of the corpus lifecycle ----
@@ -161,10 +175,24 @@ object DeltaCompact {
     * e.g. a single `doc_id`) under `_tombstones/batch=<id>/`. Overwrite
     * -idempotent like [[StreamShardRouter.landBatch]]. Coalesced to one
     * file: a delete batch is key-sized, not corpus-sized, and per-file
-    * constant costs dominate tiny writes. */
+    * constant costs dominate tiny writes.
+    *
+    * Each tombstone carries its WATERMARK — the highest data batch
+    * landed at delete time — and applies only to rows that landed
+    * at-or-under it: "delete this key as it exists NOW". A re-ingest of
+    * the key in a LATER batch survives (the sequence rule above), which
+    * is what makes delete-then-recrawl upserts correct instead of
+    * permanently suppressing the key until a fold happens to clear the
+    * tombstone. */
   def landTombstones(keys: DataFrame, outDir: String, batchId: Long): String = {
+    import org.apache.spark.sql.functions.lit
+    val conf = keys.sparkSession.sparkContext.hadoopConfiguration
+    val wm = (listDeltaBatches(outDir, conf) ++
+      readManifest(outDir, conf).map(_.maxFoldedBatch))
+      .foldLeft(-1L)(math.max)
     val dir = s"${tombstoneRoot(outDir)}/batch=$batchId"
-    keys.coalesce(1).write.mode("overwrite").parquet(dir)
+    keys.withColumn(TsWmCol, lit(wm))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
     dir
   }
 
@@ -173,9 +201,9 @@ object DeltaCompact {
       conf: Configuration = new Configuration()): Seq[Long] =
     listDeltaBatches(tombstoneRoot(outDir), conf)
 
-  /** All landed tombstone keys, or None when no delete has ever landed
-    * (schema is the caller's key schema, so an empty frame can't be
-    * conjured here). */
+  /** All landed tombstone keys (+ their watermarks), or None when no
+    * delete has ever landed (schema is the caller's key schema, so an
+    * empty frame can't be conjured here). */
   def readTombstones(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val ids = listTombstoneBatches(outDir, spark.sparkContext.hadoopConfiguration)
     if (ids.isEmpty) None
@@ -183,19 +211,36 @@ object DeltaCompact {
       .reduce(_ unionByName _))
   }
 
-  /** The LIVE corpus: [[readCorpus]] minus every landed tombstone key —
-    * exact logical deletion the moment the tombstone lands, no base
-    * rewrite. `keyCol` names the delete key in both trees. The tombstone
-    * side is deduped and broadcast: its volume is bounded by compaction
-    * cadence (each fold clears it), the invariant that keeps this an
-    * O(corpus-scan) map-side anti-join rather than a shuffle. */
+  /** Anti-join `tagged` (a [[WmCol]]-tagged corpus) against the landed
+    * tombstones under the sequence rule: a row dies iff some tombstone
+    * names its key with watermark ≥ the row's landing sequence. The
+    * tombstone side keeps MAX watermark per key (a later re-delete
+    * re-kills), is broadcast (bounded by fold cadence), and the
+    * watermark comparison rides the broadcast hash join as a residual
+    * condition — still one map-side probe, zero extra exchanges. */
+  private def antiTombstoned(tagged: DataFrame, ts: DataFrame,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, max}
+    val t = ts.groupBy(col(keyCol).as("__graft_ts_key"))
+      .agg(max(col(TsWmCol)).as(TsWmCol))
+    tagged.join(broadcast(t),
+      tagged(keyCol) === t("__graft_ts_key") &&
+        tagged(WmCol) <= t(TsWmCol),
+      "left_anti")
+  }
+
+  /** The LIVE corpus: [[readCorpus]] minus tombstoned rows — exact
+    * logical deletion the moment a tombstone lands, no base rewrite,
+    * re-ingests after a delete correctly visible (the sequence rule on
+    * [[landTombstones]]). `keyCol` names the delete key in both trees. */
   def readCorpusLive(spark: SparkSession, outDir: String,
       keyCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val man = readManifest(outDir, conf)
+    val tagged = assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf))
     readTombstones(spark, outDir) match {
-      case None => readCorpus(spark, outDir)
-      case Some(ts) => readCorpus(spark, outDir)
-        .join(broadcast(ts.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+      case None => tagged.drop(WmCol)
+      case Some(ts) => antiTombstoned(tagged, ts, keyCol).drop(WmCol)
     }
   }
 
@@ -229,16 +274,24 @@ object DeltaCompact {
     // keys the new base already lacks — re-application is a no-op.
     val tsBatches = tombstoneKey.fold(Seq.empty[Long])(_ =>
       listTombstoneBatches(outDir, conf))
+    // a fold that IGNORES pending tombstones would bump the folded rows'
+    // sequence ([[WmCol]] = the new watermark) past every pending
+    // tombstone's, silently resurrecting deleted keys — refuse loudly
+    require(tombstoneKey.nonEmpty || listTombstoneBatches(outDir, conf).isEmpty,
+      s"pending tombstones under $outDir but compact() was called without " +
+        "tombstoneKey — the fold would resurrect deleted rows")
     val assembled = assemble(spark, outDir, prev, deltas)
-    val corpus = tombstoneKey match {
+    val corpus = (tombstoneKey match {
       case Some(k) if tsBatches.nonEmpty =>
-        import org.apache.spark.sql.functions.broadcast
         val ts = tsBatches
           .map(id => spark.read.parquet(s"${tombstoneRoot(outDir)}/batch=$id"))
-          .reduce(_ unionByName _).select(k).distinct()
-        assembled.join(broadcast(ts), Seq(k), "left_anti")
+          .reduce(_ unionByName _)
+        // sequence-aware application (see antiTombstoned): a key
+        // re-ingested in a batch AFTER its delete folds into the new
+        // base; only at-or-under-watermark rows are excluded
+        antiTombstoned(assembled, ts, k)
       case _ => assembled
-    }
+    }).drop(WmCol)
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
     // step 1: the new base, one file per shard — repartition on the

@@ -89,6 +89,49 @@ class DeleteLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("sequence rule: a key re-ingested AFTER its delete survives; at-or-before rows die") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val idx = Files.createTempDirectory("graft_del_seq").toFile.getAbsolutePath
+    def vec(id: Long) = (id, Array.tabulate(64)(j => ((id + j) % 7).toFloat / 7f))
+    val batch0 = Seq(vec(1L), vec(2L)).toDF("vec_id", "embedding")
+    try {
+      StreamLshIngest.landPostingsDelta(Similarity.lshPostings(batch0), idx, 0L)
+      // delete vec 1 "as it exists now" (watermark = batch 0)
+      StreamLshIngest.landTombstones(
+        Seq(1L).toDF("neighbor_id"), idx, 0L)
+      assert(StreamLshIngest.readPostingsLive(s, idx)
+        .filter(col("neighbor_id") === 1L).count() === 0)
+
+      // the re-crawl: vec 1 lands again in a LATER batch — the sequence
+      // rule says the old tombstone must NOT suppress the new rows
+      val recrawl = Seq(vec(1L)).toDF("vec_id", "embedding")
+      StreamLshIngest.landPostingsDelta(Similarity.lshPostings(recrawl), idx, 1L)
+      val perVec = Similarity.lshPostings(batch0).filter(col("neighbor_id") === 1L).count()
+      val live = StreamLshIngest.readPostingsLive(s, idx)
+      assert(live.filter(col("neighbor_id") === 1L).count() === perVec,
+        "re-ingested key must be visible exactly once (new rows, not old)")
+      assert(live.filter(col("neighbor_id") === 2L).count() === perVec)
+
+      // the fold folds the re-ingested rows into the base and drops only
+      // the at-or-before-watermark ones; tombstone GC'd
+      StreamLshIngest.compactPostings(s, idx)
+      assert(DeltaCompact.listTombstoneBatches(idx).isEmpty)
+      val folded = StreamLshIngest.readPostings(s, idx)
+      assert(folded.filter(col("neighbor_id") === 1L).count() === perVec)
+
+      // and a fold that would IGNORE pending tombstones refuses loudly
+      StreamLshIngest.landTombstones(Seq(2L).toDF("neighbor_id"), idx, 1L)
+      val e = intercept[IllegalArgumentException] {
+        DeltaCompact.compact(s, idx, numShards = 1)
+      }
+      assert(e.getMessage.contains("resurrect"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    }
+  }
+
   test("BM25 delete gate: no deleted doc serves, as query or result; live query count") {
     val s = spark
     val out = graft.SparkEntry.queries("q_bm25_delete")(s, sf).localCheckpoint()
