@@ -623,8 +623,66 @@ object Features {
         count(lit(1)).as("n_types"))
   }
 
+  /** The streamed sibling of [[qMergeUpsert]]: a CDC log applied
+    * micro-batch by micro-batch through
+    * [[graft.streaming.StreamCdcApply]] — merge-on-read over the
+    * delta/tombstone tree instead of a per-batch snapshot rewrite. The
+    * log derives from `orders`: seq = o_orderkey (the CDC sequence),
+    * key = o_custkey (so most keys carry MANY versions — ~10 ops/key at
+    * sf0.01), op = delete for every 11th seq else upsert, payload =
+    * the rounded total price. Batches are the log's 4 seq-ordered
+    * quartiles (ntile is gate plumbing — production batching IS the
+    * stream order); each batch is resolved to last-op-per-key (one
+    * batch-sized window), applied (tombstone priors at watermark b−1,
+    * land upserts), and the table generation-folds MID-RUN after batch
+    * 2. The oracle is the closed form the whole machinery must equal:
+    * per key, the op with the highest seq wins; deletes leave no row.
+    * Batch boundaries, fold timing, tombstone sequencing — none of it
+    * may change a bit of the final table. */
+  val qCdcStream: Q = Q(
+    "q_cdc_stream",
+    """WITH log AS (SELECT o_orderkey AS seq, o_custkey AS k,
+      |    round(o_totalprice, 2) AS v,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders),
+      |last AS (SELECT k, v, op,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM log)
+      |SELECT k AS cust_key, v AS val FROM last
+      |WHERE rn = 1 AND op = 'U'""".stripMargin) { (s, d) =>
+    val pid = ProcessHandle.current().pid()
+    val run = cdcRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_cdcstream/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_cdcstream", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+    val dir = s"$root/table"
+    val log = Tables.orders(s, d).select(
+      col("o_orderkey").as("seq"), col("o_custkey").as("doc_id"),
+      round(col("o_totalprice"), 2).as("v"),
+      when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"))
+    val byBatch = log.withColumn("b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("seq"))))
+      .localCheckpoint()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("seq").desc)
+    (1 to 4).foreach { b =>
+      val resolved = byBatch.filter(col("b") === b)
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("op"), col("v"))
+      graft.streaming.StreamCdcApply.applyBatch(resolved, dir, b.toLong)
+      if (b == 2) { graft.streaming.StreamCdcApply.compactTable(s, dir); () }
+    }
+    graft.streaming.StreamCdcApply.currentTable(s, dir)
+      .select(col("doc_id").as("cust_key"), col("v").as("val"))
+      .localCheckpoint()
+  }
+
+  private val cdcRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
   val all: Seq[Q] =
     Seq(qMergeUpsert, qSnapshotDiff, qTimeDecay, qOutliers, qCharEntropy,
       qHeavyHitters, qHeavyHittersCms, qQualityGate, qQuantileBins, qQuantileBinsApprox,
-      qPmiCooc, qTypeDrift)
+      qPmiCooc, qTypeDrift, qCdcStream)
 }

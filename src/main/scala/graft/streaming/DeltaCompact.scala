@@ -184,12 +184,19 @@ object DeltaCompact {
     * is what makes delete-then-recrawl upserts correct instead of
     * permanently suppressing the key until a fold happens to clear the
     * tombstone. */
-  def landTombstones(keys: DataFrame, outDir: String, batchId: Long): String = {
+  def landTombstones(keys: DataFrame, outDir: String, batchId: Long,
+      watermark: Option[Long] = None): String = {
     import org.apache.spark.sql.functions.lit
     val conf = keys.sparkSession.sparkContext.hadoopConfiguration
-    val wm = (listDeltaBatches(outDir, conf) ++
-      readManifest(outDir, conf).map(_.maxFoldedBatch))
-      .foldLeft(-1L)(math.max)
+    // explicit watermark: callers whose deletes logically precede a known
+    // batch (the CDC apply: "invalidate everything before MY batch") must
+    // pin it — recomputing at a crash-replayed re-land, AFTER the batch's
+    // own data landed, would raise the watermark over the batch's own rows
+    // and delete them
+    val wm = watermark.getOrElse(
+      (listDeltaBatches(outDir, conf) ++
+        readManifest(outDir, conf).map(_.maxFoldedBatch))
+        .foldLeft(-1L)(math.max))
     val dir = s"${tombstoneRoot(outDir)}/batch=$batchId"
     keys.withColumn(TsWmCol, lit(wm))
       .coalesce(1).write.mode("overwrite").parquet(dir)
