@@ -681,8 +681,59 @@ object Features {
 
   private val cdcRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Snapshot retention + time travel over the landed corpus — the
+    * reproducibility primitive a training pipeline needs: "train on the
+    * corpus EXACTLY as it was at snapshot g" long after ingestion moved
+    * on. The gate lands 4 seq-ordered batches, folds after batch 2
+    * (snapshot gen 0), lands two more, folds again with
+    * `retainSnapshots = 1` (gen 1 current, gen 0 retained + readable),
+    * and emits BOTH views labeled: the oracle's closed forms are "rows
+    * of batches ≤ 2" for the snapshot and "all rows" for current —
+    * so retention, the manifest's history field, and the as-of read are
+    * all hash-checked. GC keeps exactly {current} ∪ retained (specced);
+    * at 100 TB retention is the familiar storage-for-reproducibility
+    * trade every table format makes. */
+  val qTimeTravel: Q = Q(
+    "q_time_travel",
+    """WITH log AS (SELECT o_orderkey AS seq, o_custkey AS k,
+      |    round(o_totalprice, 2) AS v,
+      |    ntile(4) OVER (ORDER BY o_orderkey) AS b
+      |  FROM orders)
+      |SELECT 'snap0' AS snap, seq, k AS cust_key, v AS val FROM log WHERE b <= 2
+      |UNION ALL
+      |SELECT 'current' AS snap, seq, k AS cust_key, v AS val FROM log""".stripMargin) { (s, d) =>
+    val pid = ProcessHandle.current().pid()
+    val run = cdcRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_timetravel/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_timetravel", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+    val dir = s"$root/table"
+    val log = Tables.orders(s, d).select(
+      col("o_orderkey").as("doc_id"), col("o_custkey").as("k"),
+      round(col("o_totalprice"), 2).as("v"))
+    val byBatch = log.withColumn("b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      .localCheckpoint()
+    def land(b: Int): Unit = {
+      graft.streaming.StreamShardRouter.landBatch(
+        byBatch.filter(col("b") === b).drop("b"), dir, b.toLong)
+      ()
+    }
+    land(1); land(2)
+    graft.streaming.DeltaCompact.compact(s, dir) // gen 0, watermark 2
+    land(3); land(4)
+    graft.streaming.DeltaCompact.compact(s, dir, retainSnapshots = 1) // gen 1
+    def shape(df: org.apache.spark.sql.DataFrame, snap: String) =
+      df.select(lit(snap).as("snap"), col("doc_id").as("seq"),
+        col("k").as("cust_key"), col("v").as("val"))
+    shape(graft.streaming.DeltaCompact.readCorpusAsOf(s, dir, 0L), "snap0")
+      .unionByName(shape(graft.streaming.DeltaCompact.readCorpus(s, dir), "current"))
+      .localCheckpoint()
+  }
+
   val all: Seq[Q] =
     Seq(qMergeUpsert, qSnapshotDiff, qTimeDecay, qOutliers, qCharEntropy,
       qHeavyHitters, qHeavyHittersCms, qQualityGate, qQuantileBins, qQuantileBinsApprox,
-      qPmiCooc, qTypeDrift, qCdcStream)
+      qPmiCooc, qTypeDrift, qCdcStream, qTimeTravel)
 }

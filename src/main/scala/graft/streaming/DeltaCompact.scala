@@ -48,9 +48,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `q_stream_ann_compact` gate and [[graft.streaming]] specs. */
 object DeltaCompact {
 
-  /** The committed compaction state: current base generation and the
-    * highest batch id folded into it. */
-  final case class Manifest(gen: Long, maxFoldedBatch: Long)
+  /** The committed compaction state: current base generation, the
+    * highest batch id folded into it, and the RETAINED older snapshots
+    * (gen, maxFoldedBatch) — newest last. Retained generations survive
+    * GC and serve [[readCorpusAsOf]] time travel; the default retention
+    * of 0 keeps the original keep-only-current behavior. */
+  final case class Manifest(gen: Long, maxFoldedBatch: Long,
+      history: Seq[(Long, Long)] = Nil)
 
   private def manifestPath(outDir: String) = new Path(outDir, "_compaction.json")
 
@@ -69,13 +73,21 @@ object DeltaCompact {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in),
           StandardCharsets.UTF_8)
         finally in.close()
+      // the history array is cut out FIRST so the top-level gen /
+      // maxFoldedBatch fields are parsed from the remainder only
+      val histRe = """"history"\s*:\s*\[([^\]]*)\]""".r
+      val hist = histRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val top = histRe.replaceFirstIn(s, "")
       def field(k: String): Long = {
-        val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+        val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(top)
           .getOrElse(throw new IllegalStateException(
             s"corrupt compaction manifest $p: missing $k in $s"))
         m.group(1).toLong
       }
-      Some(Manifest(field("gen"), field("maxFoldedBatch")))
+      val history = """\{"gen":(\d+),"maxFoldedBatch":(-?\d+)\}""".r
+        .findAllMatchIn(hist)
+        .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+      Some(Manifest(field("gen"), field("maxFoldedBatch"), history))
     }
   }
 
@@ -84,7 +96,12 @@ object DeltaCompact {
     * that a plain union-repartition can't express. */
   private[streaming] def writeManifest(outDir: String, m: Manifest,
       conf: Configuration = new Configuration()): Unit = {
-    val json = s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}}"""
+    val hist =
+      if (m.history.isEmpty) ""
+      else m.history
+        .map { case (g, w) => s"""{"gen":$g,"maxFoldedBatch":$w}""" }
+        .mkString(""","history":[""", ",", "]")
+    val json = s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}$hist}"""
     val tmp = new Path(outDir, s"_compaction.json.tmp.${System.nanoTime()}")
     val f = fs(outDir, conf)
     val out = f.create(tmp, true)
@@ -268,7 +285,8 @@ object DeltaCompact {
     * a Delta-Lake-style log would enforce with optimistic locking. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
       sortCols: Seq[String] = Nil,
-      tombstoneKey: Option[String] = None): Manifest = {
+      tombstoneKey: Option[String] = None,
+      retainSnapshots: Int = 0): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val prev = readManifest(outDir, conf)
     val deltas = unfoldedDeltas(outDir, prev, conf)
@@ -320,8 +338,14 @@ object DeltaCompact {
     clustered
       .write.mode("overwrite").partitionBy("shard_id")
       .parquet(s"$outDir/base_gen=$nextGen")
-    // step 2: atomic commit
-    val man = Manifest(nextGen, watermark)
+    // step 2: atomic commit. retainSnapshots > 0 keeps that many OLDER
+    // generations readable ([[readCorpusAsOf]]) — the table-format
+    // snapshot-retention discipline that makes "train on the corpus
+    // exactly as it was at snapshot g" reproducible.
+    val history = prev
+      .map(p => (p.history :+ (p.gen, p.maxFoldedBatch)).takeRight(retainSnapshots))
+      .getOrElse(Nil)
+    val man = Manifest(nextGen, watermark, history)
     writeManifest(outDir, man, conf)
     // step 3: GC — safe only AFTER the commit, and swept by PREDICATE
     // (every delta at-or-under the watermark, every non-current base
@@ -340,16 +364,37 @@ object DeltaCompact {
   }
 
   /** Post-commit GC sweep by predicate — shared with
-    * [[StreamBm25Ingest.compactIndex]]'s aggregating fold. */
+    * [[StreamBm25Ingest.compactIndex]]'s aggregating fold. Keeps the
+    * current generation AND every retained snapshot in the manifest's
+    * history. */
   private[streaming] def gcFolded(outDir: String, man: Manifest,
       conf: Configuration): Unit = {
     val f = fs(outDir, conf)
     listDeltaBatches(outDir, conf).filter(_ <= man.maxFoldedBatch).foreach(id =>
       f.delete(new Path(outDir, s"batch=$id"), true))
+    val keep = (man.history.map(_._1) :+ man.gen)
+      .map(g => s"base_gen=$g").toSet
     val root = new Path(outDir)
     f.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("base_gen=") &&
-        st.getPath.getName != s"base_gen=${man.gen}")
+        !keep(st.getPath.getName))
       .foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** Time travel: the corpus EXACTLY as committed at snapshot `gen` —
+    * the retained base generation, self-contained (every batch ≤ its
+    * fold watermark, tombstones known at its fold already applied).
+    * Deltas and tombstones landed after the snapshot's commit postdate
+    * it by definition and are not applied. Requires the generation to
+    * be the current one or inside the manifest's retained history. */
+  def readCorpusAsOf(spark: SparkSession, outDir: String, gen: Long): DataFrame = {
+    val man = readManifest(outDir, spark.sparkContext.hadoopConfiguration)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed compaction under $outDir — nothing to time-travel to"))
+    require(man.gen == gen || man.history.exists(_._1 == gen),
+      s"snapshot $gen not retained under $outDir (current ${man.gen}, " +
+        s"retained ${man.history.map(_._1).mkString("[", ",", "]")}) — " +
+        "compact with retainSnapshots > 0 to keep history readable")
+    spark.read.parquet(s"$outDir/base_gen=$gen")
   }
 }

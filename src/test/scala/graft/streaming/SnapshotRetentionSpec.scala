@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Snapshot retention mechanics the `q_time_travel` oracle can't see:
+  * the manifest's history field round-trips, GC keeps exactly
+  * {current} ∪ retained, the retention window SLIDES (oldest snapshot
+  * ages out), and un-retained generations refuse loudly. */
+class SnapshotRetentionSpec extends SparkSpec {
+
+  test("history round-trips; GC keeps current + retained; window slides; refusal is loud") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snap").toFile.getAbsolutePath + "/t"
+    def land(id: Long): Unit = {
+      StreamShardRouter.landBatch(
+        Seq((id, id * 10.0)).toDF("doc_id", "v"), dir, id)
+      ()
+    }
+    try {
+      land(0L); land(1L)
+      val m0 = DeltaCompact.compact(s, dir) // gen 0
+      assert(m0.history.isEmpty)
+      land(2L)
+      val m1 = DeltaCompact.compact(s, dir, retainSnapshots = 1) // gen 1
+      assert(m1.history === Seq((0L, 1L)))
+      // round-trip through the manifest file
+      assert(DeltaCompact.readManifest(dir).get === m1)
+      // both snapshots readable and correct
+      assert(DeltaCompact.readCorpusAsOf(s, dir, 0L).count() === 2)
+      assert(DeltaCompact.readCorpusAsOf(s, dir, 1L).count() === 3)
+      // GC kept exactly current + retained
+      def gens = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("base_gen=")).map(_.getName).toSet
+      assert(gens === Set("base_gen=0", "base_gen=1"))
+
+      // the window SLIDES: the next retained fold keeps gen 1, ages out gen 0
+      land(3L)
+      val m2 = DeltaCompact.compact(s, dir, retainSnapshots = 1) // gen 2
+      assert(m2.history === Seq((1L, 2L)))
+      assert(gens === Set("base_gen=1", "base_gen=2"))
+      assert(DeltaCompact.readCorpusAsOf(s, dir, 1L).count() === 3)
+      val e = intercept[IllegalArgumentException] {
+        DeltaCompact.readCorpusAsOf(s, dir, 0L)
+      }
+      assert(e.getMessage.contains("not retained"))
+
+      // snapshots are frozen: a delta landed after gen 2's fold shows in
+      // the live view, never in a snapshot
+      land(4L)
+      assert(DeltaCompact.readCorpus(s, dir).count() === 5)
+      assert(DeltaCompact.readCorpusAsOf(s, dir, 2L).count() === 4)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+}
