@@ -283,10 +283,16 @@ object DeltaCompact {
     * own maintenance cadence (e.g. every N batches inside foreachBatch,
     * or with the stream quiesced), the same single-maintainer discipline
     * a Delta-Lake-style log would enforce with optimistic locking. */
+  /** `maxRecordsPerFile`: 0 = one file per shard (the small-corpus
+    * default every spec pins); > 0 caps file size so a 100 TB shard
+    * folds into N right-sized parquet files instead of one monster —
+    * the writer splits WITHIN the shard task, so clustering order
+    * (sortCols) is preserved per file and the plan gains no exchange. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
       sortCols: Seq[String] = Nil,
       tombstoneKey: Option[String] = None,
-      retainSnapshots: Int = 0): Manifest = {
+      retainSnapshots: Int = 0,
+      maxRecordsPerFile: Long = 0L): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val prev = readManifest(outDir, conf)
     val deltas = unfoldedDeltas(outDir, prev, conf)
@@ -337,6 +343,7 @@ object DeltaCompact {
       else folded.sortWithinPartitions(("shard_id" +: sortCols).map(col): _*)
     clustered
       .write.mode("overwrite").partitionBy("shard_id")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(s"$outDir/base_gen=$nextGen")
     // step 2: atomic commit. retainSnapshots > 0 keeps that many OLDER
     // generations readable ([[readCorpusAsOf]]) — the table-format

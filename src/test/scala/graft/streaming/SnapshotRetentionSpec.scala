@@ -53,6 +53,23 @@ class SnapshotRetentionSpec extends SparkSpec {
       land(4L)
       assert(DeltaCompact.readCorpus(s, dir).count() === 5)
       assert(DeltaCompact.readCorpusAsOf(s, dir, 2L).count() === 4)
+
+      // file-size targeting: maxRecordsPerFile splits a shard into
+      // multiple right-sized files WITHIN the shard task, rows identical.
+      // Fresh tree with 5 same-key rows so they hash to ONE shard.
+      val dir2 = new java.io.File(dir).getParent + "/t2"
+      StreamShardRouter.landBatch(
+        (0 until 5).map(i => (7L, i * 1.0)).toDF("doc_id", "v"), dir2, 0L)
+      val before = DeltaCompact.readCorpus(s, dir2)
+        .collect().map(_.toString).sorted.toSeq
+      DeltaCompact.compact(s, dir2, maxRecordsPerFile = 2L)
+      val base = new java.io.File(dir2).listFiles()
+        .filter(_.getName.startsWith("base_gen=")).head
+      val parts = base.listFiles().filter(_.getName.startsWith("shard_id="))
+        .flatMap(sd => sd.listFiles()).count(_.getName.endsWith(".parquet"))
+      assert(parts >= 2, s"5 same-shard rows at maxRecordsPerFile=2 must split: $parts file(s)")
+      assert(DeltaCompact.readCorpus(s, dir2)
+        .collect().map(_.toString).sorted.toSeq === before)
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(dir).getParentFile)
