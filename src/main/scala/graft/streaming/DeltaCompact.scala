@@ -19,7 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   batch=<id>/shard_id=<k>/part-*.parquet   landed deltas (the router)
   *   base_gen=<g>/shard_id=<k>/part-*.parquet compacted base, generation g
-  *   _compaction.json                          manifest: {gen, maxFoldedBatch}
+  *   _tombstones/batch=<id>/part-*.parquet    landed delete keys (+watermark)
+  *   _compaction.json                          manifest:
+  *                                             {gen, maxFoldedBatch, history?}
   * }}}
   *
   * Commit protocol (the Delta-Lake/Iceberg snapshot discipline, file-based):
