@@ -144,7 +144,8 @@ object DeltaCompact {
     * by [[readCorpus]] and [[compact]] so the data the fold writes can
     * never diverge from the data readers see. */
   private def assemble(spark: SparkSession, outDir: String,
-      man: Option[Manifest], deltaIds: Seq[Long]): DataFrame = {
+      man: Option[Manifest], deltaIds: Seq[Long],
+      allowEvolution: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val parts =
       man.map(m => spark.read.parquet(s"$outDir/base_gen=${m.gen}")
@@ -152,7 +153,11 @@ object DeltaCompact {
         deltaIds.map(id => spark.read.parquet(s"$outDir/batch=$id")
           .withColumn(WmCol, lit(id)))
     require(parts.nonEmpty, s"no landed data under $outDir")
-    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
+    // allowEvolution = additive schema evolution (the table-format rule:
+    // new columns may appear; old rows read them as null). The DEFAULT
+    // stays strict — a silently missing column is usually an ingest bug,
+    // and evolution must be an explicit contract, not an accident.
+    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = allowEvolution))
   }
 
   private[streaming] def unfoldedDeltas(outDir: String, man: Option[Manifest],
@@ -163,10 +168,12 @@ object DeltaCompact {
     * batch newer than the fold watermark. Never lists `base_gen`
     * directories — the manifest IS the source of truth, which is what
     * makes a half-written new base invisible. */
-  def readCorpus(spark: SparkSession, outDir: String): DataFrame = {
+  def readCorpus(spark: SparkSession, outDir: String,
+      allowEvolution: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val man = readManifest(outDir, conf)
-    assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf)).drop(WmCol)
+    assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf),
+      allowEvolution).drop(WmCol)
   }
 
   // ---- tombstones: the DELETE half of the corpus lifecycle ----
@@ -294,7 +301,8 @@ object DeltaCompact {
       sortCols: Seq[String] = Nil,
       tombstoneKey: Option[String] = None,
       retainSnapshots: Int = 0,
-      maxRecordsPerFile: Long = 0L): Manifest = {
+      maxRecordsPerFile: Long = 0L,
+      allowEvolution: Boolean = false): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val prev = readManifest(outDir, conf)
     val deltas = unfoldedDeltas(outDir, prev, conf)
@@ -313,7 +321,7 @@ object DeltaCompact {
     require(tombstoneKey.nonEmpty || listTombstoneBatches(outDir, conf).isEmpty,
       s"pending tombstones under $outDir but compact() was called without " +
         "tombstoneKey — the fold would resurrect deleted rows")
-    val assembled = assemble(spark, outDir, prev, deltas)
+    val assembled = assemble(spark, outDir, prev, deltas, allowEvolution)
     val corpus = (tombstoneKey match {
       case Some(k) if tsBatches.nonEmpty =>
         val ts = tsBatches
