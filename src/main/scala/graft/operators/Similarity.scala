@@ -2445,7 +2445,10 @@ object Similarity {
         ()
       }
       .start()
-    lexQ.awaitTermination()
+    // the semantic ingest runs CONCURRENTLY with the lexical one (started
+    // below, both awaited after) — the two streams share nothing but the
+    // session, which is the production shape: one firehose, independent
+    // index maintainers, each on its own trigger cadence
 
     // semantic ingest: LSH posting deltas landed in SERVE layout per
     // batch, postings generation-folded mid-run (batch 1)
@@ -2468,6 +2471,7 @@ object Similarity {
         ()
       }
       .start()
+    lexQ.awaitTermination()
     semQ.awaitTermination()
 
     // serve BOTH branches off the folded artifacts, fuse, done —
