@@ -291,8 +291,9 @@ object DeltaCompact {
     * would shadow the re-landed rows). Run compaction from the ingest's
     * own maintenance cadence (e.g. every N batches inside foreachBatch,
     * or with the stream quiesced), the same single-maintainer discipline
-    * a Delta-Lake-style log would enforce with optimistic locking. */
-  /** `maxRecordsPerFile`: 0 = one file per shard (the small-corpus
+    * a Delta-Lake-style log would enforce with optimistic locking.
+    *
+    * `maxRecordsPerFile`: 0 = one file per shard (the small-corpus
     * default every spec pins); > 0 caps file size so a 100 TB shard
     * folds into N right-sized parquet files instead of one monster —
     * the writer splits WITHIN the shard task, so clustering order
@@ -365,9 +366,10 @@ object DeltaCompact {
     val man = Manifest(nextGen, watermark, history)
     writeManifest(outDir, man, conf)
     // step 3: GC — safe only AFTER the commit, and swept by PREDICATE
-    // (every delta at-or-under the watermark, every non-current base
-    // generation) rather than by the captured lists, so orphans left by
-    // a crash between a previous commit and its GC are also collected
+    // (every delta at-or-under the watermark, every base generation
+    // outside {current} ∪ retained) rather than by the captured lists,
+    // so orphans left by a crash between a previous commit and its GC
+    // are also collected
     gcFolded(outDir, man, conf)
     // applied tombstones fold away too: only the CAPTURED batches (a
     // delete landed mid-fold was not applied and must survive to apply
