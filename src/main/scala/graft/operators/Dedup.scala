@@ -297,24 +297,13 @@ object Dedup {
        |FROM (SELECT doc_id,
        |    [${duckHash60("t")} for t in list_distinct(string_split_regex(lower(trim(text)), '\\s+'))] AS hs
        |  FROM documents)""".stripMargin) { (s, d) =>
-    // Explode → ONE md5 per token row → 32 codegen'd bit-count aggregates.
-    // The array formulation ([[Portable.simhash32]] over transform(toks,
-    // hash60)) inlines the md5 transform into each of the 32 per-bit
-    // filter lambdas → 32× the hashing, interpreted — measured 272 s at
-    // sf0.1 vs ~3 s for this plan. Same scale shape as a hash aggregate:
-    // map-side partial bit-counts, one shuffle on doc_id.
-    val hashed = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(Portable.words(col("text")))).as("t"))
-      .select(col("doc_id"), Portable.hash60(col("t")).as("h"))
-    val bitCounts = (0 until 32).map(b =>
-      sum(shiftright(col("h"), b) % 2).as(s"b$b")) :+ count(lit(1)).as("n")
-    hashed.groupBy("doc_id").agg(bitCounts.head, bitCounts.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until 32).map(b =>
-          when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    // Explode → ONE md5 per token row → 32 codegen'd bit-count aggregates
+    // ([[simhashSig]]). The array formulation ([[Portable.simhash32]] over
+    // transform(toks, hash60)) inlines the md5 transform into each of the
+    // 32 per-bit filter lambdas → 32× the hashing, interpreted — measured
+    // 272 s at sf0.1 vs ~3 s for this plan. Same scale shape as a hash
+    // aggregate: map-side partial bit-counts, one shuffle on doc_id.
+    simhashSig(Tables.documents(s, d), 32)
   }
 
   /** SimHash banding candidate pairs, parameterized by signature width:
@@ -333,17 +322,41 @@ object Dedup {
     * the 32-bit/4x8 form is kept as the compact-signature compat variant.
     * The pigeonhole guarantee is identical in both. Buckets are hard-capped
     * by `graft_collect_capped` either way. */
+  /** The `bits`-bit SimHash signature per document, as SQL over an
+    * arbitrary relation — shared by the pair gates and the persisted
+    * serve's split CTEs. */
+  private def duckSimhashSig(bits: Int, rel: String = "documents"): String =
+    s"""SELECT doc_id,
+       |  CAST(list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1)) > len(hs)
+       |    THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END for b in range(0, $bits)]) AS BIGINT) AS simhash
+       |FROM (SELECT doc_id,
+       |    [${duckHash60("t")} for t in list_distinct(string_split_regex(lower(trim(text)), '\\s+'))] AS hs
+       |  FROM $rel)""".stripMargin
+
+  /** The `bits`-bit SimHash signature per document — one md5 per
+    * distinct-token row, `bits` codegen'd bit-count aggregates (see
+    * [[qSimhash]] for why the array formulation loses). Shared by the
+    * pair gates and the persisted serve. */
+  private def simhashSig(docs: DataFrame, bits: Int): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"),
+        explode(array_distinct(Portable.words(col("text")))).as("t"))
+      .select(col("doc_id"), Portable.hash60(col("t")).as("h"))
+    val bitCounts = (0 until bits).map(b =>
+      sum(shiftright(col("h"), b) % 2).as(s"b$b")) :+ count(lit(1)).as("n")
+    hashed.groupBy("doc_id").agg(bitCounts.head, bitCounts.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   private def simhashPairsQ(name: String, bits: Int, bandBits: Int): Q = {
     val nBands = bits / bandBits
     require(nBands * bandBits == bits && nBands == 4, s"$bits != 4 x $bandBits")
     val bandSpace = 1L << bandBits
-    val sigSql =
-      s"""SELECT doc_id,
-         |  CAST(list_sum([CASE WHEN 2*len(list_filter(hs, h -> (h // CAST(pow(2,b) AS BIGINT)) % 2 = 1)) > len(hs)
-         |    THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END for b in range(0, $bits)]) AS BIGINT) AS simhash
-         |FROM (SELECT doc_id,
-         |    [${duckHash60("t")} for t in list_distinct(string_split_regex(lower(trim(text)), '\\s+'))] AS hs
-         |  FROM documents)""".stripMargin
+    val sigSql = duckSimhashSig(bits)
     val unpivot = (0 until nBands)
       .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash // ${1L << (bandBits * b)}) % $bandSpace AS band FROM sh")
       .mkString(" UNION ALL ")
@@ -359,20 +372,7 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin) { (s, d) =>
       GraftFunctions.register(s)
-      // Explode -> ONE md5 per token row -> `bits` codegen'd bit-count
-      // aggregates (see [[qSimhash]] for why the array formulation loses).
-      val hashed = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(Portable.words(col("text")))).as("t"))
-        .select(col("doc_id"), Portable.hash60(col("t")).as("h"))
-      val bitCounts = (0 until bits).map(b =>
-        sum(shiftright(col("h"), b) % 2).as(s"b$b")) :+ count(lit(1)).as("n")
-      val sig = hashed.groupBy("doc_id").agg(bitCounts.head, bitCounts.tail: _*)
-        .select(
-          col("doc_id"),
-          (0 until bits).map(b =>
-            when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+      val sig = simhashSig(Tables.documents(s, d), bits)
       val long = sig.selectExpr(
         "doc_id", "simhash",
         s"stack($nBands, ${(0 until nBands).map(b => s"$b, shiftright(simhash, ${bandBits * b}) % $bandSpace").mkString(", ")}) AS (band_id, band)")
@@ -1039,6 +1039,106 @@ object Dedup {
         .select(col("doc_id"), col("text")))
   }
 
+  // ---- persisted SimHash index: the Hamming-distance twin of
+  // q_neardup_persist --------------------------------------------------
+  //
+  // Same build-once/serve-many contract, different sketch: MinHash serves
+  // Jaccard (shingle-set overlap — long-form near-dups); SimHash serves
+  // Hamming on a 60-bit token-set fingerprint — the compact signature
+  // production systems keep when per-doc index bytes matter most (8 bytes
+  // + 4 band rows per doc). The index row is (band_id, band, doc_id,
+  // simhash): band membership generates candidates (pigeonhole: any pair
+  // within Hamming 3 agrees on ≥ 1 of the 4×15-bit bands), the stored
+  // signature verdicts them INDEX-ONLY (one bit_count(xor)), corpus text
+  // never read at serve.
+
+  private val simhashPersistDone = scala.collection.mutable.Set.empty[String]
+
+  /** 60-bit / 4×15 geometry — the scale-safe parameterization
+    * ([[simhashPairsQ]]); Hamming ≤ 3 is the pigeonhole-covered radius. */
+  private val ShBits = 60
+  private val ShBandBits = 15
+  private val ShMaxHamming = 3
+
+  private def simhashLong(sig: DataFrame): DataFrame =
+    sig.selectExpr(
+      "doc_id", "simhash",
+      s"stack(4, ${(0 until 4).map(b =>
+        s"$b, shiftright(simhash, ${ShBandBits * b}) % ${1L << ShBandBits}").mkString(", ")}) AS (band_id, band)")
+
+  private[graft] def ensureSimhashIndex(s: SparkSession, d: String): String = synchronized {
+    val pid = ProcessHandle.current().pid()
+    val dir = s"/tmp/graft_simhashidx/${Similarity.dataFingerprint(s"$d/documents.parquet")}_$pid"
+    if (!simhashPersistDone(dir)) {
+      GraftFunctions.register(s)
+      TmpDirs.reap("/tmp/graft_simhashidx", pid, TmpDirs.pidSuffix)
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % IncomingMod =!= IncomingRem)
+        .select(col("doc_id"), col("text"))
+      simhashLong(simhashSig(corpus, ShBits))
+        .groupBy("band_id", "band")
+        .agg(GraftFunctions.collectCapped(
+          struct(col("doc_id"), col("simhash")), MaxBucket).as("docs"))
+        .filter(size(col("docs")).between(1, MaxBucket))
+        .select(col("band_id"), col("band"), explode(col("docs")).as("m"))
+        .select(col("band_id"), col("band"),
+          col("m.doc_id").as("doc_id"), col("m.simhash").as("simhash"))
+        .repartitionByRange(col("band_id"), col("band"))
+        .sortWithinPartitions("band_id", "band")
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      simhashPersistDone += dir
+    }
+    dir
+  }
+
+  /** Serve gate: the incoming batch fingerprints itself, band-joins the
+    * landed index, and verdicts each doc by its closest (Hamming) corpus
+    * match within radius [[ShMaxHamming]] — ties to the smallest corpus
+    * id. Index-only verification; singleton buckets retained at build
+    * (an incoming doc may be the bucket's second member). */
+  val qSimhashPersist: Q = Q(
+    "q_simhash_persist", {
+      def unpivot(src: String) = (0 until 4)
+        .map(b => s"SELECT doc_id, simhash, $b AS band_id, (simhash // ${1L << (ShBandBits * b)}) % ${1L << ShBandBits} AS band FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH corpus AS (SELECT * FROM documents WHERE NOT (doc_id % $IncomingMod = $IncomingRem)),
+         |incoming AS (SELECT * FROM documents WHERE doc_id % $IncomingMod = $IncomingRem),
+         |csh AS (${duckSimhashSig(ShBits, "corpus")}),
+         |clong AS (${unpivot("csh")}),
+         |clongc AS (SELECT doc_id, simhash, band_id, band FROM
+         |  (SELECT *, count(*) OVER (PARTITION BY band_id, band) AS bsz FROM clong)
+         |  WHERE bsz <= $MaxBucket),
+         |ish AS (${duckSimhashSig(ShBits, "incoming")}),
+         |ilong AS (${unpivot("ish")}),
+         |cand AS (SELECT DISTINCT i.doc_id AS in_doc, c.doc_id AS dup_of,
+         |    CAST(bit_count(xor(i.simhash, c.simhash)) AS INT) AS hamming
+         |  FROM ilong i JOIN clongc c ON i.band_id = c.band_id AND i.band = c.band)
+         |SELECT doc_id, dup_of, hamming FROM
+         |  (SELECT in_doc AS doc_id, dup_of, hamming,
+         |     row_number() OVER (PARTITION BY in_doc ORDER BY hamming, dup_of) AS rn
+         |   FROM cand WHERE hamming <= $ShMaxHamming)
+         |WHERE rn = 1""".stripMargin
+    }) { (s, d) =>
+    GraftFunctions.register(s)
+    val dir = ensureSimhashIndex(s, d)
+    val idx = s.read.parquet(s"$dir/bands")
+    val incoming = Tables.documents(s, d)
+      .filter(col("doc_id") % IncomingMod === IncomingRem)
+      .select(col("doc_id"), col("text"))
+    val probes = simhashLong(simhashSig(incoming, ShBits))
+      .select(col("doc_id").as("in_doc"), col("simhash").as("isimhash"),
+        col("band_id"), col("band"))
+    val w = Window.partitionBy("in_doc").orderBy(col("hamming"), col("dup_of"))
+    idx.join(broadcast(probes), Seq("band_id", "band"))
+      .select(col("in_doc"), col("doc_id").as("dup_of"),
+        bit_count(col("isimhash").bitwiseXOR(col("simhash"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= ShMaxHamming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("in_doc").as("doc_id"), col("dup_of"), col("hamming"))
+  }
+
   /** Crawl batches in the streamed-dedup gate (batch of doc = doc_id
     * mod this — deterministic membership AND order, interpolated into
     * the oracle's earlier-batch predicate). */
@@ -1111,5 +1211,5 @@ object Dedup {
     qDedupNear, qDedupClusters, qDedupClusterSizes, qCrossSourceDups,
     qDedupDegree, qContamination, qDedupKeepBest,
     qDupSpanCoverage, qDupSpanRemoval, qIncrDedup, qNeardupPersist,
-    qNeardupStream)
+    qNeardupStream, qSimhashPersist)
 }

@@ -52,4 +52,17 @@ class NeardupPersistSpec extends SparkSpec {
     assert(docScans.size === 1,
       s"expected exactly ONE documents scan (the incoming batch), got ${docScans.size}")
   }
+
+  test("simhash twin: split/radius respected; index is signatures only") {
+    val s = spark
+    val out = graft.SparkEntry.queries("q_simhash_persist")(s, sf).localCheckpoint()
+    assert(out.count() > 0)
+    assert(out.filter(col("doc_id") % 10 =!= 7).count() === 0)
+    assert(out.filter(col("dup_of") % 10 === 7).count() === 0)
+    assert(out.filter(col("hamming") > 3 || col("hamming") < 0).count() === 0)
+    assert(out.select("doc_id").distinct().count() === out.count())
+    val idx = s.read.parquet(s"${Dedup.ensureSimhashIndex(s, sf)}/bands")
+    assert(idx.columns.toSet === Set("band_id", "band", "doc_id", "simhash"),
+      "8 bytes of signature + band rows — never text")
+  }
 }
