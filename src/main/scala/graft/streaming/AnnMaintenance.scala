@@ -42,9 +42,11 @@ object AnnMaintenance {
     // audit the decision reads, materialized so the refresh can't
     // retroactively change it
     val assigned = StreamAnn.assign(batch, cents).localCheckpoint()
-    val agreement = assigned
-      .agg(avg(col("matches_label").cast("double"))).head().getDouble(0)
-    val drifted = agreement < minAgreement
+    // empty micro-batches are routine under streaming triggers: avg over
+    // zero rows is null, and an empty batch is EVIDENCE OF NOTHING — it
+    // must neither crash the ingest nor count as drift
+    val row = assigned.agg(avg(col("matches_label").cast("double"))).head()
+    val drifted = !row.isNullAt(0) && row.getDouble(0) < minAgreement
     if (drifted) StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize)
     (assigned, drifted)
   }

@@ -89,6 +89,14 @@ object DeltaCompact {
       val history = """\{"gen":(\d+),"maxFoldedBatch":(-?\d+)\}""".r
         .findAllMatchIn(hist)
         .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+      // a history entry that fails the regex must fail LOUDLY like the
+      // scalar fields — silently dropping one would forget a retained
+      // snapshot and let the next gcFolded delete a still-referenced base
+      val rawEntries = hist.count(_ == '{')
+      if (history.size != rawEntries)
+        throw new IllegalStateException(
+          s"corrupt compaction manifest $p: history has $rawEntries " +
+            s"entries but only ${history.size} parsed in $s")
       Some(Manifest(field("gen"), field("maxFoldedBatch"), history))
     }
   }
@@ -267,10 +275,11 @@ object DeltaCompact {
     * re-ingests after a delete correctly visible (the sequence rule on
     * [[landTombstones]]). `keyCol` names the delete key in both trees. */
   def readCorpusLive(spark: SparkSession, outDir: String,
-      keyCol: String = "doc_id"): DataFrame = {
+      keyCol: String = "doc_id", allowEvolution: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val man = readManifest(outDir, conf)
-    val tagged = assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf))
+    val tagged = assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf),
+      allowEvolution)
     readTombstones(spark, outDir) match {
       case None => tagged.drop(WmCol)
       case Some(ts) => antiTombstoned(tagged, ts, keyCol).drop(WmCol)

@@ -64,21 +64,43 @@ object StreamAnnRefresh {
         col("kv.embedding").as("embedding"))
   }
 
-  /** Retrain + reassign + atomic cut-over. Reads every landed corpus
-    * batch under `corpusDir` (the [[StreamShardRouter]] layout), trains
-    * a fresh per-label codebook from a [[reservoir]] sample, writes the
-    * full reassignment as the next generation, and commits. Returns the
-    * committed manifest. Run from the ingest's own maintenance cadence
-    * (the [[DeltaCompact.compact]] single-maintainer discipline). */
+  /** The retrain's view of the corpus + the watermark it commits: the
+    * FULL manifest-routed corpus (committed base, if the tree was ever
+    * [[DeltaCompact.compact]]ed, + unfolded deltas — reading `batch=`
+    * directories alone would silently retrain on the unfolded tail
+    * only), minus tombstoned rows when `tombstoneKey` is set (a retrain
+    * must not learn from, or reassign, deleted vectors). The watermark
+    * is the highest corpus batch the retrain saw: max unfolded delta id,
+    * or the base's own fold watermark when everything is folded. */
+  private def corpusAndWatermark(s: SparkSession, corpusDir: String,
+      tombstoneKey: Option[String]): (DataFrame, Long) = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val man = DeltaCompact.readManifest(corpusDir, conf)
+    val deltas = DeltaCompact.unfoldedDeltas(corpusDir, man, conf)
+    require(man.nonEmpty || deltas.nonEmpty,
+      s"no landed corpus under $corpusDir")
+    val corpus = tombstoneKey match {
+      case Some(k) => DeltaCompact.readCorpusLive(s, corpusDir, keyCol = k)
+      case None => DeltaCompact.readCorpus(s, corpusDir)
+    }
+    (corpus, (deltas ++ man.map(_.maxFoldedBatch)).max)
+  }
+
+  /** Retrain + reassign + atomic cut-over. Reads the corpus under
+    * `corpusDir` via the manifest (committed base + unfolded deltas —
+    * see [[corpusAndWatermark]]), trains a fresh per-label codebook from
+    * a [[reservoir]] sample, writes the full reassignment as the next
+    * generation, and commits. `tombstoneKey`: apply landed corpus
+    * tombstones before retraining (the delete-lifecycle contract —
+    * deleted vectors neither train nor reassign). Returns the committed
+    * manifest. Run from the ingest's own maintenance cadence (the
+    * [[DeltaCompact.compact]] single-maintainer discipline). */
   def refresh(s: SparkSession, corpusDir: String, idxDir: String,
-      sampleSize: Int = DefaultSampleSize): DeltaCompact.Manifest = {
+      sampleSize: Int = DefaultSampleSize,
+      tombstoneKey: Option[String] = None): DeltaCompact.Manifest = {
     GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
-    val batches = DeltaCompact.listDeltaBatches(corpusDir, conf)
-    require(batches.nonEmpty, s"no landed corpus batches under $corpusDir")
-    val corpus = batches
-      .map(id => s.read.parquet(s"$corpusDir/batch=$id"))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
+    val (corpus, watermark) = corpusAndWatermark(s, corpusDir, tombstoneKey)
     val cents = StreamAnn.labelCentroids(reservoir(corpus, sampleSize))
       .localCheckpoint()
     val prev = DeltaCompact.readManifest(idxDir, conf)
@@ -89,7 +111,7 @@ object StreamAnnRefresh {
       .write.mode("overwrite").partitionBy("assigned_cell")
       .parquet(s"$idxDir/base_gen=$nextGen/postings")
     // step 2: atomic cut-over — the manifest swap IS the serve switch
-    val man = DeltaCompact.Manifest(nextGen, batches.max)
+    val man = DeltaCompact.Manifest(nextGen, watermark)
     DeltaCompact.writeManifest(idxDir, man, conf)
     // step 3: GC old + orphan generations (predicate sweep, so a crash
     // between a previous commit and its GC is also cleaned up here)
@@ -138,14 +160,11 @@ object StreamAnnRefresh {
     * [[DeltaCompact]] manifest. Layout per generation:
     * `base_gen=<g>/pq_codebook` + `base_gen=<g>/codes`. */
   def refreshPq(s: SparkSession, corpusDir: String, idxDir: String,
-      sampleSize: Int = DefaultSampleSize): DeltaCompact.Manifest = {
+      sampleSize: Int = DefaultSampleSize,
+      tombstoneKey: Option[String] = None): DeltaCompact.Manifest = {
     GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
-    val batches = DeltaCompact.listDeltaBatches(corpusDir, conf)
-    require(batches.nonEmpty, s"no landed corpus batches under $corpusDir")
-    val corpus = batches
-      .map(id => s.read.parquet(s"$corpusDir/batch=$id"))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = false))
+    val (corpus, watermark) = corpusAndWatermark(s, corpusDir, tombstoneKey)
     // the new codebook: the PqEntries lowest-hash corpus vectors (the
     // reservoir rule at k = entries), ranked by the same hash — uniform
     // over the CURRENT distribution, deterministic under replay. The
@@ -165,7 +184,7 @@ object StreamAnnRefresh {
     graft.operators.Similarity.pqAssign(corpus, pcents)
       .write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen/codes")
     // step 2: atomic cut-over; step 3: predicate-sweep GC
-    val man = DeltaCompact.Manifest(nextGen, batches.max)
+    val man = DeltaCompact.Manifest(nextGen, watermark)
     DeltaCompact.writeManifest(idxDir, man, conf)
     DeltaCompact.gcFolded(idxDir, man, conf)
     man

@@ -43,9 +43,14 @@ object StreamCdcApply {
   }
 
   /** The materialized view as of now: live rows only (prior versions and
-    * deleted keys anti-joined away), exactly one row per live key. */
-  def currentTable(s: SparkSession, outDir: String): DataFrame =
-    DeltaCompact.readCorpusLive(s, outDir, keyCol = "doc_id").drop("shard_id")
+    * deleted keys anti-joined away), exactly one row per live key.
+    * `allowEvolution` mirrors [[DeltaCompact.readCorpus]] — an evolved
+    * tree (additive columns, explicit opt-in) stays readable on the
+    * tombstone-aware path too. */
+  def currentTable(s: SparkSession, outDir: String,
+      allowEvolution: Boolean = false): DataFrame =
+    DeltaCompact.readCorpusLive(s, outDir, keyCol = "doc_id",
+      allowEvolution = allowEvolution).drop("shard_id")
 
   /** Maintenance fold: versions collapse physically, tombstones GC. */
   def compactTable(s: SparkSession, outDir: String): DeltaCompact.Manifest =

@@ -93,9 +93,18 @@ object StreamLshIngest {
   /** Land a delete batch against the posting index: `ids` is a frame of
     * `neighbor_id` keys. Serving picks it up immediately via
     * [[readPostingsLive]]; the next [[compactPostings]] applies it
-    * physically and folds the tombstone away. */
-  def landTombstones(ids: DataFrame, idxDir: String, batchId: Long): String =
-    DeltaCompact.landTombstones(ids.select(col("neighbor_id")), idxDir, batchId)
+    * physically and folds the tombstone away.
+    *
+    * `watermark` pins the tombstone's sequence ceiling, exactly as on
+    * [[DeltaCompact.landTombstones]]: an at-least-once replay that
+    * re-lands this delete batch AFTER later data batches have landed
+    * must pass the ORIGINAL watermark, or the recomputed default (max
+    * landed batch at re-land time) would kill rows legitimately
+    * re-ingested after the delete — violating the sequence rule. */
+  def landTombstones(ids: DataFrame, idxDir: String, batchId: Long,
+      watermark: Option[Long] = None): String =
+    DeltaCompact.landTombstones(ids.select(col("neighbor_id")), idxDir, batchId,
+      watermark)
 
   /** [[readPostings]] minus tombstoned vectors — exact logical deletion
     * (every posting row of a deleted vector drops, across all tables)

@@ -56,4 +56,24 @@ class AnnMaintenanceSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
   }
+
+  test("an empty micro-batch neither crashes the step nor counts as drift") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val base = Files.createTempDirectory("graft_annmaint_empty").toFile.getAbsolutePath
+    try {
+      val (_, boot) = AnnMaintenance.step(vecs(0, 40, _ % 4), s"$base/corpus",
+        s"$base/idx", 0L)
+      assert(boot)
+      // empty batches are routine under streaming triggers: avg(matches_
+      // label) over zero rows is null — must short-circuit to "no drift",
+      // not NPE-crash the ingest stream
+      val (a, drifted) = AnnMaintenance.step(vecs(0, 0, _ % 4), s"$base/corpus",
+        s"$base/idx", 1L)
+      assert(!drifted, "an empty batch is evidence of nothing — not drift")
+      assert(a.count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
 }

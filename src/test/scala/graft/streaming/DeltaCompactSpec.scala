@@ -102,4 +102,29 @@ class DeltaCompactSpec extends SparkSpec {
         "re-landed folded batch must be shadowed by the watermark")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
+
+  test("corrupt manifest history fails loudly instead of forgetting snapshots") {
+    val out = Files.createTempDirectory("graft_compact5").toFile.getAbsolutePath
+    try {
+      land(out, 0, 0, 20)
+      DeltaCompact.compact(spark, out, numShards = 4)
+      land(out, 1, 20, 40)
+      DeltaCompact.compact(spark, out, numShards = 4, retainSnapshots = 1)
+      // corrupt ONE history entry (drop its maxFoldedBatch field): a
+      // silently-dropped entry would let the next gcFolded delete the
+      // still-retained base generation — must throw, like the scalar
+      // fields do
+      val p = new java.io.File(out, "_compaction.json")
+      val txt = new String(java.nio.file.Files.readAllBytes(p.toPath))
+      assert(txt.contains("history"), s"expected retained history in $txt")
+      val bad = txt.replaceAll(""","maxFoldedBatch":-?\d+\}]""", "}]")
+      assert(bad != txt, s"corruption did not apply to $txt")
+      java.nio.file.Files.write(p.toPath, bad.getBytes)
+      // the local FS keeps a checksum sidecar; the hand-corruption above
+      // bypasses it — drop it so the read reaches the manifest parser
+      new java.io.File(out, "._compaction.json.crc").delete()
+      val e = intercept[IllegalStateException](DeltaCompact.readManifest(out))
+      assert(e.getMessage.contains("history"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
 }

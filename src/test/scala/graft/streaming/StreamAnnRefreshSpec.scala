@@ -113,4 +113,62 @@ class StreamAnnRefreshSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
   }
+
+  test("refresh reads THROUGH the corpus manifest: folded base + unfolded deltas") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val base = Files.createTempDirectory("graft_annrefresh3").toFile.getAbsolutePath
+    val corpusDir = s"$base/corpus"
+    val idxDir = s"$base/idx"
+    try {
+      StreamShardRouter.landBatch(vecs(0, 40, _ % 4), corpusDir, 0L)
+      StreamShardRouter.landBatch(vecs(40, 80, _ % 4), corpusDir, 1L)
+      // the corpus tree itself generation-folds (DeltaCompact supports it
+      // on the same layout) — batches 0-1 are now base_gen=0, no batch=
+      // directories survive
+      DeltaCompact.compact(s, corpusDir)
+      StreamShardRouter.landBatch(vecs(80, 120, _ % 4), corpusDir, 2L)
+      // the retrain must cover base + unfolded delta — a delta-only read
+      // would retrain on 40 rows and commit a wrong watermark
+      val man = StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize = 64)
+      assert(man.maxFoldedBatch === 2L)
+      assert(StreamAnnRefresh.currentAssignments(s, idxDir).count() === 120,
+        "reassignment must cover the folded base, not just unfolded deltas")
+      // fully-folded corpus (no unfolded deltas at all): watermark comes
+      // from the corpus manifest
+      DeltaCompact.compact(s, corpusDir)
+      val man2 = StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize = 64)
+      assert(man2.maxFoldedBatch === 2L)
+      assert(StreamAnnRefresh.currentAssignments(s, idxDir).count() === 120)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("tombstone-aware refresh: deleted vectors neither train nor reassign") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val base = Files.createTempDirectory("graft_annrefresh4").toFile.getAbsolutePath
+    val corpusDir = s"$base/corpus"
+    val idxDir = s"$base/idx"
+    try {
+      // labels 0-3 plus a poison class 4; then class 4 is taken down
+      StreamShardRouter.landBatch(vecs(0, 80, _ % 4), corpusDir, 0L)
+      StreamShardRouter.landBatch(vecs(80, 100, _ => 4), corpusDir, 1L)
+      DeltaCompact.landTombstones(
+        vecs(80, 100, _ => 4).select(col("vec_id")), corpusDir, 0L)
+      val man = StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize = 64,
+        tombstoneKey = Some("vec_id"))
+      assert(man.maxFoldedBatch === 1L)
+      val cents = StreamAnnRefresh.currentCodebook(s, idxDir)
+      assert(cents.select("cent_id").collect().map(_.getInt(0)).sorted
+        === Array(0, 1, 2, 3),
+        "a tombstoned class must not train a centroid")
+      val served = StreamAnnRefresh.currentAssignments(s, idxDir)
+      assert(served.count() === 80, "deleted vectors must not reassign")
+      assert(served.filter(col("vec_id") >= 80).count() === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
 }
