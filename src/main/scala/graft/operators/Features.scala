@@ -623,6 +623,19 @@ object Features {
         count(lit(1)).as("n_types"))
   }
 
+  /** Arithmetic 4-way batch split for the CDC/time-travel gates:
+    * `b = seq % 4 + 1` — a pure per-row expression, NO global sort (the
+    * round-12 `ntile(4) OVER (ORDER BY seq)` shaping was a
+    * single-partition Exchange+Sort that a 100×-scale replay of the
+    * gate would serialize on). The batches are seq-INTERLEAVED rather
+    * than seq-contiguous, which exercises the sequence-numbered
+    * tombstones harder: most keys now see upserts in an EARLIER batch
+    * superseded by ops in a later one, and delete-then-reingest
+    * crossings are routine rather than rare. Asserted shuffle-free by
+    * FeaturesSpec (PlanLint style). */
+  private[graft] def seqBatches(log: DataFrame, seqCol: String, n: Int = 4): DataFrame =
+    log.withColumn("b", (col(seqCol) % n + 1).cast("int"))
+
   /** The streamed sibling of [[qMergeUpsert]]: a CDC log applied
     * micro-batch by micro-batch through
     * [[graft.streaming.StreamCdcApply]] — merge-on-read over the
@@ -630,23 +643,27 @@ object Features {
     * log derives from `orders`: seq = o_orderkey (the CDC sequence),
     * key = o_custkey (so most keys carry MANY versions — ~10 ops/key at
     * sf0.01), op = delete for every 11th seq else upsert, payload =
-    * the rounded total price. Batches are the log's 4 seq-ordered
-    * quartiles (ntile is gate plumbing — production batching IS the
-    * stream order); each batch is resolved to last-op-per-key (one
-    * batch-sized window), applied (tombstone priors at watermark b−1,
-    * land upserts), and the table generation-folds MID-RUN after batch
-    * 2. The oracle is the closed form the whole machinery must equal:
-    * per key, the op with the highest seq wins; deletes leave no row.
+    * the rounded total price. Batches are the arithmetic interleave
+    * [[seqBatches]] (gate plumbing — production batching IS the stream
+    * order; the arithmetic split keeps the gate plan free of the global
+    * sort ntile would need); each batch is resolved to last-op-per-key
+    * (one batch-sized window), applied (tombstone priors at watermark
+    * b−1, land upserts), and the table generation-folds MID-RUN after
+    * batch 2. The oracle is the closed form the whole machinery must
+    * equal: per key, the resolved op of the HIGHEST batch touching the
+    * key wins (within a batch, the highest seq) — the exact semantics
+    * the sequence-numbered tombstones implement; deletes leave no row.
     * Batch boundaries, fold timing, tombstone sequencing — none of it
     * may change a bit of the final table. */
   val qCdcStream: Q = Q(
     "q_cdc_stream",
     """WITH log AS (SELECT o_orderkey AS seq, o_custkey AS k,
       |    round(o_totalprice, 2) AS v,
-      |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op
+      |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(o_orderkey % 4 + 1 AS INT) AS b
       |  FROM orders),
       |last AS (SELECT k, v, op,
-      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |    row_number() OVER (PARTITION BY k ORDER BY b DESC, seq DESC) AS rn
       |  FROM log)
       |SELECT k AS cust_key, v AS val FROM last
       |WHERE rn = 1 AND op = 'U'""".stripMargin) { (s, d) =>
@@ -661,9 +678,7 @@ object Features {
       col("o_orderkey").as("seq"), col("o_custkey").as("doc_id"),
       round(col("o_totalprice"), 2).as("v"),
       when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"))
-    val byBatch = log.withColumn("b",
-      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("seq"))))
-      .localCheckpoint()
+    val byBatch = seqBatches(log, "seq").localCheckpoint()
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("seq").desc)
     (1 to 4).foreach { b =>
@@ -684,7 +699,8 @@ object Features {
   /** Snapshot retention + time travel over the landed corpus — the
     * reproducibility primitive a training pipeline needs: "train on the
     * corpus EXACTLY as it was at snapshot g" long after ingestion moved
-    * on. The gate lands 4 seq-ordered batches, folds after batch 2
+    * on. The gate lands 4 batches ([[seqBatches]] arithmetic interleave
+    * — no global sort in the gate plan), folds after batch 2
     * (snapshot gen 0), lands two more, folds again with
     * `retainSnapshots = 1` (gen 1 current, gen 0 retained + readable),
     * and emits BOTH views labeled: the oracle's closed forms are "rows
@@ -697,7 +713,7 @@ object Features {
     "q_time_travel",
     """WITH log AS (SELECT o_orderkey AS seq, o_custkey AS k,
       |    round(o_totalprice, 2) AS v,
-      |    ntile(4) OVER (ORDER BY o_orderkey) AS b
+      |    CAST(o_orderkey % 4 + 1 AS INT) AS b
       |  FROM orders)
       |SELECT 'snap0' AS snap, seq, k AS cust_key, v AS val FROM log WHERE b <= 2
       |UNION ALL
@@ -712,9 +728,7 @@ object Features {
     val log = Tables.orders(s, d).select(
       col("o_orderkey").as("doc_id"), col("o_custkey").as("k"),
       round(col("o_totalprice"), 2).as("v"))
-    val byBatch = log.withColumn("b",
-      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
-      .localCheckpoint()
+    val byBatch = seqBatches(log, "doc_id").localCheckpoint()
     def land(b: Int): Unit = {
       graft.streaming.StreamShardRouter.landBatch(
         byBatch.filter(col("b") === b).drop("b"), dir, b.toLong)

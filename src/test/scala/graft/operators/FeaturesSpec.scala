@@ -180,4 +180,20 @@ class FeaturesSpec extends SparkSpec {
         r.getAs[Double]("pmi")).toMap
     assert(m === Map(("aaa", "bbb") -> 0.0))
   }
+
+  test("seqBatches is shuffle-free: no single-partition Exchange/Sort in the plan") {
+    // the CDC / time-travel gates' batch shaping must stay a pure per-row
+    // expression — the round-12 ntile(4) OVER (ORDER BY seq) version was a
+    // global sort that a scaled replay of the gate would serialize on
+    val log = (1L to 100L).toDF("seq")
+    val plan = Features.seqBatches(log, "seq").queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"batch assignment must not global-shuffle:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"batch assignment must be a pure per-row expression:\n$plan")
+    // and the assignment itself covers all 4 batches, 1-based
+    val bs = Features.seqBatches(log, "seq")
+      .select("b").distinct().collect().map(_.getInt(0)).sorted
+    assert(bs === Array(1, 2, 3, 4))
+  }
 }
