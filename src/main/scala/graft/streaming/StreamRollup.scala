@@ -51,13 +51,18 @@ object StreamRollup {
     * commit must be idempotent on batchId — a replayed batch would
     * otherwise be merged twice and silently double-count. */
   final class SummaryStore(spark: SparkSession, dir: String) {
-    private val root = new java.io.File(dir)
-    root.mkdirs()
+    // all store maintenance goes through the Hadoop FileSystem resolved
+    // from the store URI — same protocol on local disk (tests), HDFS, or
+    // an object store, exactly like DeltaCompact's manifest maintenance
+    private val root = new org.apache.hadoop.fs.Path(dir)
+    private val fs = DeltaCompact.fs(dir,
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
 
     // (version, batchId) pairs, version-ascending
     private def versions: Seq[(Long, Long)] =
-      Option(root.listFiles()).getOrElse(Array.empty).toSeq
-        .map(_.getName)
+      fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
         .collect { case VersionDir(v, b) => (v.toLong, b.toLong) }
         .sortBy(_._1)
 
@@ -86,9 +91,7 @@ object StreamRollup {
           .select("event_type", "day", "cnt", "sum_value")
           .write.mode("errorifexists").parquet(s"$dir/v=$next-b=$batchId")
         versions.dropRight(2).foreach { case (v, b) =>
-          val dead = new java.io.File(root, s"v=$v-b=$b")
-          Option(dead.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-          dead.delete()
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"v=$v-b=$b"), true)
         }
         Some(next)
       }
