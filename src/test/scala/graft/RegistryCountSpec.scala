@@ -46,4 +46,29 @@ class RegistryCountSpec extends AnyFunSuite {
     assert(oraClaim.group(1).toInt === oracled,
       s"COVERAGE.md claims '${oraClaim.matched}' but code has $oracled oracles")
   }
+
+  test("prose count phrasings across README/COVERAGE/SCALE cannot go stale") {
+    // Older round sections legitimately carry SMALLER historical counts
+    // ("the round-11 169-gate replay"), so per-claim equality would flag
+    // history. The failure mode to kill is a CURRENT status line written
+    // with last round's number (r12: "FULL 179-query registry" after the
+    // 180th landed). Counts only grow, so the invariant is: the LARGEST
+    // count any phrasing claims equals the code, and no phrasing
+    // overclaims.
+    val docs = Seq("README.md", "COVERAGE.md", "SCALE.md").map(read).mkString("\n")
+    def maxClaim(re: scala.util.matching.Regex, group: Int = 1): Option[Int] = {
+      val all = re.findAllMatchIn(docs).map(_.group(group).toInt).toSeq
+      all.foreach(n => assert(n <= math.max(total, oracled),
+        s"doc phrasing ${re} overclaims $n (code: $total/$oracled)"))
+      all.maxOption
+    }
+    maxClaim(raw"(\d+)-query registry".r).foreach(n => assert(n === total,
+      s"largest 'N-query registry' claim is $n but registry holds $total"))
+    maxClaim(raw"(\d+)/(\d+) oracled".r, 2).foreach(n => assert(n === oracled,
+      s"largest 'N/N oracled' claim is $n but code has $oracled oracles"))
+    maxClaim(raw"(\d+) oracled \+ (\d+) rows-only".r).foreach(n =>
+      assert(n === oracled && n + raw"(\d+) oracled \+ (\d+) rows-only".r
+        .findAllMatchIn(docs).map(_.group(2).toInt).max === total,
+        s"'N oracled + M rows-only' drifted from $oracled/$total"))
+  }
 }
