@@ -6,6 +6,14 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Thrown when a generation commit loses the atomic claim to a
+  * concurrent maintainer racing the same tree. The loser aborts CLEANLY:
+  * its staged generation is deleted, the committed tree is untouched, no
+  * GC ran — retrying (or just waiting for the winner's cadence) is
+  * always safe. */
+final class ConcurrentCompactionException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Delta→base compaction for the streaming-landed corpus — the LSM step
   * that keeps [[StreamShardRouter]]'s per-batch landing viable long-term.
   * Every micro-batch lands as its own `batch=<id>/shard_id=<k>/` parquet
@@ -25,14 +33,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * Commit protocol (the Delta-Lake/Iceberg snapshot discipline, file-based):
-  *  1. write `base_gen=<g+1>` COMPLETELY (old base + folded deltas);
-  *  2. atomically swap the manifest (temp file + rename) to point at it;
-  *  3. only then GC the folded `batch=` directories and the old base.
-  * A crash between any two steps leaves readers correct: the manifest
+  *  1. write the new generation COMPLETELY into a maintainer-unique
+  *     staging directory `_staging/gen=<g+1>.<nonce>/`, including an
+  *     in-directory `_gen_manifest.json` (the manifest this generation
+  *     will commit, + the nonce);
+  *  2. CLAIM the generation: atomically rename the staging directory to
+  *     `base_gen=<g+1>` WITHOUT overwrite — the rename is the commit
+  *     point AND the concurrency guard: exactly one maintainer wins the
+  *     slot, a racing loser's rename fails and it aborts cleanly
+  *     ([[ConcurrentCompactionException]]) before touching the pointer
+  *     or GC'ing anything;
+  *  3. swap the pointer manifest `_compaction.json` (temp file + rename)
+  *     to the committed generation;
+  *  4. only then GC the folded `batch=` directories and unretained bases.
+  * A crash between any two steps leaves readers correct: the pointer
   * still names the old generation, whose base + still-present deltas are
-  * the full corpus; an orphaned half-written `base_gen` directory is
-  * invisible (readers go through the manifest, never by listing) and is
-  * overwritten by the next compaction.
+  * the full corpus; an orphaned staging directory is invisible (readers
+  * go through the pointer, never by listing) and is TTL-swept by a later
+  * GC; a generation that won its rename but crashed before the pointer
+  * swap is ROLLED FORWARD by the next maintainer from its in-directory
+  * manifest (the rename made it complete by construction).
+  *
+  * Concurrency: the single-maintainer CADENCE remains the contract — the
+  * guard exists so that the operator error of two maintainers racing one
+  * tree degrades to one clean abort instead of interleaved base writes
+  * and readers stranded on a GC'd generation. GC keep-sets additionally
+  * union the freshly re-read pointer's, so a stalled winner running its
+  * GC late cannot sweep a successor's generations (residual TOCTOU
+  * windows narrower than a fold remain out of scope, as they would be
+  * for any lock-free FS protocol).
   *
   * ALL storage access goes through the Hadoop `FileSystem`/`FileContext`
   * API resolved from the corpus root's URI — so the same protocol runs
@@ -63,65 +92,187 @@ object DeltaCompact {
   private[streaming] def fs(dir: String, conf: Configuration): FileSystem =
     new Path(dir).getFileSystem(conf)
 
+  private def readSmallFile(p: Path, f: FileSystem): String = {
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Parse one manifest JSON payload (shared by the pointer manifest and
+    * the in-generation `_gen_manifest.json`). */
+  private def parseManifest(s: String, p: Path): Manifest = {
+    // the history array is cut out FIRST so the top-level gen /
+    // maxFoldedBatch fields are parsed from the remainder only
+    val histRe = """"history"\s*:\s*\[([^\]]*)\]""".r
+    val hist = histRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    val top = histRe.replaceFirstIn(s, "")
+    def field(k: String): Long = {
+      val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(top)
+        .getOrElse(throw new IllegalStateException(
+          s"corrupt compaction manifest $p: missing $k in $s"))
+      m.group(1).toLong
+    }
+    val history = """\{"gen":(\d+),"maxFoldedBatch":(-?\d+)\}""".r
+      .findAllMatchIn(hist)
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+    // a history entry that fails the regex must fail LOUDLY like the
+    // scalar fields — silently dropping one would forget a retained
+    // snapshot and let the next gcFolded delete a still-referenced base
+    val rawEntries = hist.count(_ == '{')
+    if (history.size != rawEntries)
+      throw new IllegalStateException(
+        s"corrupt compaction manifest $p: history has $rawEntries " +
+          s"entries but only ${history.size} parsed in $s")
+    Manifest(field("gen"), field("maxFoldedBatch"), history)
+  }
+
   /** Read the committed manifest, if any compaction has ever run. */
   def readManifest(outDir: String,
       conf: Configuration = new Configuration()): Option[Manifest] = {
     val p = manifestPath(outDir)
     val f = fs(outDir, conf)
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val s =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          StandardCharsets.UTF_8)
-        finally in.close()
-      // the history array is cut out FIRST so the top-level gen /
-      // maxFoldedBatch fields are parsed from the remainder only
-      val histRe = """"history"\s*:\s*\[([^\]]*)\]""".r
-      val hist = histRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
-      val top = histRe.replaceFirstIn(s, "")
-      def field(k: String): Long = {
-        val m = s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(top)
-          .getOrElse(throw new IllegalStateException(
-            s"corrupt compaction manifest $p: missing $k in $s"))
-        m.group(1).toLong
-      }
-      val history = """\{"gen":(\d+),"maxFoldedBatch":(-?\d+)\}""".r
-        .findAllMatchIn(hist)
-        .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
-      // a history entry that fails the regex must fail LOUDLY like the
-      // scalar fields — silently dropping one would forget a retained
-      // snapshot and let the next gcFolded delete a still-referenced base
-      val rawEntries = hist.count(_ == '{')
-      if (history.size != rawEntries)
-        throw new IllegalStateException(
-          s"corrupt compaction manifest $p: history has $rawEntries " +
-            s"entries but only ${history.size} parsed in $s")
-      Some(Manifest(field("gen"), field("maxFoldedBatch"), history))
-    }
+    else Some(parseManifest(readSmallFile(p, f), p))
   }
 
-  /** `private[streaming]`: [[StreamBm25Ingest.compactIndex]] reuses the
-    * manifest commit protocol with an AGGREGATING fold (re-cap + df sum)
-    * that a plain union-repartition can't express. */
-  private[streaming] def writeManifest(outDir: String, m: Manifest,
-      conf: Configuration = new Configuration()): Unit = {
+  private def manifestJson(m: Manifest, nonce: Option[String] = None): String = {
     val hist =
       if (m.history.isEmpty) ""
       else m.history
         .map { case (g, w) => s"""{"gen":$g,"maxFoldedBatch":$w}""" }
         .mkString(""","history":[""", ",", "]")
-    val json = s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}$hist}"""
+    val non = nonce.fold("")(n => s""","nonce":"$n"""")
+    s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}$hist$non}"""
+  }
+
+  /** `private[streaming]`: [[StreamBm25Ingest.compactIndex]] and
+    * [[StreamAnnRefresh]] reuse the manifest commit protocol with folds
+    * (re-cap + df sum; retrain + reassign) that a plain
+    * union-repartition can't express. */
+  private[streaming] def writeManifest(outDir: String, m: Manifest,
+      conf: Configuration = new Configuration()): Unit = {
     val tmp = new Path(outDir, s"_compaction.json.tmp.${System.nanoTime()}")
     val f = fs(outDir, conf)
     val out = f.create(tmp, true)
-    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // rename-with-overwrite within one directory: the commit point.
+    try out.write(manifestJson(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // rename-with-overwrite within one directory: the pointer swap.
     // FileSystem.rename can't replace an existing destination portably;
     // FileContext.rename(OVERWRITE) is the API contract for exactly this
     // (what Spark's CheckpointFileManager uses on HDFS and local alike).
+    // Uncontended by construction: only the maintainer that WON the
+    // generation rename (or a roll-forwarder writing the identical
+    // bytes from the in-generation manifest) ever writes gen g's pointer,
+    // and nobody can claim gen g+1 before the pointer names gen g.
     val fc = FileContext.getFileContext(manifestPath(outDir).toUri, conf)
     fc.rename(tmp, manifestPath(outDir), Options.Rename.OVERWRITE)
+  }
+
+  // ---- generation claim: the concurrent-maintainer guard ----
+
+  private val GenManifestName = "_gen_manifest.json"
+
+  /** Dead staging directories are swept only after this long — an ACTIVE
+    * concurrent fold toward an already-taken slot must lose at its own
+    * rename (a clean [[ConcurrentCompactionException]]), not by having
+    * files yanked from under its writer mid-stage. */
+  private[streaming] val StagingTtlMs: Long = 10L * 60 * 1000
+
+  private def stagingRoot(outDir: String) = new Path(outDir, "_staging")
+
+  /** The in-generation manifest (+ its maintainer nonce), if `dir` is a
+    * committed-by-rename generation directory. Pre-guard generation
+    * directories (written in place by the old protocol) have none. */
+  private[streaming] def readGenManifest(dir: String,
+      conf: Configuration): Option[(Manifest, String)] = {
+    val p = new Path(dir, GenManifestName)
+    val f = fs(dir, conf)
+    if (!f.exists(p)) None
+    else {
+      val txt = readSmallFile(p, f)
+      val nonce = """"nonce"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(
+          s"corrupt generation manifest $p: missing nonce in $txt"))
+        .group(1)
+      Some((parseManifest(txt, p), nonce))
+    }
+  }
+
+  private[streaming] def writeGenManifest(dir: String, m: Manifest,
+      nonce: String, conf: Configuration): Unit = {
+    val p = new Path(dir, GenManifestName)
+    val out = fs(dir, conf).create(p, false)
+    try out.write(manifestJson(m, Some(nonce)).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Stage-and-commit one generation under the concurrent-maintainer
+    * guard (protocol steps 1-4 of the object scaladoc). `stage` must
+    * write the generation's COMPLETE content under the staging path it
+    * is given; this helper then adds the in-generation manifest, claims
+    * `base_gen=<man.gen>` by atomic rename, swaps the pointer, and GCs.
+    * A racing maintainer that loses the claim gets a
+    * [[ConcurrentCompactionException]] with its staging deleted and the
+    * committed tree untouched. */
+  private[streaming] def commitStagedGeneration(outDir: String, man: Manifest,
+      conf: Configuration)(stage: String => Unit): Unit = {
+    val nonce = java.util.UUID.randomUUID().toString
+    val staging = new Path(stagingRoot(outDir), s"gen=${man.gen}.$nonce")
+    val dest = new Path(outDir, s"base_gen=${man.gen}")
+    val f = fs(outDir, conf)
+    stage(staging.toString)
+    writeGenManifest(staging.toString, man, nonce, conf)
+    // a manifest-LESS directory in the slot is a pre-guard orphan (the
+    // old protocol wrote bases in place; a crash could leave one
+    // half-written) — readers never saw it, clear it for the rename.
+    // A directory WITH a manifest is a committed generation: the rename
+    // below will fail on it, which is exactly the guard.
+    if (f.exists(dest) && readGenManifest(dest.toString, conf).isEmpty)
+      f.delete(dest, true)
+    val fc = FileContext.getFileContext(dest.toUri, conf)
+    try fc.rename(staging, dest) // no OVERWRITE: the atomic claim
+    catch {
+      case e: java.io.IOException =>
+        f.delete(staging, true)
+        throw new ConcurrentCompactionException(
+          s"generation ${man.gen} under $outDir was committed by a " +
+            s"concurrent maintainer — aborting before pointer swap and GC " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+    // belt-and-braces for file systems whose no-overwrite rename check is
+    // not atomic: the slot must carry OUR nonce, or someone else won
+    if (!readGenManifest(dest.toString, conf).exists(_._2 == nonce)) {
+      f.delete(staging, true)
+      throw new ConcurrentCompactionException(
+        s"generation ${man.gen} under $outDir carries another maintainer's " +
+          "manifest after rename — lost the claim, aborting before GC")
+    }
+    writeManifest(outDir, man, conf)
+    gcFolded(outDir, man, conf)
+  }
+
+  /** Adopt any generation that won its rename but crashed before the
+    * pointer swap: finish the swap from its in-generation manifest (a
+    * roll-FORWARD — the rename made the generation complete by
+    * construction) and run its GC. Returns the effective committed
+    * manifest after adoption. Every maintainer calls this before
+    * computing its own next generation, so a crashed predecessor can
+    * never wedge the slot sequence. */
+  private[streaming] def rollForward(outDir: String,
+      conf: Configuration): Option[Manifest] = {
+    var cur = readManifest(outDir, conf)
+    var next = cur.map(_.gen + 1).getOrElse(0L)
+    var orphan = readGenManifest(s"$outDir/base_gen=$next", conf)
+    while (orphan.isDefined) {
+      val m = orphan.get._1
+      writeManifest(outDir, m, conf)
+      gcFolded(outDir, m, conf)
+      cur = Some(m)
+      next = m.gen + 1
+      orphan = readGenManifest(s"$outDir/base_gen=$next", conf)
+    }
+    cur
   }
 
   /** Batch ids currently landed as delta directories. */
@@ -314,7 +465,9 @@ object DeltaCompact {
       maxRecordsPerFile: Long = 0L,
       allowEvolution: Boolean = false): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val prev = readManifest(outDir, conf)
+    // adopt a predecessor that won its rename but crashed pre-pointer
+    // BEFORE computing our own next generation
+    val prev = rollForward(outDir, conf)
     val deltas = unfoldedDeltas(outDir, prev, conf)
     // tombstone application: capture the landed tombstone batches ONCE
     // (the delta-capture discipline — a delete landing mid-fold stays
@@ -361,25 +514,22 @@ object DeltaCompact {
     val clustered =
       if (sortCols.isEmpty) folded
       else folded.sortWithinPartitions(("shard_id" +: sortCols).map(col): _*)
-    clustered
-      .write.mode("overwrite").partitionBy("shard_id")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(s"$outDir/base_gen=$nextGen")
-    // step 2: atomic commit. retainSnapshots > 0 keeps that many OLDER
-    // generations readable ([[readCorpusAsOf]]) — the table-format
-    // snapshot-retention discipline that makes "train on the corpus
-    // exactly as it was at snapshot g" reproducible.
+    // retainSnapshots > 0 keeps that many OLDER generations readable
+    // ([[readCorpusAsOf]]) — the table-format snapshot-retention
+    // discipline that makes "train on the corpus exactly as it was at
+    // snapshot g" reproducible.
     val history = prev
       .map(p => (p.history :+ (p.gen, p.maxFoldedBatch)).takeRight(retainSnapshots))
       .getOrElse(Nil)
     val man = Manifest(nextGen, watermark, history)
-    writeManifest(outDir, man, conf)
-    // step 3: GC — safe only AFTER the commit, and swept by PREDICATE
-    // (every delta at-or-under the watermark, every base generation
-    // outside {current} ∪ retained) rather than by the captured lists,
-    // so orphans left by a crash between a previous commit and its GC
-    // are also collected
-    gcFolded(outDir, man, conf)
+    // steps 1-4 (stage → claim by rename → pointer swap → GC) under the
+    // concurrent-maintainer guard — see the object scaladoc
+    commitStagedGeneration(outDir, man, conf) { staging =>
+      clustered
+        .write.mode("overwrite").partitionBy("shard_id")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .parquet(staging)
+    }
     // applied tombstones fold away too: only the CAPTURED batches (a
     // delete landed mid-fold was not applied and must survive to apply
     // logically / at the next fold)
@@ -400,13 +550,34 @@ object DeltaCompact {
     val f = fs(outDir, conf)
     listDeltaBatches(outDir, conf).filter(_ <= man.maxFoldedBatch).foreach(id =>
       f.delete(new Path(outDir, s"batch=$id"), true))
-    val keep = (man.history.map(_._1) :+ man.gen)
+    // keep-set: OURS ∪ the freshly re-read pointer's — a stalled winner
+    // running its GC after a successor already committed must not sweep
+    // the successor's generations (the pointer may have moved past us)
+    val cur = readManifest(outDir, conf)
+    val keep = ((man.history.map(_._1) :+ man.gen) ++
+      cur.toSeq.flatMap(c => c.history.map(_._1) :+ c.gen))
       .map(g => s"base_gen=$g").toSet
     val root = new Path(outDir)
     f.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("base_gen=") &&
         !keep(st.getPath.getName))
       .foreach(st => f.delete(st.getPath, true))
+    // dead staging: targets a slot at-or-under the committed pointer
+    // (its claim can never succeed) AND old enough that its owner is
+    // gone — an ACTIVE racer must lose at its own rename, not by having
+    // files yanked from under its writer
+    val sRoot = stagingRoot(outDir)
+    if (f.exists(sRoot)) {
+      val ceiling = cur.map(_.gen).getOrElse(man.gen)
+      val now = System.currentTimeMillis()
+      f.listStatus(sRoot).toSeq
+        .filter { st =>
+          st.getPath.getName.stripPrefix("gen=").takeWhile(_ != '.')
+            .toLongOption.exists(_ <= ceiling) &&
+            now - st.getModificationTime > StagingTtlMs
+        }
+        .foreach(st => f.delete(st.getPath, true))
+    }
   }
 
   /** Time travel: the corpus EXACTLY as committed at snapshot `gen` —

@@ -103,19 +103,18 @@ object StreamAnnRefresh {
     val (corpus, watermark) = corpusAndWatermark(s, corpusDir, tombstoneKey)
     val cents = StreamAnn.labelCentroids(reservoir(corpus, sampleSize))
       .localCheckpoint()
-    val prev = DeltaCompact.readManifest(idxDir, conf)
+    val prev = DeltaCompact.rollForward(idxDir, conf)
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
-    // step 1: the new generation, COMPLETELY, before any commit
-    cents.write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen/codebook")
-    StreamAnn.assign(corpus, cents)
-      .write.mode("overwrite").partitionBy("assigned_cell")
-      .parquet(s"$idxDir/base_gen=$nextGen/postings")
-    // step 2: atomic cut-over — the manifest swap IS the serve switch
     val man = DeltaCompact.Manifest(nextGen, watermark)
-    DeltaCompact.writeManifest(idxDir, man, conf)
-    // step 3: GC old + orphan generations (predicate sweep, so a crash
-    // between a previous commit and its GC is also cleaned up here)
-    DeltaCompact.gcFolded(idxDir, man, conf)
+    // stage the generation COMPLETELY (codebook first, then postings),
+    // then claim-by-rename + pointer swap + GC — the shared
+    // concurrent-maintainer-guarded commit (DeltaCompact scaladoc)
+    DeltaCompact.commitStagedGeneration(idxDir, man, conf) { staging =>
+      cents.write.mode("overwrite").parquet(s"$staging/codebook")
+      StreamAnn.assign(corpus, cents)
+        .write.mode("overwrite").partitionBy("assigned_cell")
+        .parquet(s"$staging/postings")
+    }
     man
   }
 
@@ -177,16 +176,15 @@ object StreamAnnRefresh {
       .select(col("cent_rank"),
         transform(col("embedding"), _.cast("double")).as("c"))
       .localCheckpoint()
-    val prev = DeltaCompact.readManifest(idxDir, conf)
+    val prev = DeltaCompact.rollForward(idxDir, conf)
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
-    // step 1: the new generation, COMPLETELY, before any commit
-    pcents.write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen/pq_codebook")
-    graft.operators.Similarity.pqAssign(corpus, pcents)
-      .write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen/codes")
-    // step 2: atomic cut-over; step 3: predicate-sweep GC
     val man = DeltaCompact.Manifest(nextGen, watermark)
-    DeltaCompact.writeManifest(idxDir, man, conf)
-    DeltaCompact.gcFolded(idxDir, man, conf)
+    // stage codebook + codes COMPLETELY, then the shared guarded commit
+    DeltaCompact.commitStagedGeneration(idxDir, man, conf) { staging =>
+      pcents.write.mode("overwrite").parquet(s"$staging/pq_codebook")
+      graft.operators.Similarity.pqAssign(corpus, pcents)
+        .write.mode("overwrite").parquet(s"$staging/codes")
+    }
     man
   }
 

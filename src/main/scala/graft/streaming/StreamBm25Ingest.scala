@@ -214,21 +214,21 @@ object StreamBm25Ingest {
     graft.functions.GraftFunctions.register(s)
     val idxDir = s"$outDir/idx"
     val conf = s.sparkContext.hadoopConfiguration
-    val prev = DeltaCompact.readManifest(idxDir, conf)
+    val prev = DeltaCompact.rollForward(idxDir, conf)
     val deltas = DeltaCompact.unfoldedDeltas(idxDir, prev, conf)
     val folded = recapMergePartial(indexPartials(s, outDir))
     val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
-    folded
-      .repartitionByRange(col("tok"))
-      .sortWithinPartitions("tok")
-      .write.mode("overwrite").parquet(s"$idxDir/base_gen=$nextGen")
     val man = DeltaCompact.Manifest(nextGen, watermark)
-    DeltaCompact.writeManifest(idxDir, man, conf)
-    // GC through the Hadoop FS API (never java.io) — same sweep-by-
-    // predicate as the union-repartition fold, shared so the protocol
-    // can't diverge between the two fold flavors
-    DeltaCompact.gcFolded(idxDir, man, conf)
+    // stage → claim-by-rename → pointer swap → GC: the shared
+    // concurrent-maintainer-guarded commit, so the protocol can't
+    // diverge between the three fold flavors
+    DeltaCompact.commitStagedGeneration(idxDir, man, conf) { staging =>
+      folded
+        .repartitionByRange(col("tok"))
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite").parquet(staging)
+    }
     man
   }
 }

@@ -79,4 +79,60 @@ class StreamPqRefreshSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
   }
+
+  test("crash injection: refresh killed between codebook write and commit leaves serving on gen g; next refresh absorbs the orphan") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val base = Files.createTempDirectory("graft_pqcrash").toFile.getAbsolutePath
+    val corpusDir = s"$base/corpus"
+    val idxDir = s"$base/idx"
+    try {
+      StreamShardRouter.landBatch(vecs(0, 80, _ % 4), corpusDir, 0L)
+      val man0 = StreamAnnRefresh.refreshPq(s, corpusDir, idxDir, sampleSize = 64)
+      val cb0 = StreamAnnRefresh.currentPqCodebook(s, idxDir)
+        .collect().map(_.toString).sorted.toSeq
+
+      // drift lands; a refresh starts and is KILLED between its codebook
+      // write and the commit — under the staged protocol that crash
+      // window is a staging directory with the codebook written, the
+      // codes missing, and no rename. Reconstruct exactly that state.
+      val drifted = vecs(80, 120, _ => 7)
+      StreamShardRouter.landBatch(drifted, corpusDir, 1L)
+      val orphan = s"$idxDir/_staging/gen=1.killed-refresh"
+      StreamAnnRefresh.currentPqCodebook(s, idxDir)
+        .write.parquet(s"$orphan/pq_codebook")
+
+      // readers stay on generation g: the pointer never moved, the
+      // orphan is invisible (readers go through the pointer, never by
+      // listing), serve keeps working
+      assert(DeltaCompact.readManifest(idxDir,
+        s.sparkContext.hadoopConfiguration).contains(man0))
+      assert(StreamAnnRefresh.currentPqCodebook(s, idxDir)
+        .collect().map(_.toString).sorted.toSeq === cb0)
+      assert(StreamAnnRefresh.currentPqCodes(s, idxDir).count() === 80)
+
+      // the NEXT refresh absorbs the crash: the slot was never claimed,
+      // so it commits gen 1 normally — and the drift audit recovers
+      val sagged = StreamAnnRefresh.pqReconError(drifted,
+        StreamAnnRefresh.currentPqCodebook(s, idxDir))
+      val man1 = StreamAnnRefresh.refreshPq(s, corpusDir, idxDir, sampleSize = 64)
+      assert(man1.gen === man0.gen + 1 && man1.maxFoldedBatch === 1L)
+      val recovered = StreamAnnRefresh.pqReconError(drifted,
+        StreamAnnRefresh.currentPqCodebook(s, idxDir))
+      assert(recovered < sagged * 0.5,
+        s"post-crash refresh must recover the drift: $sagged -> $recovered")
+      assert(StreamAnnRefresh.currentPqCodes(s, idxDir).count() === 120)
+
+      // the orphan staging is TTL-swept once expired (dead by protocol)
+      val f = DeltaCompact.fs(idxDir, s.sparkContext.hadoopConfiguration)
+      val op = new org.apache.hadoop.fs.Path(orphan)
+      assert(f.exists(op), "young staging must not be yanked from a live writer")
+      val old = System.currentTimeMillis() - DeltaCompact.StagingTtlMs - 60000
+      f.setTimes(op, old, old)
+      StreamAnnRefresh.refreshPq(s, corpusDir, idxDir, sampleSize = 64)
+      assert(!f.exists(op), "expired crash orphan must be swept by the next GC")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
 }
