@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
-import graft.streaming.{DeltaCompact, StreamLshIngest}
+import graft.streaming.{DeltaCompact, StreamCdcApply, StreamLshIngest, StreamShardRouter}
 
 /** Scale measurement for the round-12 lifecycle operators (SCALE.md):
   *
@@ -18,6 +18,22 @@ import graft.streaming.{DeltaCompact, StreamLshIngest}
   *     readPostingsLive anti-join) vs plain serve at both scales: the
   *     claim is that lazy deletion costs ~nothing at serve time; plus
   *     the physical fold (compactPostings with tombstones applied).
+  *
+  *  3. CDC merge-on-read — the [[graft.streaming.StreamCdcApply]] view's
+  *     LSM cost model, measured: serve cost over the folded base alone,
+  *     over base + 8 FIXED-SIZE pending upsert batches (+ their
+  *     tombstones), and post-fold again. The claim: the merge-on-read
+  *     OVERHEAD (pending-deltas read + one broadcast anti-join) is
+  *     delta-bound, not corpus-bound — the overhead second should stay
+  *     ~flat across the corpus decade while the base-read second rides
+  *     it; the fold resets the overhead to zero.
+  *
+  *  4. snapshot retention + time travel — fold the CDC tree 3 more
+  *     times under `retainSnapshots = 3`, then read the OLDEST retained
+  *     snapshot vs the current view. The claim: an as-of read is one
+  *     direct base-generation scan — its cost is independent of how many
+  *     snapshots are retained or how much history landed since
+  *     (retention costs storage, never read time).
   *
   * Run on demand (minutes by design, not part of the driver bench):
   * `sbt "runMain graft.LifecycleScaleSmoke [baseDir] [10xFlatDir]"`.
@@ -99,6 +115,62 @@ object LifecycleScaleSmoke {
       }
       println(s"  serve rows pre/lazy/folded: $plain/$lazyServe/$folded; " +
         s"tombstones left: ${DeltaCompact.listTombstoneBatches(idxDir).size}")
+
+      // ---- 3. CDC merge-on-read: serve overhead is delta-bound, not
+      // corpus-bound; the fold resets it
+      val cdcDir = s"/tmp/graft_smoke_cdc_$tag"
+      val cp = new org.apache.hadoop.fs.Path(cdcDir)
+      cp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cp, true)
+      StreamShardRouter.landBatch(docs, cdcDir, 0L)
+      StreamCdcApply.compactTable(spark, cdcDir) // the folded base
+      val baseRead = timed(s"CDC serve, folded base only ($tag)") {
+        StreamCdcApply.currentTable(spark, cdcDir).count()
+      }
+      // 8 FIXED-SIZE upsert batches (base-range keys, same bytes at both
+      // scales): each re-writes ~1/40 of the BASE corpus's keys
+      (1L to 8L).foreach { b =>
+        val ups = docs
+          .filter(col("doc_id") % 40 === b && col("doc_id") < baseDocs)
+          .withColumn("text", concat(col("text"), lit(s" v$b")))
+          .withColumn("op", lit("U"))
+        StreamCdcApply.applyBatch(ups, cdcDir, b)
+      }
+      val morRead = timed(s"CDC serve, base + 8 pending upsert batches ($tag)") {
+        StreamCdcApply.currentTable(spark, cdcDir).count()
+      }
+      timed(s"CDC fold (versions collapse, tombstones GC, $tag)") {
+        StreamCdcApply.compactTable(spark, cdcDir)
+      }
+      val postFold = timed(s"CDC serve, post-fold ($tag)") {
+        StreamCdcApply.currentTable(spark, cdcDir).count()
+      }
+      println(f"  CDC rows base/mor/folded: $baseRead/$morRead/$postFold; " +
+        s"merge-on-read overhead is the (mor - base) second")
+
+      // ---- 4. time travel: as-of read cost is one snapshot scan,
+      // independent of retention depth and later history
+      val genBefore = DeltaCompact.readManifest(cdcDir,
+        spark.sparkContext.hadoopConfiguration).get.gen
+      (9L to 11L).foreach { b =>
+        val ups = docs
+          .filter(col("doc_id") % 40 === b && col("doc_id") < baseDocs)
+          .withColumn("text", concat(col("text"), lit(s" v$b")))
+          .withColumn("op", lit("U"))
+        StreamCdcApply.applyBatch(ups, cdcDir, b)
+        DeltaCompact.compact(spark, cdcDir, tombstoneKey = Some("doc_id"),
+          retainSnapshots = 3)
+      }
+      val man = DeltaCompact.readManifest(cdcDir,
+        spark.sparkContext.hadoopConfiguration).get
+      val current = timed(s"time travel: CURRENT view read ($tag)") {
+        DeltaCompact.readCorpus(spark, cdcDir).count()
+      }
+      val asOf = timed(s"time travel: as-of gen=$genBefore read " +
+        s"(oldest of ${man.history.size} retained, $tag)") {
+        DeltaCompact.readCorpusAsOf(spark, cdcDir, genBefore).count()
+      }
+      println(s"  time-travel rows current/as-of: $current/$asOf; " +
+        s"retained snapshots: ${man.history.map(_._1).mkString("[", ",", "]")}")
     }
     spark.stop()
   }

@@ -1926,8 +1926,8 @@ object Similarity {
     * Hamming-1 flips) for [[qKnnLsh]]. 8 tables × 8 bits trades one
     * 16-bit table's precision for union recall — the standard
     * multi-table layout (Indyk–Motwani; E2LSH). */
-  private val LshTables = 8
-  private val LshBits = 8
+  private[graft] val LshTables = 8
+  private[graft] val LshBits = 8
 
   /** Deterministic hyperplane `(t, b)`: 64 pseudo-random floats in
     * [-1, 1) derived from md5 — same derivation family as
@@ -2183,7 +2183,18 @@ object Similarity {
     * count from the SAME geometry constants instead of duplicating the
     * arithmetic: if the geometry ever changes, both layouts move
     * together. */
-  private[graft] val lshDirKeyDomain: Int = LshTables << (LshBits - LshDirShift)
+  private[graft] val lshDirKeyDomain: Int = lshDirKeyDomainFor(LshTables, LshBits)
+
+  /** [[lshDirKeyDomain]] at an arbitrary geometry — the streaming
+    * geometry-refresh path ([[graft.streaming.StreamLshIngest
+    * .refreshGeometry]]) re-derives its fold shard count from the
+    * COMMITTED generation's geometry sidecar rather than the registry
+    * constants, so a re-sized index keeps its layout arithmetic in one
+    * place. */
+  private[graft] def lshDirKeyDomainFor(tables: Int, bits: Int): Int = {
+    require(bits >= LshDirShift, s"bits=$bits below dir shift $LshDirShift")
+    tables << (bits - LshDirShift)
+  }
 
   val qKnnLshPersist: Q = Q("q_knn_lsh_persist", DuckLshSql) { (s, d) =>
     GraftFunctions.register(s)
@@ -2224,7 +2235,7 @@ object Similarity {
     * serve cost from O(occupancy) into O(1). 16 ≈ 8× the sf0.01 mean
     * bucket occupancy, so the cap is dormant at test geometry and bites
     * exactly where it is designed to: hot buckets at scale. */
-  private val LshCap = 16
+  private[graft] val LshCap = 16
 
   /** [[DuckLshSql]] with the posting-cap CTE: per combined-key bucket
     * (`tb = t·2^bits + bucket`), only the [[LshCap]] entries with the
@@ -2369,10 +2380,11 @@ object Similarity {
     * streams, batches, deltas, or compaction — which is the point: the
     * stream-ingested, mid-run-compacted, persisted indexes must serve
     * results indistinguishable from a single-pass batch build. */
-  private val DuckHybridStreamSql: String =
-    s"""WITH $DuckLshCtes,
-       |${graft.operators.TextAnalysis.DuckBm25Ctes},
-       |sem AS (SELECT query_id, neighbor_id AS doc_id, rank FROM
+  /** The LSH⊕BM25 RRF fusion tail (from `sem` through the final select),
+    * shared verbatim by the two streamed-lifecycle oracles — the fusion
+    * never changes, only which corpus rows the branch CTEs see. */
+  private val DuckLshBm25RrfTail: String =
+    s"""sem AS (SELECT query_id, neighbor_id AS doc_id, rank FROM
        |  (SELECT query_id, neighbor_id, row_number() OVER
        |     (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |   FROM sims) WHERE rank <= $K),
@@ -2388,6 +2400,11 @@ object Similarity {
        |    (PARTITION BY query_id ORDER BY rrfsum DESC, doc_id) AS rank
        |  FROM fused)
        |WHERE rank <= $RrfTopK""".stripMargin
+
+  private val DuckHybridStreamSql: String =
+    s"""WITH $DuckLshCtes,
+       |${graft.operators.TextAnalysis.DuckBm25Ctes},
+       |$DuckLshBm25RrfTail""".stripMargin
 
   private val hybridStreamRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -2593,6 +2610,165 @@ object Similarity {
       lshQueryProbes(Tables.embeddings(s, d))).localCheckpoint()
   }
 
+  // ---- q_hybrid_lifecycle: lifecycle gate v2 — DELETE and REFRESH fired
+  // INSIDE the streamed RAG build ------------------------------------------
+
+  /** Batch-only oracle for the full-lifecycle gate: [[DuckHybridStreamSql]]
+    * with ONE change — the delete set's complement as each branch's corpus
+    * predicate (the [[DuckLshDeleteSql]] / `q_bm25_delete` patterns fused
+    * by the same RRF tail). The oracle knows nothing about streams,
+    * tombstones, refresh generations, or folds: the streamed build with a
+    * mid-run takedown, policy-fired index maintenance, and generation
+    * folds must serve the bit-identical answer a single batch pass over
+    * the surviving corpus computes. */
+  private val DuckHybridLifecycleSql: String =
+    s"""WITH dlive AS (SELECT * FROM documents
+       |  WHERE NOT (doc_id % $DeleteMod = $DeleteRem)),
+       |${duckLshCtes(s"NOT (s.vec_id % $DeleteMod = $DeleteRem)")},
+       |${graft.operators.TextAnalysis.duckBm25Ctes("dlive")},
+       |$DuckLshBm25RrfTail""".stripMargin
+
+  private val hybridLifecycleRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Lifecycle gate v2 — everything the streamed retrieval tier does,
+    * composed IN one run and pinned BY one oracle. On top of
+    * [[qHybridStreamPersist]] (concurrent 4-batch lexical + semantic
+    * ingest streams, both indexes built at ingest, served off folded
+    * artifacts), this gate adds the two remaining lifecycle verbs,
+    * fired mid-run from inside the ingest itself:
+    *
+    *  - DELETE: the takedown batch arrives after batch 1 — the landed
+    *    corpus is consulted for matching keys (takedown-list ∩ catalog,
+    *    the production shape) and sequence-watermarked tombstones land on
+    *    BOTH trees of each branch (corpus + index); batches after the
+    *    takedown consult the list AT INGEST and never land matching rows
+    *    (the bloom-consult-on-crawl shape);
+    *  - REFRESH, policy-fired not hardcoded: every batch runs the DECIDE
+    *    steps — [[graft.streaming.AnnMaintenance.lshStep]] fires the LSH
+    *    reclaim rebuild when tombstone pressure crosses its floor (the
+    *    ~1/7 takedown trips the 5% default exactly once, at batch 1; the
+    *    width stays pinned to the committed geometry because THIS gate's
+    *    oracle fixes it — auto-sizing is LifecycleV2Spec's job), and
+    *    [[graft.streaming.StreamBm25Ingest.maintainIndex]] rebuilds the
+    *    capped lexical index from the folded survivors (the only exact
+    *    delete for a capped aggregate — `q_bm25_delete` rationale), also
+    *    exactly once.
+    *
+    * Post-refresh batches keep landing as deltas above the refresh
+    * watermark; the end-of-run maintenance tick folds them (postings
+    * fold carries the geometry sidecar; the vector corpus folds its
+    * tombstones away physically), and the hybrid RRF serve runs purely
+    * off the folded artifacts through the registry serve kernels.
+    * Hash-equality against [[DuckHybridLifecycleSql]] then pins the whole
+    * composition: deletes, policy-fired refresh generations, and folds
+    * commute with the streamed build — bit-identically.
+    *
+    * Scale shape: the DECIDE steps are metadata reads + one parquet
+    * count per batch; each ACT is paid exactly once, at the fold
+    * cadence's own cost class (LSH reclaim = one live-corpus posting
+    * expansion; BM25 rebuild = one tokenize + capped-aggregate pass);
+    * serves stay two bounded index lookups + a ≤13-rows-per-query
+    * fusion. */
+  val qHybridLifecycle: Q = Q(
+    "q_hybrid_lifecycle", DuckHybridLifecycleSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(s, d)
+    val pid = ProcessHandle.current().pid()
+    val run = hybridLifecycleRunCounter.incrementAndGet()
+    val root = s"/tmp/graft_hybridlife/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_hybridlife", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+
+    val takedownDoc = col("doc_id") % DeleteMod === DeleteRem
+    val takedownVec = col("vec_id") % DeleteMod === DeleteRem
+
+    // lexical ingest: per-batch capped partials; takedown at batch 1;
+    // the maintenance DECIDE runs every batch and rebuilds exactly once
+    val lexSrc = s"$root/lex_src"
+    val lexOut = s"$root/lex"
+    docs.repartition(4).write.mode("overwrite").parquet(lexSrc)
+    val lexQ = s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+      .parquet(lexSrc)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val incoming = if (id >= 2L) b.filter(!takedownDoc) else b
+        graft.streaming.StreamBm25Ingest.ingestStep(incoming, lexOut, id)
+        if (id == 1L) {
+          val doomed = graft.streaming.DeltaCompact
+            .readCorpus(s, s"$lexOut/docs")
+            .filter(takedownDoc).select(col("doc_id"))
+          graft.streaming.DeltaCompact.landTombstones(
+            doomed, s"$lexOut/docs", 0L, watermark = Some(id))
+        }
+        graft.streaming.StreamBm25Ingest.maintainIndex(s, lexOut)
+        ()
+      }
+      .start()
+
+    // semantic ingest (CONCURRENT with the lexical stream, as in
+    // q_hybrid_stream_persist): LSH posting deltas at the COMMITTED
+    // geometry; takedown at batch 1 tombstones corpus AND index;
+    // AnnMaintenance.lshStep decides every batch
+    val semSrc = s"$root/sem_src"
+    val semDocs = s"$root/sem_docs"
+    val semIdx = s"$root/sem_idx"
+    emb.repartition(4).write.mode("overwrite").parquet(semSrc)
+    val semQ = s.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+      .parquet(semSrc)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val shaped = b.withColumn("doc_id", col("vec_id"))
+          .select("doc_id", "vec_id", "label", "embedding")
+        val incoming = if (id >= 2L) shaped.filter(!takedownVec) else shaped
+        val geomNow = graft.streaming.StreamLshIngest.readGeometry(s, semIdx)
+        val postings = graft.streaming.StreamLshIngest
+          .ingestStep(incoming, semDocs, id, geometry = geomNow)
+        graft.streaming.StreamLshIngest.landPostingsDelta(postings, semIdx, id)
+        if (id == 1L) {
+          val doomed = graft.streaming.DeltaCompact.readCorpus(s, semDocs)
+            .filter(takedownVec).select(col("vec_id")).localCheckpoint()
+          graft.streaming.DeltaCompact.landTombstones(
+            doomed, semDocs, 0L, watermark = Some(id))
+          graft.streaming.StreamLshIngest.landTombstones(
+            doomed.select(col("vec_id").as("neighbor_id")), semIdx, 0L,
+            watermark = Some(id))
+        }
+        graft.streaming.AnnMaintenance.lshStep(s, semDocs, semIdx,
+          autoSize = false)
+        ()
+      }
+      .start()
+    lexQ.awaitTermination()
+    semQ.awaitTermination()
+
+    // end-of-run maintenance tick: fold the post-refresh deltas, forget
+    // the vector corpus's tombstones physically, carry the geometry
+    graft.streaming.DeltaCompact.compact(s, semDocs,
+      tombstoneKey = Some("vec_id"))
+    graft.streaming.StreamLshIngest.compactPostings(s, semIdx)
+    graft.streaming.StreamBm25Ingest.maintainIndex(s, lexOut) // no-op unless deletes pend
+
+    // serve purely off the folded artifacts, through the registry kernels
+    val liveDocs = graft.streaming.DeltaCompact
+      .readCorpus(s, s"$lexOut/docs").select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val lex = graft.operators.TextAnalysis
+      .bm25Serve(graft.streaming.StreamBm25Ingest.mergeIndexes(s, lexOut), liveDocs)
+      .filter(col("query_id") < NumQueries)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val geom = graft.streaming.StreamLshIngest.readGeometry(s, semIdx)
+    val probes = lshQueryProbes(emb, geom.tables, geom.bits).localCheckpoint()
+    val sem = lshServeJoin(
+        graft.streaming.StreamLshIngest.readPostings(s, semIdx).drop("tb_hi"),
+        probes)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(lex, sem).localCheckpoint()
+  }
+
   val all: Seq[Q] = Seq(
     qKnnBrute, qCentroids, qKnnIvf, qEmbedNearDup, qEmbedQuantize, qEmbedPq,
     qKnnPqAdc, qKnnIvfPq, qEmbedClusters, qSemDedup, qSemDecontam,
@@ -2600,6 +2776,6 @@ object Similarity {
     qStreamAnnCompact, qEmbedDimStats, qKnnIvfPersist, qKnnIvfPqPersist, qKnnIvf2,
     qKnnIvf2Persist, qKnnLsh, qKnnLshPersist, qKnnLshCapped, qKnnFiltered,
     qKnnFilteredPersist, qHybridRrf, qHybridRrfPersist, qHybridStreamPersist,
-    qKnnDeleteServe, qKnnDeleteCompact,
+    qKnnDeleteServe, qKnnDeleteCompact, qHybridLifecycle,
     qHardNegatives, qHardNegativesPersist)
 }

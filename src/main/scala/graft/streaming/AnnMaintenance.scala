@@ -50,4 +50,48 @@ object AnnMaintenance {
     if (drifted) StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize)
     (assigned, drifted)
   }
+
+  /** The LSH index family's decide step — same detect→decide→act loop as
+    * [[step]], with the LSH-native pressure signals in place of the
+    * codebook's agreement audit (there is no codebook to drift):
+    *  - TOMBSTONE pressure: pending deletes ride every serve as the
+    *    [[StreamLshIngest.readPostingsLive]] anti-join; past
+    *    `maxTombstoneFrac` of the corpus the reclaim rebuild is due;
+    *  - GEOMETRY pressure (`autoSize = true`): bucket occupancy grows
+    *    linearly with the corpus at fixed bits, so when
+    *    [[graft.operators.Similarity.lshGeometry]]'s occupancy rule wants
+    *    a different width than the committed generation carries, the
+    *    corpus has outgrown (or shrunk out of) its geometry.
+    * The DECIDE is deliberately cheap enough to run EVERY batch: pending
+    * tombstone keys are bounded by maintenance cadence (tiny read), the
+    * landed-corpus count is a parquet metadata count, and the live count
+    * is approximated as landed − tombstoned (exact when every tombstone
+    * names a live row; an over-estimate of deletions only ever fires the
+    * reclaim early, never late). The ACT is [[StreamLshIngest
+    * .refreshGeometry]] — one posting expansion over the live corpus, the
+    * generation fold's own cost class, paid only when pressure is real.
+    * Returns whether a refresh fired. `autoSize = false` pins the width
+    * to the committed geometry (oracle-pinned gates; the reclaim trigger
+    * still fires). */
+  def lshStep(s: org.apache.spark.sql.SparkSession, corpusDir: String,
+      idxDir: String,
+      cap: Int = graft.operators.Similarity.LshCap,
+      maxTombstoneFrac: Double = 0.05,
+      autoSize: Boolean = true): Boolean = {
+    val cur = StreamLshIngest.readGeometry(s, idxDir)
+    val tsRows = DeltaCompact.readTombstones(s, idxDir)
+      .map(_.count()).getOrElse(0L)
+    // fast path: nothing pending and no resize wanted — zero data reads
+    if (tsRows == 0L && !autoSize) return false
+    val landed = DeltaCompact.readCorpus(s, corpusDir).count()
+    val approxLive = math.max(1L, landed - tsRows)
+    val pressure = tsRows > 0L && tsRows.toDouble >= maxTombstoneFrac * approxLive
+    val resize = autoSize &&
+      graft.operators.Similarity.lshGeometry(approxLive, cap) != cur.bits
+    if (pressure || resize) {
+      StreamLshIngest.refreshGeometry(s, corpusDir, idxDir, cap,
+        bitsOverride = if (autoSize) None else Some(cur.bits))
+      true
+    } else false
+  }
 }

@@ -393,6 +393,18 @@ object DeltaCompact {
       conf: Configuration = new Configuration()): Seq[Long] =
     listDeltaBatches(tombstoneRoot(outDir), conf)
 
+  /** GC exactly the given tombstone batches — for folds that applied
+    * them OUTSIDE [[compact]] (the LSH geometry refresh rebuilds from
+    * the live corpus, so its captured index tombstones are applied by
+    * construction). Captured-batches-only, same as [[compact]]'s own
+    * sweep: a delete landed mid-fold must survive to apply logically. */
+  private[streaming] def gcTombstoneBatches(outDir: String, ids: Seq[Long],
+      conf: Configuration): Unit = {
+    val f = fs(outDir, conf)
+    ids.foreach(id =>
+      f.delete(new Path(tombstoneRoot(outDir), s"batch=$id"), true))
+  }
+
   /** All landed tombstone keys (+ their watermarks), or None when no
     * delete has ever landed (schema is the caller's key schema, so an
     * empty frame can't be conjured here). */
@@ -429,8 +441,23 @@ object DeltaCompact {
       keyCol: String = "doc_id", allowEvolution: Boolean = false): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val man = readManifest(outDir, conf)
-    val tagged = assemble(spark, outDir, man, unfoldedDeltas(outDir, man, conf),
-      allowEvolution)
+    readCorpusLivePinned(spark, outDir, man,
+      unfoldedDeltas(outDir, man, conf), keyCol, allowEvolution)
+  }
+
+  /** [[readCorpusLive]] over a CAPTURED view (manifest + delta ids) —
+    * for maintainers whose fold watermark must cover exactly what they
+    * read: a delta landing between the caller's capture and the plan's
+    * execution stays ABOVE the committed watermark instead of being
+    * silently baked into a base it postdates (the [[compact]]
+    * forward-landing guarantee, available to out-of-object folds like
+    * the LSH geometry refresh). Tombstones are still read at plan time —
+    * a delete landing mid-fold is applied but not GC'd by the caller's
+    * captured sweep, and re-application is a no-op. */
+  private[streaming] def readCorpusLivePinned(spark: SparkSession,
+      outDir: String, man: Option[Manifest], deltaIds: Seq[Long],
+      keyCol: String, allowEvolution: Boolean = false): DataFrame = {
+    val tagged = assemble(spark, outDir, man, deltaIds, allowEvolution)
     readTombstones(spark, outDir) match {
       case None => tagged.drop(WmCol)
       case Some(ts) => antiTombstoned(tagged, ts, keyCol).drop(WmCol)
@@ -457,13 +484,21 @@ object DeltaCompact {
     * default every spec pins); > 0 caps file size so a 100 TB shard
     * folds into N right-sized parquet files instead of one monster —
     * the writer splits WITHIN the shard task, so clustering order
-    * (sortCols) is preserved per file and the plan gains no exchange. */
+    * (sortCols) is preserved per file and the plan gains no exchange.
+    *
+    * `extraStage`: runs inside the staging callback AFTER the parquet
+    * write, with the staging path — for generation-scoped sidecar
+    * metadata (e.g. the LSH geometry descriptor) that must commit
+    * atomically WITH the generation it describes. Underscore-prefix the
+    * file names so parquet readers ignore them (the `_gen_manifest.json`
+    * precedent). */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
       sortCols: Seq[String] = Nil,
       tombstoneKey: Option[String] = None,
       retainSnapshots: Int = 0,
       maxRecordsPerFile: Long = 0L,
-      allowEvolution: Boolean = false): Manifest = {
+      allowEvolution: Boolean = false,
+      extraStage: String => Unit = _ => ()): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     // adopt a predecessor that won its rename but crashed pre-pointer
     // BEFORE computing our own next generation
@@ -529,15 +564,12 @@ object DeltaCompact {
         .write.mode("overwrite").partitionBy("shard_id")
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .parquet(staging)
+      extraStage(staging)
     }
     // applied tombstones fold away too: only the CAPTURED batches (a
     // delete landed mid-fold was not applied and must survive to apply
     // logically / at the next fold)
-    if (tsBatches.nonEmpty) {
-      val f = fs(outDir, conf)
-      tsBatches.foreach(id =>
-        f.delete(new Path(tombstoneRoot(outDir), s"batch=$id"), true))
-    }
+    gcTombstoneBatches(outDir, tsBatches, conf)
     man
   }
 

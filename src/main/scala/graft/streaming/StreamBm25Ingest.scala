@@ -231,4 +231,56 @@ object StreamBm25Ingest {
     }
     man
   }
+
+  /** The lexical delete-maintenance DECIDE: pending corpus tombstones ⇒
+    * [[rebuildIndex]], else nothing. The decide is one metadata listing,
+    * cheap enough to run every batch (the [[AnnMaintenance.lshStep]]
+    * cadence discipline); the act is paid only when deletes actually
+    * landed. Returns whether a rebuild fired. */
+  def maintainIndex(s: SparkSession, outDir: String): Boolean = {
+    val pending = DeltaCompact.listTombstoneBatches(
+      s"$outDir/docs", s.sparkContext.hadoopConfiguration)
+    if (pending.isEmpty) false
+    else { rebuildIndex(s, outDir); true }
+  }
+
+  /** Delete maintenance for the capped index — REBUILD, because the
+    * impact-capped partial is NOT closed under deletion (`q_bm25_delete`
+    * rationale: dropping a kept posting must promote one the cap already
+    * forgot, and N/avgdl/df all shrink when documents leave). The
+    * stats-correct sequence, all under the manifest protocols:
+    *  1. fold the DOCS tree with its tombstones ([[DeltaCompact
+    *     .compact]]) — physical delete on the corpus, tombstones GC'd;
+    *  2. rebuild the capped partial from the folded survivors — one
+    *     tokenize + capped-aggregate pass, the `q_bm25_topk` build leg;
+    *  3. commit it as the INDEX tree's next base generation with the
+    *     docs fold's watermark, superseding every landed partial at or
+    *     under it (they described the pre-delete corpus) — partials
+    *     landing AFTER stay deltas and keep merging exactly, because
+    *     post-delete batches never contained the deleted docs.
+    * Cost class: the fold cadence's own — a rebuild rides the compaction
+    * tick, never a per-delete rewrite. */
+  def rebuildIndex(s: SparkSession, outDir: String): DeltaCompact.Manifest = {
+    graft.functions.GraftFunctions.register(s)
+    val docsDir = s"$outDir/docs"
+    val idxDir = s"$outDir/idx"
+    val conf = s.sparkContext.hadoopConfiguration
+    val docMan = DeltaCompact.compact(s, docsDir, tombstoneKey = Some("doc_id"))
+    // exactly the folded snapshot — NOT readCorpus: a batch landing
+    // between the fold and this read would sit above the committed
+    // watermark, so baking it into the rebuilt base AND leaving it a
+    // delta would double-count its docs at merge time
+    val live = DeltaCompact.readCorpusAsOf(s, docsDir, docMan.gen)
+      .select(col("doc_id"), col("text"))
+    val prev = DeltaCompact.rollForward(idxDir, conf)
+    val man = DeltaCompact.Manifest(
+      prev.map(_.gen + 1).getOrElse(0L), docMan.maxFoldedBatch)
+    DeltaCompact.commitStagedGeneration(idxDir, man, conf) { staging =>
+      TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(live))
+        .repartitionByRange(col("tok"))
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite").parquet(staging)
+    }
+    man
+  }
 }

@@ -31,12 +31,19 @@ object StreamLshIngest {
     * `outDir/batch=<id>/shard_id=<k>/` and return the landed rows'
     * LSH posting expansion — (tb, neighbor_id, embedding), the
     * postings-append of this batch. `batch` needs (doc_id, vec_id,
-    * label, embedding) like the router's other callers. */
+    * label, embedding) like the router's other callers.
+    *
+    * `geometry`: the expansion's (tables, bits) — MUST match the serving
+    * index's committed geometry (postings at different bit widths cannot
+    * share one bucket space), so geometry-refreshed pipelines pass
+    * [[readGeometry]]'s answer per batch. Defaults to the registry
+    * constants, the pre-refresh geometry of every tree. */
   def ingestStep(batch: DataFrame, outDir: String, batchId: Long,
-      numShards: Int = 16): DataFrame = {
+      numShards: Int = 16,
+      geometry: LshGeometry = DefaultGeometry): DataFrame = {
     val dir = StreamShardRouter.landBatch(batch, outDir, batchId, numShards)
     val landed = batch.sparkSession.read.parquet(dir)
-    graft.operators.Similarity.lshPostings(landed)
+    graft.operators.Similarity.lshPostings(landed, geometry.tables, geometry.bits)
   }
 
   /** tb_hi domain size (tables × 2^(bits − dirShift)) — the serve
@@ -65,22 +72,150 @@ object StreamLshIngest {
     dir
   }
 
+  // ---- geometry sidecar: the committed generation's (tables, bits) ----
+
+  /** The LSH index geometry a generation was expanded at. Postings at
+    * different bit widths cannot share one bucket space, so the geometry
+    * is GENERATION-scoped state: committed atomically with the base that
+    * carries it (a sidecar inside the `base_gen=` directory, staged
+    * before the claim rename), carried forward by folds, and replaced
+    * only by [[refreshGeometry]] — which rewrites every posting row at
+    * the new width anyway. */
+  final case class LshGeometry(tables: Int, bits: Int)
+
+  /** The registry constants — every tree's geometry until a refresh
+    * re-sizes it (and the floor [[graft.operators.Similarity
+    * .lshGeometry]] never sizes below). */
+  val DefaultGeometry: LshGeometry = LshGeometry(
+    graft.operators.Similarity.LshTables, graft.operators.Similarity.LshBits)
+
+  private val GeometryFileName = "_lsh_geometry.json"
+
+  private[streaming] def writeGeometry(genDir: String, g: LshGeometry,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(genDir, GeometryFileName)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s"""{"tables":${g.tables},"bits":${g.bits}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The SERVING geometry: the committed generation's sidecar, or the
+    * registry defaults for trees that predate geometry refresh (deltas
+    * with no manifest yet, or a generation folded before sidecars
+    * existed — both were expanded at the registry constants by
+    * construction). A corrupt sidecar fails loudly, like the manifest
+    * fields. */
+  def readGeometry(s: SparkSession, idxDir: String): LshGeometry = {
+    val conf = s.sparkContext.hadoopConfiguration
+    DeltaCompact.readManifest(idxDir, conf) match {
+      case None => DefaultGeometry
+      case Some(m) =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$idxDir/base_gen=${m.gen}", GeometryFileName)
+        val f = p.getFileSystem(conf)
+        if (!f.exists(p)) DefaultGeometry
+        else {
+          val in = f.open(p)
+          val txt =
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          def field(k: String): Int =
+            s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+              .getOrElse(throw new IllegalStateException(
+                s"corrupt LSH geometry sidecar $p: $txt")).group(1).toInt
+          LshGeometry(field("tables"), field("bits"))
+        }
+    }
+  }
+
   /** Fold every landed posting delta into the next base generation —
     * [[DeltaCompact]]'s manifest-committed fold with the LSH layout's
     * within-shard tb clustering preserved across generations. Because the
     * posting expansion is a pure per-row function and the fold is a pure
     * union-repartition, N landed deltas fold into EXACTLY the rows a
     * single batch build would produce (StreamLshCompactSpec pins this
-    * against `q_knn_lsh`'s oracle-gated serve output). */
-  def compactPostings(s: SparkSession, idxDir: String): DeltaCompact.Manifest =
-    DeltaCompact.compact(s, idxDir, numShards = NumDirKeys, sortCols = Seq("tb"),
+    * against `q_knn_lsh`'s oracle-gated serve output). Shard count and
+    * the carried-forward sidecar both come from the CURRENT committed
+    * geometry — a fold never changes geometry, it just must not lose
+    * it. */
+  def compactPostings(s: SparkSession, idxDir: String): DeltaCompact.Manifest = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val geom = readGeometry(s, idxDir)
+    DeltaCompact.compact(s, idxDir,
+      numShards =
+        graft.operators.Similarity.lshDirKeyDomainFor(geom.tables, geom.bits),
+      sortCols = Seq("tb"),
       // deletes apply physically at the fold: a tombstoned vector's
       // posting rows (×tables of them) are excluded from the new base —
       // exact for LSH because postings are pure per-vector expansions
       // (nothing aggregated), so removal can never under-promote the way
       // a capped aggregate would (contrast: the BM25 partial is NOT
       // closed under deletion — see `q_bm25_delete`'s rebuild rationale)
-      tombstoneKey = Some("neighbor_id"))
+      tombstoneKey = Some("neighbor_id"),
+      extraStage = staging => writeGeometry(staging, geom, conf))
+  }
+
+  /** Geometry refresh — the LSH family's generation rebuild, and its
+    * answer to BOTH maintenance pressures at once:
+    *  - TOMBSTONE pressure: landed deletes ride every serve as the
+    *    [[readPostingsLive]] anti-join; past a fraction of the corpus the
+    *    reclaim is due — the rebuild reads the LIVE corpus, so deleted
+    *    vectors are physically gone from the new generation and the
+    *    index tree's applied tombstones fold away;
+    *  - GEOMETRY drift: bucket occupancy grows linearly with the corpus
+    *    at fixed bits (recall collapse measured in SCALE.md round 11) —
+    *    `bitsOverride = None` auto-sizes bits from the live count via
+    *    [[graft.operators.Similarity.lshGeometry]]'s occupancy rule and
+    *    re-expands every vector at the new width.
+    * Unlike the IVF/PQ refreshes there is no training step (planes are
+    * constants): the rebuild IS one posting expansion over the live
+    * corpus + the serve-layout partitioned write — the same cost class as
+    * the generation fold it replaces. Committed under the shared staged
+    * protocol; the geometry sidecar stages WITH the generation, so a
+    * crash can never publish postings at one width with a descriptor at
+    * another. `bitsOverride`: pin the width (oracle-pinned registry gates
+    * pass the current geometry — auto-sizing there would detach the gate
+    * from its fixed-geometry oracle; LifecycleV2Spec covers the auto
+    * path). */
+  def refreshGeometry(s: SparkSession, corpusDir: String, idxDir: String,
+      cap: Int = graft.operators.Similarity.LshCap,
+      bitsOverride: Option[Int] = None): LshGeometry = {
+    graft.functions.GraftFunctions.register(s)
+    val conf = s.sparkContext.hadoopConfiguration
+    val corpusMan = DeltaCompact.readManifest(corpusDir, conf)
+    val corpusDeltas = DeltaCompact.unfoldedDeltas(corpusDir, corpusMan, conf)
+    require(corpusMan.nonEmpty || corpusDeltas.nonEmpty,
+      s"no landed corpus under $corpusDir")
+    // the rebuild's input: exactly the CAPTURED corpus view, minus
+    // tombstoned vectors — a refresh must not re-index deleted rows, and
+    // a batch landing mid-refresh must stay a delta above the committed
+    // watermark (the compact() forward-landing guarantee)
+    val live = DeltaCompact.readCorpusLivePinned(s, corpusDir, corpusMan,
+      corpusDeltas, keyCol = "vec_id")
+    val bits = bitsOverride.getOrElse(
+      graft.operators.Similarity.lshGeometry(live.count(), cap))
+    val geom = LshGeometry(graft.operators.Similarity.LshTables, bits)
+    // index-tree tombstones are applied BY CONSTRUCTION (the rebuild
+    // reads the live corpus): capture the landed batches now, GC exactly
+    // those after the commit — the compact() capture discipline, so a
+    // delete landing mid-refresh survives to apply logically
+    val tsBatches = DeltaCompact.listTombstoneBatches(idxDir, conf)
+    val watermark = (corpusDeltas ++ corpusMan.map(_.maxFoldedBatch)).max
+    val prev = DeltaCompact.rollForward(idxDir, conf)
+    val man = DeltaCompact.Manifest(prev.map(_.gen + 1).getOrElse(0L), watermark)
+    DeltaCompact.commitStagedGeneration(idxDir, man, conf) { staging =>
+      graft.operators.Similarity.lshPostings(live, geom.tables, geom.bits)
+        .withColumn("shard_id", graft.operators.Similarity.lshDirKey(col("tb")))
+        .repartition(col("shard_id"))
+        .sortWithinPartitions("shard_id", "tb")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+      writeGeometry(staging, geom, conf)
+    }
+    DeltaCompact.gcTombstoneBatches(idxDir, tsBatches, conf)
+    geom
+  }
 
   /** The posting corpus as of now (committed base + unfolded deltas) in
     * the serve schema — (tb, neighbor_id, embedding) plus the `tb_hi`
