@@ -35,6 +35,15 @@ import graft.streaming.{DeltaCompact, StreamCdcApply, StreamLshIngest, StreamSha
   *     snapshots are retained or how much history landed since
   *     (retention costs storage, never read time).
   *
+  *  5. policy-fired maintenance (round 13) — the refresh ACT alone
+  *     ([[graft.streaming.StreamLshIngest.refreshGeometry]]), then
+  *     [[graft.streaming.AnnMaintenance.lshStep]]'s DECIDE at steady
+  *     state, under sub-floor tombstone pressure (2%), and over the
+  *     floor (6%, which must fire the reclaim exactly then). The
+  *     claims: the DECIDE is flat across the corpus decade (safe to
+  *     run every batch), the ACT rides the corpus at the index build's
+  *     own cost class and is paid only at genuine pressure events.
+  *
   * Run on demand (minutes by design, not part of the driver bench):
   * `sbt "runMain graft.LifecycleScaleSmoke [baseDir] [10xFlatDir]"`.
   */
@@ -171,6 +180,57 @@ object LifecycleScaleSmoke {
       }
       println(s"  time-travel rows current/as-of: $current/$asOf; " +
         s"retained snapshots: ${man.history.map(_._1).mkString("[", ",", "]")}")
+
+      // ---- 5. policy-fired maintenance (round 13): the DECIDE runs
+      // every batch and must stay per-batch cheap (one tombstone listing
+      // + one zero-column corpus count); the ACT (refreshGeometry — one
+      // posting re-expansion over the live corpus) is the generation
+      // fold's own cost class, paid only when pressure is real
+      val mCorp = s"/tmp/graft_smoke_lshmaint_corp_$tag"
+      val mIdx = s"/tmp/graft_smoke_lshmaint_idx_$tag"
+      Seq(mCorp, mIdx).foreach { d =>
+        val mp = new org.apache.hadoop.fs.Path(d)
+        mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
+      }
+      val shaped = emb.withColumn("doc_id", col("vec_id"))
+        .select("doc_id", "vec_id", "label", "embedding")
+      timed(s"maintenance ingest: land corpus + posting delta ($tag)") {
+        val p = StreamLshIngest.ingestStep(shaped, mCorp, 0L)
+        StreamLshIngest.landPostingsDelta(p, mIdx, 0L)
+      }
+      // the ACT alone, auto-sized — the reference point for "fold cost
+      // class": compare against the posting-delta land above and the
+      // compactPostings leg of ---- 2
+      timed(s"refresh ACT: geometry rebuild over live corpus ($tag)") {
+        graft.streaming.StreamLshIngest.refreshGeometry(spark, mCorp, mIdx)
+      }
+      // DECIDE, steady state: geometry fits, nothing pending ⇒ no fire
+      val fired0 = timed(s"maintenance DECIDE, steady state ($tag)") {
+        graft.streaming.AnnMaintenance.lshStep(spark, mCorp, mIdx)
+      }
+      // DECIDE under sub-floor tombstone pressure (2% of the corpus —
+      // lands on BOTH trees, the takedown discipline) ⇒ still no fire,
+      // cost is one bounded tombstone read + the corpus count
+      val del1 = emb.filter(col("vec_id") % 50 === 1)
+      DeltaCompact.landTombstones(del1.select(col("vec_id")), mCorp, 0L)
+      StreamLshIngest.landTombstones(
+        del1.select(col("vec_id").as("neighbor_id")), mIdx, 0L)
+      val fired1 = timed(s"maintenance DECIDE, 2% pending (under floor, $tag)") {
+        graft.streaming.AnnMaintenance.lshStep(spark, mCorp, mIdx)
+      }
+      // past the floor (6% total) the DECIDE fires the reclaim: the live
+      // corpus is re-expanded WITHOUT the deleted vectors and the index
+      // tree's applied tombstones fold away
+      val del2 = emb.filter(col("vec_id") % 25 === 2)
+      DeltaCompact.landTombstones(del2.select(col("vec_id")), mCorp, 1L)
+      StreamLshIngest.landTombstones(
+        del2.select(col("vec_id").as("neighbor_id")), mIdx, 1L)
+      val fired2 = timed(s"maintenance DECIDE + reclaim ACT, 6% pending ($tag)") {
+        graft.streaming.AnnMaintenance.lshStep(spark, mCorp, mIdx)
+      }
+      val idxTsLeft = DeltaCompact.listTombstoneBatches(mIdx).size
+      println(s"  DECIDE fired steady/2%/6%: $fired0/$fired1/$fired2 " +
+        s"(want false/false/true); index tombstones left: $idxTsLeft (want 0)")
     }
     spark.stop()
   }
