@@ -491,14 +491,29 @@ object DeltaCompact {
     * metadata (e.g. the LSH geometry descriptor) that must commit
     * atomically WITH the generation it describes. Underscore-prefix the
     * file names so parquet readers ignore them (the `_gen_manifest.json`
-    * precedent). */
+    * precedent).
+    *
+    * `reshard`: recompute `shard_id` ON the fold — the elasticity knob.
+    * Without it the fold keeps each row's LANDED shard id (`numShards`
+    * then only sizes the exchange), so a tree sharded at width N when
+    * it was small stays N-wide forever; at 100 TB the right width grows
+    * with the corpus, and the fold — which rewrites the base anyway —
+    * is the one moment widening costs nothing extra. The callback gets
+    * the tombstone-applied corpus and must return it with a replaced
+    * `shard_id` (each tree family owns its convention —
+    * [[StreamShardRouter.reshardOnFold]] for hash-routed document
+    * trees). Deltas landing mid-fold keep their old width until a later
+    * fold passes `reshard` again (deterministic assignment makes that
+    * idempotent); switch the ingest's shard count at the same
+    * maintenance tick. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
       sortCols: Seq[String] = Nil,
       tombstoneKey: Option[String] = None,
       retainSnapshots: Int = 0,
       maxRecordsPerFile: Long = 0L,
       allowEvolution: Boolean = false,
-      extraStage: String => Unit = _ => ()): Manifest = {
+      extraStage: String => Unit = _ => (),
+      reshard: Option[DataFrame => DataFrame] = None): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     // adopt a predecessor that won its rename but crashed pre-pointer
     // BEFORE computing our own next generation
@@ -545,7 +560,11 @@ object DeltaCompact {
     // Prefixing shard_id satisfies the writer's requirement, so the
     // clustering within each shard file is guaranteed by contract.
     import org.apache.spark.sql.functions.col
-    val folded = corpus.repartition(numShards, col("shard_id"))
+    // reshard AFTER tombstone application (deletes are key-based, shard-
+    // agnostic) and BEFORE the exchange, so the repartition distributes
+    // by the NEW assignment
+    val shaped = reshard.fold(corpus)(f => f(corpus))
+    val folded = shaped.repartition(numShards, col("shard_id"))
     val clustered =
       if (sortCols.isEmpty) folded
       else folded.sortWithinPartitions(("shard_id" +: sortCols).map(col): _*)

@@ -32,6 +32,24 @@ object StreamShardRouter {
     docs.withColumn("shard_id",
       (Portable.hash60(col("doc_id").cast("string")) % numShards).cast("int"))
 
+  /** Widen (or narrow) a landed tree's shard fan-out ON its generation
+    * fold — elasticity for the hash-routed document layout: the right
+    * shard width grows with the corpus, and the fold rewrites the base
+    * anyway, so re-assignment rides the exchange the fold already pays
+    * (one `withShard` projection, no extra shuffle). Assignment stays
+    * the engine-portable doc_id hash, so a re-shard is reproducible and
+    * a re-sharded tree equals one landed at the new width from day one
+    * (DeltaCompactReshardSpec pins both). Switch the ingest's
+    * `numShards` at the same maintenance tick; a straggler delta landed
+    * at the old width is absorbed by passing the same width here on the
+    * next fold (deterministic ⇒ idempotent). */
+  def reshardOnFold(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      newShards: Int,
+      tombstoneKey: Option[String] = None): DeltaCompact.Manifest =
+    DeltaCompact.compact(spark, outDir, numShards = newShards,
+      tombstoneKey = tombstoneKey,
+      reshard = Some(df => withShard(df.drop("shard_id"), newShards)))
+
   /** Start routing `docs` (a streaming DataFrame with `doc_id`) into
     * `outDir`. Returns the query; callers await termination.
     *

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** Shard elasticity: `shard_id` is a FOLD parameter, not a table
+  * constant. A tree landed narrow when the corpus was small must widen
+  * on an ordinary generation fold ([[StreamShardRouter.reshardOnFold]])
+  * — same rows, new deterministic assignment, per-shard reads pruned at
+  * the new width — and end up indistinguishable from a tree landed at
+  * the new width from day one. */
+class DeltaCompactReshardSpec extends SparkSpec {
+
+  private def land(outDir: String, batchId: Long, from: Int, until: Int,
+      numShards: Int): Unit = {
+    import spark.implicits._
+    val df = (from until until).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    StreamShardRouter.landBatch(df, outDir, batchId, numShards)
+  }
+
+  private def snapshot(outDir: String): Seq[(Long, String, Int)] =
+    DeltaCompact.readCorpus(spark, outDir)
+      .select("doc_id", "text", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+
+  test("a 4-shard tree widens to 8 on the fold: rows intact, assignment = withShard(8), pruning at the new width") {
+    val out = Files.createTempDirectory("graft_reshard1").toFile.getAbsolutePath
+    try {
+      land(out, 0, 0, 60, numShards = 4)
+      land(out, 1, 60, 120, numShards = 4)
+      val before = snapshot(out)
+      assert(before.map(_._3).distinct.forall(_ < 4))
+
+      StreamShardRouter.reshardOnFold(spark, out, newShards = 8)
+      val after = snapshot(out)
+      // same rows, re-assigned
+      assert(after.map(t => (t._1, t._2)) === before.map(t => (t._1, t._2)))
+      // every row sits exactly where a day-one 8-shard landing would put it
+      import spark.implicits._
+      val expect = StreamShardRouter.withShard(
+        (0 until 120).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text"), 8)
+        .select("doc_id", "shard_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      after.foreach { case (id, _, s) => assert(s === expect(id),
+        s"doc $id landed in shard $s, withShard(8) says ${expect(id)}") }
+      assert(after.map(_._3).distinct.size > 4, "the fan-out actually widened")
+      // the base is physically partitioned at the new width — a
+      // per-shard read is a pruned directory scan
+      val gen = DeltaCompact.readManifest(out,
+        spark.sparkContext.hadoopConfiguration).get.gen
+      val dirs = new java.io.File(s"$out/base_gen=$gen").listFiles()
+        .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+      assert(dirs.length === after.map(_._3).distinct.size)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("reshard ≡ day-one width; straggler old-width deltas absorbed by the next reshard fold") {
+    val out = Files.createTempDirectory("graft_reshard2").toFile.getAbsolutePath
+    val dayOne = Files.createTempDirectory("graft_reshard2b").toFile.getAbsolutePath
+    try {
+      // narrow tree, widened on the fold, then a straggler that still
+      // landed at the OLD width (the ingest that hadn't switched yet)
+      land(out, 0, 0, 80, numShards = 4)
+      StreamShardRouter.reshardOnFold(spark, out, newShards = 8)
+      land(out, 1, 80, 100, numShards = 4)
+      StreamShardRouter.reshardOnFold(spark, out, newShards = 8) // idempotent re-assign
+      // the control: everything landed at 8 from day one, one plain fold
+      land(dayOne, 0, 0, 80, numShards = 8)
+      land(dayOne, 1, 80, 100, numShards = 8)
+      DeltaCompact.compact(spark, dayOne, numShards = 8)
+      assert(snapshot(out) === snapshot(dayOne),
+        "a widened tree must be indistinguishable from a day-one-wide one")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dayOne))
+    }
+  }
+
+  test("reshard composes with tombstones: deletes apply on the same fold that widens") {
+    val out = Files.createTempDirectory("graft_reshard3").toFile.getAbsolutePath
+    try {
+      import spark.implicits._
+      land(out, 0, 0, 100, numShards = 4)
+      DeltaCompact.landTombstones((0L until 10L).toDF("doc_id"), out, 0L)
+      StreamShardRouter.reshardOnFold(spark, out, newShards = 8,
+        tombstoneKey = Some("doc_id"))
+      val after = snapshot(out)
+      assert(after.map(_._1) === (10L until 100L))
+      assert(DeltaCompact.listTombstoneBatches(out,
+        spark.sparkContext.hadoopConfiguration).isEmpty)
+      assert(after.map(_._3).distinct.size > 4)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+}
