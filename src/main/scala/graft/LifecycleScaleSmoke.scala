@@ -59,6 +59,9 @@ object LifecycleScaleSmoke {
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val bigDir = args.lift(1).getOrElse("/tmp/graft_scale10x_c10_flat")
+    // third arg labels the big leg (e.g. "100x" for a third-decade run
+    // over the c100 flat corpus); the measurements don't care
+    val bigTag = args.lift(2).getOrElse("10x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,7 +78,7 @@ object LifecycleScaleSmoke {
     // docs serve against both corpus scales
     val baseDocs = Tables.documents(spark, baseDir).count()
 
-    for ((dir, tag) <- Seq((baseDir, "1x"), (bigDir, "10x"))) {
+    for ((dir, tag) <- Seq((baseDir, "1x"), (bigDir, bigTag))) {
       println(s"== $tag ($dir)")
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val emb = Tables.embeddings(spark, dir)
