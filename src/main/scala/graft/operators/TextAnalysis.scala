@@ -1126,6 +1126,53 @@ object TextAnalysis {
       .localCheckpoint()
   }
 
+  /** Shard ELASTICITY under the full driver gate: the corpus is landed
+    * NARROW (two batches at 4 shards — the width a table gets while it
+    * is small), widened to 16 on an ordinary generation fold
+    * ([[graft.streaming.StreamShardRouter.reshardOnFold]] — the fold
+    * rewrites the base anyway, so re-assignment rides the exchange it
+    * already pays), and the per-shard audit is read back OFF the folded
+    * base. The oracle is [[qShardAssign]]'s day-one-at-16 audit,
+    * verbatim: a widened tree must be hash-for-hash indistinguishable
+    * from one landed at the final width from the start — the property
+    * that lets a 100 TB table grow its fan-out with the corpus without
+    * ever invalidating downstream shard-addressed readers
+    * (DeltaCompactReshardSpec covers stragglers, idempotence, and
+    * delete composition; this gate pins the VALUES). */
+  private val reshardRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  val qReshard: Q = Q(
+    "q_reshard",
+    """SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+      |    AS BIGINT) % 16 AS INT) AS shard_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    val pid = ProcessHandle.current().pid()
+    val run = reshardRunCounter.incrementAndGet()
+    val outDir = s"/tmp/graft_reshard/run_${pid}_$run"
+    TmpDirs.reap("/tmp/graft_reshard", pid, TmpDirs.runPrefixPid,
+      reapSamePid = n =>
+        n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      col("n_chars")).localCheckpoint()
+    graft.streaming.StreamShardRouter.landBatch(
+      docs.filter(col("doc_id") % 2 === 0), outDir, 0L, numShards = 4)
+    graft.streaming.StreamShardRouter.landBatch(
+      docs.filter(col("doc_id") % 2 === 1), outDir, 1L, numShards = 4)
+    graft.streaming.StreamShardRouter.reshardOnFold(s, outDir, newShards = 16)
+    graft.streaming.DeltaCompact.readCorpus(s, outDir)
+      .groupBy(col("shard_id").cast("int").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Portable.wordsOf(Portable.tokenStats(col("text")))).as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      // materialize before the reaper can collect the run dir (the
+      // qStreamShardRoute discipline)
+      .localCheckpoint()
+  }
+
   /** Deterministic global shuffle — the training-order manifest: every
     * document gets a (shard, position) slot, position being its rank
     * within the shard under a salted engine-portable hash order. Together
@@ -1820,7 +1867,8 @@ object TextAnalysis {
     qStratifiedSample, qBigramLm, qLmScore, qNbSourceScore, qNbStreamScore,
     qNbCalibration,
     qReservoirSample, qReservoirPerKey, qWeightedSample, qTokenBudgetMix, qTemperatureMix,
-    qCorpusStats, qPackSequences, qShardAssign, qStreamShardRoute, qGlobalShuffle,
+    qCorpusStats, qPackSequences, qShardAssign, qStreamShardRoute, qReshard,
+    qGlobalShuffle,
     qSourceDivergence, qVocabCoverage,
     qSparseCosine, qBpeMerges, qBpeEncode)
 }
