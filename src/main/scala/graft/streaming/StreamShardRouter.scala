@@ -42,13 +42,49 @@ object StreamShardRouter {
     * (DeltaCompactReshardSpec pins both). Switch the ingest's
     * `numShards` at the same maintenance tick; a straggler delta landed
     * at the old width is absorbed by passing the same width here on the
-    * next fold (deterministic ⇒ idempotent). */
+    * next fold (deterministic ⇒ idempotent).
+    *
+    * Retention: the default (`retainSnapshots = PreserveRetention`)
+    * KEEPS every snapshot the committed manifest currently retains, plus
+    * the pre-reshard generation itself when the tree retains at all — a
+    * reshard is a layout maintenance verb, and layout maintenance must
+    * never silently truncate the time-travel history a caller paid
+    * `compact(retainSnapshots = n)` to keep (on a non-retaining tree the
+    * default stays 0, the original GC-everything behavior). Pass an
+    * explicit value to change the retention policy at the same tick.
+    * `sortCols` / `maxRecordsPerFile` / `allowEvolution` forward to
+    * [[DeltaCompact.compact]] so a clustered or size-capped tree keeps
+    * its layout contract across the width change. */
   def reshardOnFold(spark: org.apache.spark.sql.SparkSession, outDir: String,
       newShards: Int,
-      tombstoneKey: Option[String] = None): DeltaCompact.Manifest =
+      tombstoneKey: Option[String] = None,
+      retainSnapshots: Int = PreserveRetention,
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L,
+      allowEvolution: Boolean = false): DeltaCompact.Manifest = {
+    val keep =
+      if (retainSnapshots != PreserveRetention) retainSnapshots
+      else DeltaCompact
+        .readManifest(outDir, spark.sparkContext.hadoopConfiguration)
+        // history.size + 1: every retained snapshot survives AND the
+        // pre-reshard generation joins the history (it was a retaining
+        // tree — the snapshot being folded away is exactly the kind it
+        // retains); empty history ⇒ 0, the non-retaining tree's default
+        .map(m => if (m.history.isEmpty) 0 else m.history.size + 1)
+        .getOrElse(0)
     DeltaCompact.compact(spark, outDir, numShards = newShards,
+      sortCols = sortCols,
       tombstoneKey = tombstoneKey,
+      retainSnapshots = keep,
+      maxRecordsPerFile = maxRecordsPerFile,
+      allowEvolution = allowEvolution,
       reshard = Some(df => withShard(df.drop("shard_id"), newShards)))
+  }
+
+  /** Sentinel for [[reshardOnFold]]'s `retainSnapshots`: preserve the
+    * committed manifest's current retention depth instead of pinning a
+    * count. */
+  val PreserveRetention: Int = -1
 
   /** Start routing `docs` (a streaming DataFrame with `doc_id`) into
     * `outDir`. Returns the query; callers await termination.

@@ -79,6 +79,67 @@ class DeltaCompactReshardSpec extends SparkSpec {
     }
   }
 
+  test("reshard preserves snapshot retention: retained generations stay time-travel readable across the width change") {
+    val out = Files.createTempDirectory("graft_reshard4").toFile.getAbsolutePath
+    try {
+      // a retaining tree: two folds with retainSnapshots = 2, so gens 0
+      // and 1 are both committed and gen 0 is retained history
+      land(out, 0, 0, 40, numShards = 4)
+      DeltaCompact.compact(spark, out, numShards = 4, retainSnapshots = 2)
+      land(out, 1, 40, 80, numShards = 4)
+      DeltaCompact.compact(spark, out, numShards = 4, retainSnapshots = 2)
+      val before = DeltaCompact.readManifest(out,
+        spark.sparkContext.hadoopConfiguration).get
+      assert(before.history.map(_._1) === Seq(0L))
+
+      // the DEFAULT reshard must not truncate that history (the round-13
+      // ADVICE finding: retainSnapshots used to default to 0 here, so the
+      // fold's takeRight(0) emptied the history and GC deleted the
+      // retained base_gen dirs, silently breaking readCorpusAsOf)
+      land(out, 2, 80, 100, numShards = 4)
+      StreamShardRouter.reshardOnFold(spark, out, newShards = 8)
+      val after = DeltaCompact.readManifest(out,
+        spark.sparkContext.hadoopConfiguration).get
+      // every previously retained snapshot survives, and the pre-reshard
+      // generation joined the history (the tree retains, so the fold
+      // keeps what it folds away)
+      assert(after.history.map(_._1) === Seq(0L, 1L))
+      // time travel to BOTH old generations still reads the old layout
+      assert(DeltaCompact.readCorpusAsOf(spark, out, 0L).count() === 40L)
+      assert(DeltaCompact.readCorpusAsOf(spark, out, 1L).count() === 80L)
+      // the resharded current generation carries the new width
+      val cur = snapshot(out)
+      assert(cur.map(_._1) === (0L until 100L))
+      assert(cur.map(_._3).distinct.size > 4)
+
+      // an explicit retainSnapshots still wins over the preserve default
+      land(out, 3, 100, 110, numShards = 4)
+      StreamShardRouter.reshardOnFold(spark, out, newShards = 8,
+        retainSnapshots = 0)
+      val cleared = DeltaCompact.readManifest(out,
+        spark.sparkContext.hadoopConfiguration).get
+      assert(cleared.history.isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("reshard on a NON-retaining tree keeps the GC-everything default: no history appears") {
+    val out = Files.createTempDirectory("graft_reshard5").toFile.getAbsolutePath
+    try {
+      land(out, 0, 0, 40, numShards = 4)
+      DeltaCompact.compact(spark, out, numShards = 4) // retainSnapshots = 0
+      land(out, 1, 40, 60, numShards = 4)
+      StreamShardRouter.reshardOnFold(spark, out, newShards = 8)
+      val man = DeltaCompact.readManifest(out,
+        spark.sparkContext.hadoopConfiguration).get
+      assert(man.history.isEmpty,
+        "preserve-retention on an empty history must stay empty")
+      // and the old base is GC'd as before
+      val bases = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("base_gen=")).map(_.getName).toSeq
+      assert(bases === Seq(s"base_gen=${man.gen}"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("reshard composes with tombstones: deletes apply on the same fold that widens") {
     val out = Files.createTempDirectory("graft_reshard3").toFile.getAbsolutePath
     try {
