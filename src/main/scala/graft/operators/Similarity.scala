@@ -2643,16 +2643,23 @@ object Similarity {
     *    BOTH trees of each branch (corpus + index); batches after the
     *    takedown consult the list AT INGEST and never land matching rows
     *    (the bloom-consult-on-crawl shape);
-    *  - REFRESH, policy-fired not hardcoded: every batch runs the DECIDE
-    *    steps — [[graft.streaming.AnnMaintenance.lshStep]] fires the LSH
-    *    reclaim rebuild when tombstone pressure crosses its floor (the
-    *    ~1/7 takedown trips the 5% default exactly once, at batch 1; the
-    *    width stays pinned to the committed geometry because THIS gate's
-    *    oracle fixes it — auto-sizing is LifecycleV2Spec's job), and
-    *    [[graft.streaming.StreamBm25Ingest.maintainIndex]] rebuilds the
-    *    capped lexical index from the folded survivors (the only exact
-    *    delete for a capped aggregate — `q_bm25_delete` rationale), also
-    *    exactly once.
+    *  - REFRESH, policy-fired not hardcoded — and DETACHED: every batch
+    *    runs the DECIDE steps on the ingest path (metadata-cheap,
+    *    measured flat across two corpus decades), but a fired ACT runs
+    *    on the [[graft.streaming.DetachedMaintainer]], off-path —
+    *    [[graft.streaming.AnnMaintenance.lshStepDetached]] submits the
+    *    LSH reclaim rebuild when tombstone pressure crosses its floor
+    *    (the ~1/7 takedown trips the 5% default exactly once, at batch
+    *    1; the width stays pinned to the committed geometry because THIS
+    *    gate's oracle fixes it — auto-sizing is LifecycleV2Spec's job),
+    *    and [[graft.streaming.StreamBm25Ingest.maintainIndexDetached]]
+    *    submits the capped-index rebuild from the folded survivors (the
+    *    only exact delete for a capped aggregate — `q_bm25_delete`
+    *    rationale), also exactly once (the at-most-one-in-flight guard
+    *    absorbs the DECIDE re-firing while the ACT runs). Ingest keeps
+    *    landing above the ACT's captured watermark; the result is
+    *    bit-identical wherever the capture falls (watermark semantics,
+    *    DetachedMaintainerSpec), so the oracle still pins the gate.
     *
     * Post-refresh batches keep landing as deltas above the refresh
     * watermark; the end-of-run maintenance tick folds them (postings
@@ -2684,6 +2691,19 @@ object Similarity {
     val takedownDoc = col("doc_id") % DeleteMod === DeleteRem
     val takedownVec = col("vec_id") % DeleteMod === DeleteRem
 
+    // the DETACHED maintainer: a fired ACT (LSH reclaim, BM25 rebuild)
+    // stages OFF the ingest path and swaps by atomic generation claim —
+    // the 100×-scale shape (SCALE.md: the ACT rides the corpus to 190 s
+    // at 100×; inline it would stall both streams' trigger cadence for
+    // exactly that long). Ingest keeps landing deltas above the ACT's
+    // captured watermark; serves stay on the committed generation until
+    // the swap; the end-of-run fold quiesces via awaitAll first. The
+    // final artifacts are bit-identical to the synchronous composition
+    // regardless of where the ACT's capture falls (watermark semantics —
+    // DetachedMaintainerSpec pins this), which is why ONE oracle still
+    // pins the whole gate.
+    val maint = new graft.streaming.DetachedMaintainer("hybridlife")
+
     // lexical ingest: per-batch capped partials; takedown at batch 1;
     // the maintenance DECIDE runs every batch and rebuilds exactly once
     val lexSrc = s"$root/lex_src"
@@ -2703,7 +2723,7 @@ object Similarity {
           graft.streaming.DeltaCompact.landTombstones(
             doomed, s"$lexOut/docs", 0L, watermark = Some(id))
         }
-        graft.streaming.StreamBm25Ingest.maintainIndex(s, lexOut)
+        graft.streaming.StreamBm25Ingest.maintainIndexDetached(s, lexOut, maint)
         ()
       }
       .start()
@@ -2737,13 +2757,17 @@ object Similarity {
             doomed.select(col("vec_id").as("neighbor_id")), semIdx, 0L,
             watermark = Some(id))
         }
-        graft.streaming.AnnMaintenance.lshStep(s, semDocs, semIdx,
-          autoSize = false)
+        graft.streaming.AnnMaintenance.lshStepDetached(s, semDocs, semIdx,
+          maint, autoSize = false)
         ()
       }
       .start()
     lexQ.awaitTermination()
     semQ.awaitTermination()
+    // quiesce: both detached ACTs must have committed (or surfaced their
+    // failure HERE) before the end-of-run folds touch the same trees
+    maint.awaitAll()
+    maint.close()
 
     // end-of-run maintenance tick: fold the post-refresh deltas, forget
     // the vector corpus's tombstones physically, carry the geometry

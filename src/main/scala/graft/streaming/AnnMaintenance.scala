@@ -77,21 +77,74 @@ object AnnMaintenance {
       idxDir: String,
       cap: Int = graft.operators.Similarity.LshCap,
       maxTombstoneFrac: Double = 0.05,
-      autoSize: Boolean = true): Boolean = {
+      autoSize: Boolean = true): Boolean =
+    lshDecide(s, corpusDir, idxDir, cap, maxTombstoneFrac, autoSize) match {
+      case Some(bitsOverride) =>
+        StreamLshIngest.refreshGeometry(s, corpusDir, idxDir, cap,
+          bitsOverride = bitsOverride)
+        true
+      case None => false
+    }
+
+  /** The LSH DECIDE alone: Some(bitsOverride-for-the-ACT) when the
+    * reclaim/resize is due, None otherwise — shared by the inline
+    * [[lshStep]] and the detached [[lshStepDetached]] so the pressure
+    * policy cannot drift between the two execution modes. */
+  private def lshDecide(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String, idxDir: String, cap: Int,
+      maxTombstoneFrac: Double, autoSize: Boolean): Option[Option[Int]] = {
     val cur = StreamLshIngest.readGeometry(s, idxDir)
-    val tsRows = DeltaCompact.readTombstones(s, idxDir)
+    // PENDING tombstones only: applied-but-grace-retained batches are
+    // zero pressure (counting them would re-fire the reclaim forever)
+    val tsRows = DeltaCompact.readPendingTombstones(s, idxDir)
       .map(_.count()).getOrElse(0L)
     // fast path: nothing pending and no resize wanted — zero data reads
-    if (tsRows == 0L && !autoSize) return false
+    if (tsRows == 0L && !autoSize) return None
     val landed = DeltaCompact.readCorpus(s, corpusDir).count()
     val approxLive = math.max(1L, landed - tsRows)
     val pressure = tsRows > 0L && tsRows.toDouble >= maxTombstoneFrac * approxLive
     val resize = autoSize &&
       graft.operators.Similarity.lshGeometry(approxLive, cap) != cur.bits
-    if (pressure || resize) {
-      StreamLshIngest.refreshGeometry(s, corpusDir, idxDir, cap,
-        bitsOverride = if (autoSize) None else Some(cur.bits))
-      true
-    } else false
+    if (pressure || resize) Some(if (autoSize) None else Some(cur.bits))
+    else None
+  }
+
+  /** [[lshStep]] with the ACT DETACHED — the 100×-scale shape of the
+    * maintenance loop. The asymmetry is measured (SCALE.md third-decade
+    * tables): the DECIDE is flat (~0.12 s) across two corpus decades,
+    * the ACT rides the corpus (190 s at 100×). So the DECIDE stays on
+    * the ingest path, every batch, and a fired reclaim/resize is
+    * SUBMITTED to `maintainer` instead of run inline: the ingest's next
+    * trigger proceeds immediately, later batches land as deltas above
+    * the refresh's captured watermark (forward-landing under
+    * [[DeltaCompact.atomicLandDir]]'s atomic publication), and serves
+    * stay on the committed generation until the ACT's atomic claim
+    * rename swaps the pointer. While an ACT is in flight the step is a
+    * no-op — pressure persists until the commit GCs the tombstones, and
+    * piling up rebuilds that would lose the claim anyway is waste.
+    * Quiesce with `maintainer.await(idxDir)` before end-of-run folds.
+    * Returns whether an ACT was submitted this step.
+    *
+    * `beforeAct`: runs on the maintainer thread before the refresh —
+    * the DetachedMaintainerSpec slow-ACT injection point. */
+  def lshStepDetached(s: org.apache.spark.sql.SparkSession, corpusDir: String,
+      idxDir: String,
+      maintainer: DetachedMaintainer,
+      cap: Int = graft.operators.Similarity.LshCap,
+      maxTombstoneFrac: Double = 0.05,
+      autoSize: Boolean = true,
+      gcGraceMs: Long = DeltaCompact.StagingTtlMs,
+      beforeAct: () => Unit = () => ()): Boolean = {
+    if (maintainer.isBusy(idxDir)) return false
+    lshDecide(s, corpusDir, idxDir, cap, maxTombstoneFrac, autoSize) match {
+      case Some(bitsOverride) =>
+        maintainer.submit(idxDir) { () =>
+          beforeAct()
+          StreamLshIngest.refreshGeometry(s, corpusDir, idxDir, cap,
+            bitsOverride = bitsOverride, gcGraceMs = gcGraceMs)
+          ()
+        }
+      case None => false
+    }
   }
 }

@@ -216,7 +216,7 @@ object DeltaCompact {
     * [[ConcurrentCompactionException]] with its staging deleted and the
     * committed tree untouched. */
   private[streaming] def commitStagedGeneration(outDir: String, man: Manifest,
-      conf: Configuration)(stage: String => Unit): Unit = {
+      conf: Configuration, gcGraceMs: Long = 0L)(stage: String => Unit): Unit = {
     val nonce = java.util.UUID.randomUUID().toString
     val staging = new Path(stagingRoot(outDir), s"gen=${man.gen}.$nonce")
     val dest = new Path(outDir, s"base_gen=${man.gen}")
@@ -249,7 +249,7 @@ object DeltaCompact {
           "manifest after rename — lost the claim, aborting before GC")
     }
     writeManifest(outDir, man, conf)
-    gcFolded(outDir, man, conf)
+    gcFolded(outDir, man, conf, gcGraceMs)
   }
 
   /** Adopt any generation that won its rename but crashed before the
@@ -260,19 +260,73 @@ object DeltaCompact {
     * computing its own next generation, so a crashed predecessor can
     * never wedge the slot sequence. */
   private[streaming] def rollForward(outDir: String,
-      conf: Configuration): Option[Manifest] = {
+      conf: Configuration, gcGraceMs: Long = 0L): Option[Manifest] = {
     var cur = readManifest(outDir, conf)
     var next = cur.map(_.gen + 1).getOrElse(0L)
     var orphan = readGenManifest(s"$outDir/base_gen=$next", conf)
     while (orphan.isDefined) {
       val m = orphan.get._1
       writeManifest(outDir, m, conf)
-      gcFolded(outDir, m, conf)
+      gcFolded(outDir, m, conf, gcGraceMs)
       cur = Some(m)
       next = m.gen + 1
       orphan = readGenManifest(s"$outDir/base_gen=$next", conf)
     }
     cur
+  }
+
+  // ---- atomic delta landing ----
+
+  private val LandingPrefix = "_landing_"
+
+  /** Land one delta directory ATOMICALLY: `write` stages the directory's
+    * COMPLETE content under a sibling `_landing_…` path, which is then
+    * renamed into place (existing content deleted first — the
+    * overwrite-idempotent replay contract). A lister — a fold capturing
+    * its delta set, a live serve assembling the corpus — therefore never
+    * observes a half-written `batch=` directory: underscore-prefixed
+    * staging names match no `batch=` filter, and the rename publishes
+    * the finished directory in one metadata operation. This is what lets
+    * a DETACHED maintainer capture-and-fold while ingest keeps landing:
+    * every directory the capture lists is complete by construction, and
+    * anything newer stays a delta above the committed watermark (the
+    * forward-landing guarantee). The one remaining exclusion is
+    * unchanged: a concurrent RE-delivery of an already-captured batch id
+    * (the delete-then-rename yanks files from under the fold's read) —
+    * checkpointed streams never re-deliver a batch id while live, and
+    * the rename fails loudly rather than interleaving if two landers do
+    * race one id. Crash debris (`_landing_` dirs) is TTL-swept by the
+    * next fold's GC. */
+  private[streaming] def atomicLandDir(dir: String, conf: Configuration)(
+      write: String => Unit): String = {
+    val dest = new Path(dir)
+    val staging = new Path(dest.getParent,
+      s"$LandingPrefix${dest.getName}.${java.util.UUID.randomUUID()}")
+    write(staging.toString)
+    val f = fs(dir, conf)
+    f.delete(dest, true)
+    if (!f.rename(staging, dest)) {
+      f.delete(staging, true)
+      throw new IllegalStateException(
+        s"atomic land of $dir lost its publish rename — two landers raced " +
+          "one batch id, which the landing contract excludes")
+    }
+    dir
+  }
+
+  /** Sweep crashed landers' `_landing_` staging debris older than the
+    * TTL (an ACTIVE lander must never have files yanked mid-stage — the
+    * [[StagingTtlMs]] discipline). Called from fold GC. */
+  private[streaming] def sweepLandingDebris(rootDir: String,
+      conf: Configuration): Unit = {
+    val root = new Path(rootDir)
+    val f = fs(rootDir, conf)
+    if (!f.exists(root)) return
+    val now = System.currentTimeMillis()
+    f.listStatus(root).toSeq
+      .filter(st => st.getPath.getName.startsWith(LandingPrefix) &&
+        now - st.getModificationTime > StagingTtlMs)
+      .foreach(st => f.delete(st.getPath, true))
   }
 
   /** Batch ids currently landed as delta directories. */
@@ -382,10 +436,12 @@ object DeltaCompact {
       (listDeltaBatches(outDir, conf) ++
         readManifest(outDir, conf).map(_.maxFoldedBatch))
         .foldLeft(-1L)(math.max))
-    val dir = s"${tombstoneRoot(outDir)}/batch=$batchId"
-    keys.withColumn(TsWmCol, lit(wm))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    dir
+    // atomic like the data landing: a fold's tombstone capture or a
+    // live serve's plan-time readTombstones never sees a half directory
+    atomicLandDir(s"${tombstoneRoot(outDir)}/batch=$batchId", conf) { staging =>
+      keys.withColumn(TsWmCol, lit(wm))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Tombstone batch ids currently landed (not yet folded away). */
@@ -398,11 +454,54 @@ object DeltaCompact {
     * the live corpus, so its captured index tombstones are applied by
     * construction). Captured-batches-only, same as [[compact]]'s own
     * sweep: a delete landed mid-fold must survive to apply logically. */
+  private val AppliedMarker = "_applied"
+
   private[streaming] def gcTombstoneBatches(outDir: String, ids: Seq[Long],
-      conf: Configuration): Unit = {
+      conf: Configuration, graceMs: Long = 0L): Unit = {
     val f = fs(outDir, conf)
-    ids.foreach(id =>
-      f.delete(new Path(tombstoneRoot(outDir), s"batch=$id"), true))
+    val now = System.currentTimeMillis()
+    ids.foreach { id =>
+      val p = new Path(tombstoneRoot(outDir), s"batch=$id")
+      // grace: an APPLIED tombstone left landed is harmless (re-applying
+      // on absent keys is a no-op, the sequence rule covers the rest) —
+      // but deleting it mid-plan would fail a concurrent reader whose
+      // readTombstones listed it. Instead of deleting young dirs, mark
+      // them `_applied` (one tiny underscore file — parquet readers and
+      // in-flight plans are undisturbed) so maintenance DECIDEs stop
+      // counting them as pressure; a later fold deletes them once aged.
+      if (graceMs <= 0L ||
+          (f.exists(p) && now - f.getFileStatus(p).getModificationTime > graceMs))
+        f.delete(p, true)
+      else if (f.exists(p))
+        f.create(new Path(p, AppliedMarker), true).close()
+    }
+  }
+
+  /** Tombstone batches landed and NOT yet applied by any fold — the
+    * maintenance-pressure signal. [[listTombstoneBatches]] additionally
+    * includes APPLIED-but-grace-retained batches (kept on disk so a
+    * concurrent reader's in-flight plan survives the sweep; harmless to
+    * re-apply, but zero pressure — counting them would re-fire the ACT
+    * forever). */
+  def listPendingTombstoneBatches(outDir: String,
+      conf: Configuration = new Configuration()): Seq[Long] = {
+    val f = fs(outDir, conf)
+    listTombstoneBatches(outDir, conf).filterNot(id =>
+      f.exists(new Path(tombstoneRoot(outDir), s"batch=$id/$AppliedMarker")))
+  }
+
+  /** [[readTombstones]] over only the PENDING batches — what maintenance
+    * DECIDEs count. Correctness reads ([[readCorpusLive]] and folds)
+    * keep using ALL landed batches: a pinned reader over the old
+    * generation still needs an applied tombstone's logical effect, and
+    * re-application is a no-op by the sequence rule. */
+  def readPendingTombstones(spark: SparkSession,
+      outDir: String): Option[DataFrame] = {
+    val ids = listPendingTombstoneBatches(outDir,
+      spark.sparkContext.hadoopConfiguration)
+    if (ids.isEmpty) None
+    else Some(ids.map(id => spark.read.parquet(s"${tombstoneRoot(outDir)}/batch=$id"))
+      .reduce(_ unionByName _))
   }
 
   /** All landed tombstone keys (+ their watermarks), or None when no
@@ -505,7 +604,19 @@ object DeltaCompact {
     * trees). Deltas landing mid-fold keep their old width until a later
     * fold passes `reshard` again (deterministic assignment makes that
     * idempotent); switch the ingest's shard count at the same
-    * maintenance tick. */
+    * maintenance tick.
+    *
+    * `gcGraceMs`: the post-commit sweep leaves folded delta/tombstone
+    * directories YOUNGER than this on disk — the knob a detached
+    * maintainer ([[DetachedMaintainer]]) sets so its GC cannot yank
+    * directories a concurrent ingest read-back or serve plan still
+    * lists. Correctness never depends on the sweep (readers filter by
+    * the committed watermark; re-applying an applied tombstone is a
+    * no-op), so grace-skipped directories are disk debris for a later
+    * fold. 0 (default) sweeps immediately — the single-threaded
+    * maintenance cadence's original behavior. Trees serving DURING
+    * maintenance should also retain ≥ 1 snapshot so a reader mid-plan
+    * on the superseded base survives the swap. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
       sortCols: Seq[String] = Nil,
       tombstoneKey: Option[String] = None,
@@ -513,11 +624,12 @@ object DeltaCompact {
       maxRecordsPerFile: Long = 0L,
       allowEvolution: Boolean = false,
       extraStage: String => Unit = _ => (),
-      reshard: Option[DataFrame => DataFrame] = None): Manifest = {
+      reshard: Option[DataFrame => DataFrame] = None,
+      gcGraceMs: Long = 0L): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     // adopt a predecessor that won its rename but crashed pre-pointer
     // BEFORE computing our own next generation
-    val prev = rollForward(outDir, conf)
+    val prev = rollForward(outDir, conf, gcGraceMs)
     val deltas = unfoldedDeltas(outDir, prev, conf)
     // tombstone application: capture the landed tombstone batches ONCE
     // (the delta-capture discipline — a delete landing mid-fold stays
@@ -530,8 +642,11 @@ object DeltaCompact {
       listTombstoneBatches(outDir, conf))
     // a fold that IGNORES pending tombstones would bump the folded rows'
     // sequence ([[WmCol]] = the new watermark) past every pending
-    // tombstone's, silently resurrecting deleted keys — refuse loudly
-    require(tombstoneKey.nonEmpty || listTombstoneBatches(outDir, conf).isEmpty,
+    // tombstone's, silently resurrecting deleted keys — refuse loudly.
+    // (PENDING only: an applied-but-grace-retained batch has no rows
+    // left to resurrect — its keys are already out of every base.)
+    require(tombstoneKey.nonEmpty ||
+        listPendingTombstoneBatches(outDir, conf).isEmpty,
       s"pending tombstones under $outDir but compact() was called without " +
         "tombstoneKey — the fold would resurrect deleted rows")
     val assembled = assemble(spark, outDir, prev, deltas, allowEvolution)
@@ -578,7 +693,7 @@ object DeltaCompact {
     val man = Manifest(nextGen, watermark, history)
     // steps 1-4 (stage → claim by rename → pointer swap → GC) under the
     // concurrent-maintainer guard — see the object scaladoc
-    commitStagedGeneration(outDir, man, conf) { staging =>
+    commitStagedGeneration(outDir, man, conf, gcGraceMs) { staging =>
       clustered
         .write.mode("overwrite").partitionBy("shard_id")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -588,7 +703,7 @@ object DeltaCompact {
     // applied tombstones fold away too: only the CAPTURED batches (a
     // delete landed mid-fold was not applied and must survive to apply
     // logically / at the next fold)
-    gcTombstoneBatches(outDir, tsBatches, conf)
+    gcTombstoneBatches(outDir, tsBatches, conf, gcGraceMs)
     man
   }
 
@@ -597,10 +712,20 @@ object DeltaCompact {
     * current generation AND every retained snapshot in the manifest's
     * history. */
   private[streaming] def gcFolded(outDir: String, man: Manifest,
-      conf: Configuration): Unit = {
+      conf: Configuration, graceMs: Long = 0L): Unit = {
     val f = fs(outDir, conf)
-    listDeltaBatches(outDir, conf).filter(_ <= man.maxFoldedBatch).foreach(id =>
-      f.delete(new Path(outDir, s"batch=$id"), true))
+    val now = System.currentTimeMillis()
+    // graceMs > 0: leave folded delta dirs younger than the grace on
+    // disk — a DETACHED maintainer GCs while ingest read-backs and
+    // concurrent serve plans may still be executing over those dirs.
+    // Correctness never depends on the sweep (readers filter deltas by
+    // the committed watermark), so a lingering folded dir is only disk
+    // debris, swept by any later fold once aged past the grace.
+    listDeltaBatches(outDir, conf).filter(_ <= man.maxFoldedBatch)
+      .map(id => new Path(outDir, s"batch=$id"))
+      .filter(p => graceMs <= 0L ||
+        (f.exists(p) && now - f.getFileStatus(p).getModificationTime > graceMs))
+      .foreach(p => f.delete(p, true))
     // keep-set: OURS ∪ the freshly re-read pointer's — a stalled winner
     // running its GC after a successor already committed must not sweep
     // the successor's generations (the pointer may have moved past us)
@@ -613,6 +738,9 @@ object DeltaCompact {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("base_gen=") &&
         !keep(st.getPath.getName))
       .foreach(st => f.delete(st.getPath, true))
+    // crashed landers' `_landing_` staging debris, same TTL discipline
+    sweepLandingDebris(outDir, conf)
+    sweepLandingDebris(tombstoneRoot(outDir), conf)
     // dead staging: targets a slot at-or-under the committed pointer
     // (its claim can never succeed) AND old enough that its owner is
     // gone — an ACTIVE racer must lose at its own rename, not by having

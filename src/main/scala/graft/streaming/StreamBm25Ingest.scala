@@ -47,9 +47,13 @@ object StreamBm25Ingest {
     val dir = StreamShardRouter.landBatch(batch, s"$outDir/docs", batchId, numShards)
     val landed = s.read.parquet(dir)
     writeDocIdRange(s, dir, landed)
-    val idxDir = s"$outDir/idx/batch=$batchId"
-    TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(landed))
-      .write.mode("overwrite").parquet(idxDir)
+    // atomic like the docs landing: a concurrent serve's mergeIndexes
+    // must never list a half-written partial
+    val idxDir = DeltaCompact.atomicLandDir(s"$outDir/idx/batch=$batchId",
+      s.sparkContext.hadoopConfiguration) { staging =>
+      TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(landed))
+        .write.mode("overwrite").parquet(staging)
+    }
     s.read.parquet(idxDir)
   }
 
@@ -238,10 +242,42 @@ object StreamBm25Ingest {
     * cadence discipline); the act is paid only when deletes actually
     * landed. Returns whether a rebuild fired. */
   def maintainIndex(s: SparkSession, outDir: String): Boolean = {
-    val pending = DeltaCompact.listTombstoneBatches(
+    val pending = DeltaCompact.listPendingTombstoneBatches(
       s"$outDir/docs", s.sparkContext.hadoopConfiguration)
     if (pending.isEmpty) false
     else { rebuildIndex(s, outDir); true }
+  }
+
+  /** [[maintainIndex]] with the ACT DETACHED: the DECIDE (one metadata
+    * listing) stays on the ingest path, but a fired rebuild is submitted
+    * to `maintainer` and staged OFF-path — ingest keeps landing batches
+    * above the fold watermark, serves keep merging the committed index,
+    * and the swap is the rebuild's atomic generation commit. At most one
+    * rebuild per tree is in flight (the [[DetachedMaintainer]] guard);
+    * while one runs, this is a no-op. Quiesce with
+    * `maintainer.await(outDir)` before an end-of-run fold.
+    *
+    * `gcGraceMs` defaults to [[DeltaCompact.StagingTtlMs]]: a detached
+    * rebuild's post-commit sweep must not yank delta directories that a
+    * concurrent ingest read-back or serve plan still lists (the grace
+    * contract on [[DeltaCompact.compact]]).
+    *
+    * `beforeAct` runs on the maintainer thread before the rebuild — the
+    * injection point DetachedMaintainerSpec uses to slow the ACT and
+    * prove cadence/serve isolation; production callers leave it. */
+  def maintainIndexDetached(s: SparkSession, outDir: String,
+      maintainer: DetachedMaintainer,
+      gcGraceMs: Long = DeltaCompact.StagingTtlMs,
+      beforeAct: () => Unit = () => ()): Boolean = {
+    if (maintainer.isBusy(outDir)) return false
+    val pending = DeltaCompact.listPendingTombstoneBatches(
+      s"$outDir/docs", s.sparkContext.hadoopConfiguration)
+    if (pending.isEmpty) false
+    else maintainer.submit(outDir) { () =>
+      beforeAct()
+      rebuildIndex(s, outDir, gcGraceMs)
+      ()
+    }
   }
 
   /** Delete maintenance for the capped index — REBUILD, because the
@@ -260,22 +296,24 @@ object StreamBm25Ingest {
     *     post-delete batches never contained the deleted docs.
     * Cost class: the fold cadence's own — a rebuild rides the compaction
     * tick, never a per-delete rewrite. */
-  def rebuildIndex(s: SparkSession, outDir: String): DeltaCompact.Manifest = {
+  def rebuildIndex(s: SparkSession, outDir: String,
+      gcGraceMs: Long = 0L): DeltaCompact.Manifest = {
     graft.functions.GraftFunctions.register(s)
     val docsDir = s"$outDir/docs"
     val idxDir = s"$outDir/idx"
     val conf = s.sparkContext.hadoopConfiguration
-    val docMan = DeltaCompact.compact(s, docsDir, tombstoneKey = Some("doc_id"))
+    val docMan = DeltaCompact.compact(s, docsDir, tombstoneKey = Some("doc_id"),
+      gcGraceMs = gcGraceMs)
     // exactly the folded snapshot — NOT readCorpus: a batch landing
     // between the fold and this read would sit above the committed
     // watermark, so baking it into the rebuilt base AND leaving it a
     // delta would double-count its docs at merge time
     val live = DeltaCompact.readCorpusAsOf(s, docsDir, docMan.gen)
       .select(col("doc_id"), col("text"))
-    val prev = DeltaCompact.rollForward(idxDir, conf)
+    val prev = DeltaCompact.rollForward(idxDir, conf, gcGraceMs)
     val man = DeltaCompact.Manifest(
       prev.map(_.gen + 1).getOrElse(0L), docMan.maxFoldedBatch)
-    DeltaCompact.commitStagedGeneration(idxDir, man, conf) { staging =>
+    DeltaCompact.commitStagedGeneration(idxDir, man, conf, gcGraceMs) { staging =>
       TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(live))
         .repartitionByRange(col("tok"))
         .sortWithinPartitions("tok")

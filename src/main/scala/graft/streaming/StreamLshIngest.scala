@@ -59,18 +59,18 @@ object StreamLshIngest {
     * residual probe filter even BEFORE any fold. This is the
     * postings-side twin of [[StreamShardRouter.landBatch]]'s corpus
     * landing — same layout contract, different partition key. */
-  def landPostingsDelta(postings: DataFrame, idxDir: String, batchId: Long): String = {
-    val dir = s"$idxDir/batch=$batchId"
-    postings
-      .withColumn("shard_id", graft.operators.Similarity.lshDirKey(col("tb")))
-      .repartition(col("shard_id"))
-      // shard_id leads the sort: the dynamic-partition writer requires
-      // its output ordered by the partition column and would insert its
-      // own sort otherwise, voiding the tb clustering contract
-      .sortWithinPartitions("shard_id", "tb")
-      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
-    dir
-  }
+  def landPostingsDelta(postings: DataFrame, idxDir: String, batchId: Long): String =
+    DeltaCompact.atomicLandDir(s"$idxDir/batch=$batchId",
+      postings.sparkSession.sparkContext.hadoopConfiguration) { staging =>
+      postings
+        .withColumn("shard_id", graft.operators.Similarity.lshDirKey(col("tb")))
+        .repartition(col("shard_id"))
+        // shard_id leads the sort: the dynamic-partition writer requires
+        // its output ordered by the partition column and would insert its
+        // own sort otherwise, voiding the tb clustering contract
+        .sortWithinPartitions("shard_id", "tb")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+    }
 
   // ---- geometry sidecar: the committed generation's (tables, bits) ----
 
@@ -140,10 +140,12 @@ object StreamLshIngest {
     * the carried-forward sidecar both come from the CURRENT committed
     * geometry — a fold never changes geometry, it just must not lose
     * it. */
-  def compactPostings(s: SparkSession, idxDir: String): DeltaCompact.Manifest = {
+  def compactPostings(s: SparkSession, idxDir: String,
+      gcGraceMs: Long = 0L): DeltaCompact.Manifest = {
     val conf = s.sparkContext.hadoopConfiguration
     val geom = readGeometry(s, idxDir)
     DeltaCompact.compact(s, idxDir,
+      gcGraceMs = gcGraceMs,
       numShards =
         graft.operators.Similarity.lshDirKeyDomainFor(geom.tables, geom.bits),
       sortCols = Seq("tb"),
@@ -181,7 +183,8 @@ object StreamLshIngest {
     * path). */
   def refreshGeometry(s: SparkSession, corpusDir: String, idxDir: String,
       cap: Int = graft.operators.Similarity.LshCap,
-      bitsOverride: Option[Int] = None): LshGeometry = {
+      bitsOverride: Option[Int] = None,
+      gcGraceMs: Long = 0L): LshGeometry = {
     graft.functions.GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
     val corpusMan = DeltaCompact.readManifest(corpusDir, conf)
@@ -203,9 +206,9 @@ object StreamLshIngest {
     // delete landing mid-refresh survives to apply logically
     val tsBatches = DeltaCompact.listTombstoneBatches(idxDir, conf)
     val watermark = (corpusDeltas ++ corpusMan.map(_.maxFoldedBatch)).max
-    val prev = DeltaCompact.rollForward(idxDir, conf)
+    val prev = DeltaCompact.rollForward(idxDir, conf, gcGraceMs)
     val man = DeltaCompact.Manifest(prev.map(_.gen + 1).getOrElse(0L), watermark)
-    DeltaCompact.commitStagedGeneration(idxDir, man, conf) { staging =>
+    DeltaCompact.commitStagedGeneration(idxDir, man, conf, gcGraceMs) { staging =>
       graft.operators.Similarity.lshPostings(live, geom.tables, geom.bits)
         .withColumn("shard_id", graft.operators.Similarity.lshDirKey(col("tb")))
         .repartition(col("shard_id"))
@@ -213,7 +216,7 @@ object StreamLshIngest {
         .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
       writeGeometry(staging, geom, conf)
     }
-    DeltaCompact.gcTombstoneBatches(idxDir, tsBatches, conf)
+    DeltaCompact.gcTombstoneBatches(idxDir, tsBatches, conf, gcGraceMs)
     geom
   }
 

@@ -114,12 +114,15 @@ object StreamShardRouter {
   /** The landing contract, shared by [[route]] and
     * [[StreamAnnIngest.ingestStep]] so the layout cannot drift between
     * them: shard the batch, overwrite its own `batch=<id>` directory,
-    * shard-partitioned. Returns the batch directory path. */
+    * shard-partitioned. ATOMIC — the directory is staged complete and
+    * renamed into place ([[DeltaCompact.atomicLandDir]]), so a
+    * concurrent fold's delta capture or a live serve's listing never
+    * sees a half-written batch. Returns the batch directory path. */
   def landBatch(batch: DataFrame, outDir: String, batchId: Long,
-      numShards: Int = 16): String = {
-    val dir = s"$outDir/batch=$batchId"
-    withShard(batch, numShards)
-      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
-    dir
-  }
+      numShards: Int = 16): String =
+    DeltaCompact.atomicLandDir(s"$outDir/batch=$batchId",
+      batch.sparkSession.sparkContext.hadoopConfiguration) { staging =>
+      withShard(batch, numShards)
+        .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+    }
 }

@@ -1,0 +1,241 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.operators.Similarity
+
+/** The maintenance ACT, DETACHED from the ingest path — round 13's one
+  * `weak` closed. The ACT is artificially held open (the `beforeAct`
+  * latch: a stand-in for the 190 s reclaim rebuild SCALE.md measures at
+  * the 100× corpus) and, while it blocks, the spec proves the three
+  * properties the synchronous gate could not:
+  *  (a) CADENCE — later ingest batches land and are readable while the
+  *      ACT runs (the fold captured its deltas at start; forward
+  *      landings stay above the watermark, atomically published);
+  *  (b) SERVE ISOLATION — serves during the ACT read the OLD committed
+  *      generation (the pointer manifest moves only at the ACT's claim
+  *      rename) and logical deletes still apply via the live read;
+  *  (c) EQUIVALENCE — the post-swap serve is bit-identical to the
+  *      synchronous composition's result (the batch build over the
+  *      survivors of everything landed).
+  * Plus the maintainer's own contract: at-most-one in-flight ACT per
+  * tree, lost generation claims are clean aborts, real failures
+  * resurface on the submitting path. */
+class DetachedMaintainerSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def emb: DataFrame =
+    Tables.embeddings(spark, sf)
+      .withColumn("doc_id", col("vec_id"))
+      .select("doc_id", "vec_id", "label", "embedding")
+
+  private def postingSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("tb"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH reclaim detached: ingest cadence continues, serves stay on the " +
+    "old generation, post-swap serve ≡ the synchronous composition") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val corpusDir = tmp("graft_dm_corpus")
+    val idxDir = tmp("graft_dm_idx")
+    val m = new DetachedMaintainer("dm-spec-lsh")
+    try {
+      // two landed batches + posting deltas at the registry geometry
+      (0 until 2).foreach { i =>
+        val b = emb.filter(col("vec_id") % 3 === i)
+        val p = StreamLshIngest.ingestStep(b, corpusDir, i.toLong)
+        StreamLshIngest.landPostingsDelta(p, idxDir, i.toLong)
+      }
+      // a ~1/7 takedown on both trees — pressure over the 5% floor
+      val doomed = DeltaCompact.readCorpus(s, corpusDir)
+        .filter(col("vec_id") % 7 === 3).select(col("vec_id")).localCheckpoint()
+      DeltaCompact.landTombstones(doomed, corpusDir, 0L, watermark = Some(1L))
+      StreamLshIngest.landTombstones(
+        doomed.select(col("vec_id").as("neighbor_id")), idxDir, 0L,
+        watermark = Some(1L))
+
+      // hold the ACT open: it "runs" for as long as this spec needs —
+      // the injected stand-in for a multi-trigger-interval rebuild
+      val actStarted = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val fired = AnnMaintenance.lshStepDetached(s, corpusDir, idxDir, m,
+        autoSize = false,
+        beforeAct = () => {
+          actStarted.countDown()
+          assert(release.await(120, TimeUnit.SECONDS), "spec never released the ACT")
+        })
+      assert(fired, "tombstone pressure must fire the detached ACT")
+      assert(actStarted.await(60, TimeUnit.SECONDS), "the ACT never started")
+      assert(m.isBusy(idxDir))
+
+      // (a) CADENCE: batch 2 lands on both trees WHILE the ACT blocks —
+      // the ingest loop is not stalled by the running rebuild
+      val b2 = emb.filter(col("vec_id") % 3 === 2)
+      val p2 = StreamLshIngest.ingestStep(b2, corpusDir, 2L)
+      StreamLshIngest.landPostingsDelta(p2, idxDir, 2L)
+      assert(m.isBusy(idxDir), "the ACT must still be running after the land")
+
+      // while one ACT is in flight, the next DECIDE is a cheap no-op —
+      // no redundant rebuild piles up behind the running one
+      assert(!AnnMaintenance.lshStepDetached(s, corpusDir, idxDir, m,
+        autoSize = false))
+
+      // (b) SERVE ISOLATION: the pointer has not moved (no generation
+      // was ever committed on this tree), and a live serve over the OLD
+      // state sees all three landed batches minus the logical delete
+      assert(DeltaCompact.readManifest(idxDir,
+        s.sparkContext.hadoopConfiguration).isEmpty,
+        "the swap must not happen before the ACT commits")
+      // survivors: the takedown named only keys landed in batches 0-1
+      // (doomed was computed from the corpus as of batch 1), so batch-2
+      // vectors with the same id pattern are NOT deleted — the sequence
+      // rule, visible here
+      val survivors = emb.filter(
+        col("vec_id") % 3 === 2 || col("vec_id") % 7 =!= 3)
+      val expectDuring = postingSet(Similarity.lshPostings(survivors))
+      assert(postingSet(StreamLshIngest.readPostingsLive(s, idxDir)) ===
+        expectDuring,
+        "serves during the ACT must read the old generation + logical deletes")
+
+      // release the ACT and quiesce
+      release.countDown()
+      m.await(idxDir)
+      assert(!m.isBusy(idxDir))
+
+      // (c) EQUIVALENCE: the committed generation serves exactly what the
+      // synchronous composition over everything landed would — survivors
+      // of all three batches, physically reclaimed, registry geometry
+      val man = DeltaCompact.readManifest(idxDir,
+        s.sparkContext.hadoopConfiguration)
+      assert(man.nonEmpty, "the ACT's commit must have swapped the pointer")
+      assert(StreamLshIngest.readGeometry(s, idxDir) ===
+        StreamLshIngest.DefaultGeometry)
+      assert(postingSet(StreamLshIngest.readPostings(s, idxDir)) ===
+        postingSet(Similarity.lshPostings(survivors)),
+        "post-swap serve must equal the batch build over survivors")
+
+      // pressure relieved: applied tombstones are grace-retained on disk
+      // (concurrent readers' plans survive) but PENDING-empty, so the
+      // DECIDE does not re-fire
+      assert(DeltaCompact.listPendingTombstoneBatches(idxDir,
+        s.sparkContext.hadoopConfiguration).isEmpty)
+      assert(!AnnMaintenance.lshStepDetached(s, corpusDir, idxDir, m,
+        autoSize = false))
+    } finally {
+      m.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    }
+  }
+
+  test("BM25 rebuild detached: ingest cadence continues, the old index " +
+    "serves until the swap, post-swap merge ≡ batch build over survivors") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val out = tmp("graft_dm_bm25")
+    val m = new DetachedMaintainer("dm-spec-bm25")
+    try {
+      val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+      (0 until 2).foreach { i =>
+        StreamBm25Ingest.ingestStep(
+          docs.filter(col("doc_id") % 3 === i), out, i.toLong)
+      }
+      assert(!StreamBm25Ingest.maintainIndexDetached(s, out, m)) // no pressure
+
+      DeltaCompact.landTombstones(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        s"$out/docs", 0L, watermark = Some(1L))
+
+      val actStarted = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val fired = StreamBm25Ingest.maintainIndexDetached(s, out, m,
+        beforeAct = () => {
+          actStarted.countDown()
+          assert(release.await(120, TimeUnit.SECONDS), "spec never released the ACT")
+        })
+      assert(fired, "pending tombstones must fire the detached rebuild")
+      assert(actStarted.await(60, TimeUnit.SECONDS))
+
+      // (a) CADENCE: a post-takedown batch (never contained deleted docs)
+      // lands while the rebuild blocks
+      val more = docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 7 =!= 3)
+      StreamBm25Ingest.ingestStep(more, out, 2L)
+      assert(m.isBusy(out))
+      assert(!StreamBm25Ingest.maintainIndexDetached(s, out, m)) // busy → no-op
+
+      // (b) SERVE ISOLATION: no index generation committed yet — the
+      // merge still reads the landed partials (the delete's effect waits
+      // for the rebuild, the documented capped-aggregate semantics)
+      assert(DeltaCompact.readManifest(s"$out/idx",
+        s.sparkContext.hadoopConfiguration).isEmpty)
+      val preSwap = StreamBm25Ingest.mergeIndexes(s, out)
+      assert(preSwap.filter(col("doc_id") % 7 === 3).count() > 0,
+        "pre-swap the old index still carries the doomed docs (delete " +
+          "applies at the rebuild for a capped aggregate)")
+
+      release.countDown()
+      m.await(out)
+
+      // (c) EQUIVALENCE vs the batch build over everything landed minus
+      // the takedown — regardless of where the rebuild's capture fell,
+      // base + surviving deltas merge to the same index
+      val live = docs.filter(col("doc_id") % 3 < 3 && col("doc_id") % 7 =!= 3)
+        .localCheckpoint()
+      val got = graft.operators.TextAnalysis.bm25Serve(
+        StreamBm25Ingest.mergeIndexes(s, out), live).collect().toSet
+      val expect = graft.operators.TextAnalysis.bm25Serve(
+        graft.operators.TextAnalysis.bm25Index(
+          graft.operators.TextAnalysis.bm25Partial(
+            graft.operators.TextAnalysis.bm25Postings(live))), live)
+        .collect().toSet
+      assert(got === expect,
+        "detached rebuild + merge diverged from the batch build over survivors")
+      assert(!StreamBm25Ingest.maintainIndexDetached(s, out, m)) // quiet again
+    } finally {
+      m.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
+  }
+
+  test("maintainer contract: one in-flight ACT per tree, lost claims abort " +
+    "cleanly, real failures resurface at the next submit") {
+    val m = new DetachedMaintainer("dm-spec-contract")
+    try {
+      // at-most-one: second submit while the first blocks is refused
+      val release = new CountDownLatch(1)
+      assert(m.submit("t1")(() => release.await(60, TimeUnit.SECONDS)))
+      assert(!m.submit("t1")(() => fail("must not run")))
+      assert(m.isBusy("t1"))
+      release.countDown()
+      m.await("t1")
+      assert(!m.isBusy("t1"))
+
+      // a lost generation claim is a CLEAN abort: the external winner did
+      // the work, so the next submit is accepted without complaint
+      assert(m.submit("t1")(() =>
+        throw new ConcurrentCompactionException("lost the slot")))
+      m.await("t1") // must not throw
+      assert(m.submit("t1")(() => ()))
+      m.await("t1")
+
+      // any other failure is HELD and rethrown on the path that depends
+      // on the maintenance — the next submit (or await), never swallowed
+      assert(m.submit("t1")(() => throw new IllegalStateException("act broke")))
+      val e = intercept[IllegalStateException] {
+        m.await("t1")
+        m.submit("t1")(() => ())
+      }
+      assert(e.getMessage === "act broke")
+      // after surfacing once, the tree is usable again
+      assert(m.submit("t1")(() => ()))
+      m.awaitAll()
+    } finally m.close()
+  }
+}
