@@ -182,4 +182,61 @@ class StreamBm25IngestSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(outDir)
     }
   }
+
+  test("crash between docs-land and partial-land: restart's batch replay " +
+    "heals the cross-tree divergence, serve ≡ the no-crash run") {
+    // the lexical branch lands TWO sibling trees per batch (docs, then
+    // the capped index partial). A crash in the window between them
+    // leaves the trees diverged: docs/batch=N exists, idx/batch=N does
+    // not. Structured Streaming's at-least-once foreachBatch replays
+    // batch N on restart with the SAME id; both landings are
+    // overwrite-idempotent (atomicLandDir), so the replay rewrites
+    // docs/batch=N in place and lands the missing partial — the healed
+    // tree must be indistinguishable from one that never crashed. (The
+    // semantic branch's twin windows are StreamAnnRecoverySpec /
+    // LshRefreshCrashRaceSpec; this pins the lexical branch explicitly.)
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val crashed = Files.createTempDirectory("graft_bm25crash").toFile
+    val control = Files.createTempDirectory("graft_bm25ctl").toFile
+    try {
+      val b0 = docs.filter(col("doc_id") % 3 === 0)
+      val b1 = docs.filter(col("doc_id") % 3 === 1)
+      val b2 = docs.filter(col("doc_id") % 3 === 2)
+
+      // control: three clean ingest steps
+      StreamBm25Ingest.ingestStep(b0, control.getAbsolutePath, 0L)
+      StreamBm25Ingest.ingestStep(b1, control.getAbsolutePath, 1L)
+      StreamBm25Ingest.ingestStep(b2, control.getAbsolutePath, 2L)
+
+      // crashed run: batch 1 dies AFTER its docs landed, BEFORE its
+      // partial landed — exactly the cross-tree window
+      StreamBm25Ingest.ingestStep(b0, crashed.getAbsolutePath, 0L)
+      StreamShardRouter.landBatch(b1, s"${crashed.getAbsolutePath}/docs", 1L)
+      // the divergence is real: docs tree has batch 1, idx tree does not
+      assert(DeltaCompact.listDeltaBatches(s"${crashed.getAbsolutePath}/docs",
+        s.sparkContext.hadoopConfiguration).contains(1L))
+      assert(!DeltaCompact.listDeltaBatches(s"${crashed.getAbsolutePath}/idx",
+        s.sparkContext.hadoopConfiguration).contains(1L))
+
+      // restart: the checkpoint replays batch 1, then the run continues
+      StreamBm25Ingest.ingestStep(b1, crashed.getAbsolutePath, 1L)
+      StreamBm25Ingest.ingestStep(b2, crashed.getAbsolutePath, 2L)
+
+      // the healed serve is hash-identical to the no-crash run's
+      def serve(dir: java.io.File): Set[(Long, Long, Long)] =
+        graft.operators.TextAnalysis.bm25Serve(
+          StreamBm25Ingest.mergeIndexes(s, dir.getAbsolutePath), docs)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+          .toSet
+      assert(serve(crashed) === serve(control),
+        "replayed cross-tree landing diverged from the no-crash run")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(crashed)
+      org.apache.commons.io.FileUtils.deleteQuietly(control)
+    }
+  }
 }
