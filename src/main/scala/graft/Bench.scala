@@ -162,6 +162,23 @@ object Bench {
       force(operators.Analytic.approxPercentilesSketch(spark, sfDir)))
     progress(f"q_approx_percentiles_sketch: ${results("q_approx_percentiles_sketch")}%.2fs")
 
+    // Layout-family gates get the calib treatment (warm + min of TWO
+    // measured serve legs): their one-time layout build is memoized, so
+    // in the registry loop pass 1 times build+serve and pass 2 is the
+    // only pure-serve sample — a single sub-second FS-bound sample that
+    // round JSONs have shown swinging 2-3× with session FS state (the
+    // r13 "phantom regression" adjudication). A third pass here gives the
+    // serve a second sample; the row reports the min across all passes.
+    operators.Layout.all.foreach { q =>
+      val extra = timedOr(s"${q.name} (serve leg 2)", runs = 1)(
+        force(q.build(spark, sfDir)))
+      if (extra >= 0) results(q.name) = results.get(q.name) match {
+        case Some(p) if p >= 0 => math.min(p, extra)
+        case _ => extra
+      }
+      progress(f"[layout serve leg 2] ${q.name}: $extra%.2fs")
+    }
+
     // Build-once/serve-many split for the persisted IVF index: the
     // registry row above measures the SERVE path (the index is memoized
     // after pass 1), but the build cost was folded into pass 1's number.
@@ -326,7 +343,7 @@ object Bench {
     progress(f"spike recovery (unsteered): $spikeRawSec%.2fs, " +
       f"peak delay $spikeRawPeakDelay%.2fs, drain $spikeRawDrain%.2fs")
 
-    val (spikeSec, spikePeakDelay, spikeDrain) = {
+    def controllerSpikeRun(): (Double, Double, Double) = {
       System.gc()
       val key = "bench-spike"
       val pid = new streaming.PidController(
@@ -358,8 +375,17 @@ object Bench {
       val (pk, dr) = BenchMetrics.spikeRecovery(progressBatches(qh).drop(1), 1000L) // drop(1): cold-batch exclusion, as the soak does
       (sec, pk, dr)
     }
+    // TWO measured runs, per-metric min reported, all runs in the detail
+    // (`stream_spike_runs`): single-run spike legs fabricated a 1.7×
+    // estimator "regression" in r13 that was indistinguishable from
+    // session noise — the same repeat-and-min discipline the sub-second
+    // registry rows and calib_s already use. ~30 s extra per leg.
+    val spikeRuns = Seq.fill(2)(controllerSpikeRun())
+    val (spikeSec, spikePeakDelay, spikeDrain) =
+      (spikeRuns.map(_._1).min, spikeRuns.map(_._2).min, spikeRuns.map(_._3).min)
     progress(f"spike recovery: $spikeSec%.2fs for 30 s of spiked data, " +
-      f"peak delay $spikePeakDelay%.2fs, drain $spikeDrain%.2fs")
+      f"peak delay $spikePeakDelay%.2fs, drain $spikeDrain%.2fs " +
+      s"(runs: ${spikeRuns.map(r => f"${r._2}%.2f").mkString("/")} peak)")
     progress("spike recovery, estimator mode (PIDRateEstimator parity)")
 
     // The same spike leg driven by the ESTIMATOR (PidRateEstimator) — the
@@ -371,7 +397,7 @@ object Bench {
     // leg steers an absolute rows/s target from processing rate +
     // scheduling-delay backlog, the semantics the reference's experiments
     // actually compare. Same plan, same bar: ≤ 2× the 30 s data duration.
-    val (spikeEstSec, spikeEstPeakDelay, spikeEstDrain) = {
+    def estimatorSpikeRun(): (Double, Double, Double) = {
       System.gc()
       val key = "bench-spike-est"
       val listener = new streaming.PidRateListener(
@@ -398,8 +424,12 @@ object Bench {
       val (pk, dr) = BenchMetrics.spikeRecovery(progressBatches(qh).drop(1), 1000L) // drop(1): cold-batch exclusion, as the soak does
       (sec, pk, dr)
     }
+    val spikeEstRuns = Seq.fill(2)(estimatorSpikeRun()) // same discipline as the controller leg
+    val (spikeEstSec, spikeEstPeakDelay, spikeEstDrain) = (spikeEstRuns.map(_._1).min,
+      spikeEstRuns.map(_._2).min, spikeEstRuns.map(_._3).min)
     progress(f"spike recovery (estimator): $spikeEstSec%.2fs for 30 s of spiked data, " +
-      f"peak delay $spikeEstPeakDelay%.2fs, drain $spikeEstDrain%.2fs")
+      f"peak delay $spikeEstPeakDelay%.2fs, drain $spikeEstDrain%.2fs " +
+      s"(runs: ${spikeEstRuns.map(r => f"${r._2}%.2f").mkString("/")} peak)")
     progress("stream soak: 120 s sustained 50k rows/s, stateful window agg")
 
     // Soak (the reference's "memory is stable" endurance analysis,
@@ -641,8 +671,11 @@ object Bench {
     // keep the line inside the driver's 2000-char stdout tail
     val spikeJsonLine =
       f""""stream_spike_recovery_s":$spikeSec%.3f,"stream_spike_peak_delay_s":$spikePeakDelay%.3f,"stream_spike_drain_s":$spikeDrain%.3f,"stream_spike_recovery_estimator_s":$spikeEstSec%.3f,"stream_spike_est_peak_delay_s":$spikeEstPeakDelay%.3f,"stream_spike_est_drain_s":$spikeEstDrain%.3f"""
+    def runsArr(rs: Seq[(Double, Double, Double)]): String = rs
+      .map(r => f"""{"sec":${r._1}%.3f,"peak_delay_s":${r._2}%.3f,"drain_s":${r._3}%.3f}""")
+      .mkString("[", ",", "]")
     val spikeJson = spikeJsonLine +
-      f""","stream_spike_unsteered_s":$spikeRawSec%.3f,"stream_spike_unsteered_peak_delay_s":$spikeRawPeakDelay%.3f,"stream_spike_unsteered_drain_s":$spikeRawDrain%.3f"""
+      f""","stream_spike_unsteered_s":$spikeRawSec%.3f,"stream_spike_unsteered_peak_delay_s":$spikeRawPeakDelay%.3f,"stream_spike_unsteered_drain_s":$spikeRawDrain%.3f,"stream_spike_runs":${runsArr(spikeRuns)},"stream_spike_est_runs":${runsArr(spikeEstRuns)}"""
     val probesJson = rateProbes
       .map { case (r, w) => f""""$r%d":$w%.3f""" }.mkString("{", ",", "}")
     // stdout variant stays slim: the driver keeps only the LAST 2000

@@ -51,6 +51,48 @@ object AnnMaintenance {
     (assigned, drifted)
   }
 
+  /** [[step]] with the refresh ACT DETACHED — the codebook family's
+    * member of the detached-maintenance trio (LSH:
+    * [[lshStepDetached]]; BM25: [[StreamBm25Ingest.maintainIndexDetached]]).
+    * The per-batch DETECT (land + assign + agreement audit) stays on the
+    * ingest path — it IS the ingest's work — and a fired retrain is
+    * submitted to `maintainer` instead of blocking the trigger: the
+    * returned assignment is against the codebook the batch ARRIVED
+    * under either way, later batches keep assigning against the old
+    * codebook until the refresh's atomic cut-over, and drifted batches
+    * arriving while the ACT runs are no-ops (at-most-one-in-flight).
+    * BOOTSTRAP stays synchronous: with no committed codebook there is
+    * nothing to assign against, so the first batch's build is the
+    * ingest's own cost by definition. Returns (assignment, whether an
+    * ACT was submitted). Quiesce with `maintainer.await(idxDir)` before
+    * reading the healed state. */
+  def stepDetached(batch: DataFrame, corpusDir: String, idxDir: String,
+      batchId: Long, maintainer: DetachedMaintainer,
+      minAgreement: Double = 0.5,
+      sampleSize: Int = StreamAnnRefresh.DefaultSampleSize,
+      beforeAct: () => Unit = () => ()): (DataFrame, Boolean) = {
+    val s = batch.sparkSession
+    StreamShardRouter.landBatch(batch, corpusDir, batchId)
+    val bootstrap = DeltaCompact
+      .readManifest(idxDir, s.sparkContext.hadoopConfiguration).isEmpty
+    if (bootstrap) {
+      StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize)
+      val cents = StreamAnnRefresh.currentCodebook(s, idxDir)
+      return (StreamAnn.assign(batch, cents).localCheckpoint(), true)
+    }
+    val cents = StreamAnnRefresh.currentCodebook(s, idxDir).localCheckpoint()
+    val assigned = StreamAnn.assign(batch, cents).localCheckpoint()
+    val row = assigned.agg(avg(col("matches_label").cast("double"))).head()
+    val drifted = !row.isNullAt(0) && row.getDouble(0) < minAgreement
+    val fired = drifted && !maintainer.isBusy(idxDir) &&
+      maintainer.submit(idxDir) { () =>
+        beforeAct()
+        StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize)
+        ()
+      }
+    (assigned, fired)
+  }
+
   /** The LSH index family's decide step — same detect→decide→act loop as
     * [[step]], with the LSH-native pressure signals in place of the
     * codebook's agreement audit (there is no codebook to drift):

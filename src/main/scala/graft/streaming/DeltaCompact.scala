@@ -544,6 +544,17 @@ object DeltaCompact {
       unfoldedDeltas(outDir, man, conf), keyCol, allowEvolution)
   }
 
+  /** [[readCorpus]] over a CAPTURED view (manifest + delta ids), no
+    * tombstone application — the non-live twin of
+    * [[readCorpusLivePinned]], for maintainers that must read EXACTLY
+    * the view their watermark describes (a delta landing between a
+    * caller's watermark listing and plan construction must not leak into
+    * a generation whose manifest predates it). */
+  private[streaming] def readCorpusPinned(spark: SparkSession, outDir: String,
+      man: Option[Manifest], deltaIds: Seq[Long],
+      allowEvolution: Boolean = false): DataFrame =
+    assemble(spark, outDir, man, deltaIds, allowEvolution).drop(WmCol)
+
   /** [[readCorpusLive]] over a CAPTURED view (manifest + delta ids) —
     * for maintainers whose fold watermark must cover exactly what they
     * read: a delta landing between the caller's capture and the plan's

@@ -79,9 +79,15 @@ object StreamAnnRefresh {
     val deltas = DeltaCompact.unfoldedDeltas(corpusDir, man, conf)
     require(man.nonEmpty || deltas.nonEmpty,
       s"no landed corpus under $corpusDir")
+    // PINNED to the same (manifest, deltas) the watermark describes: a
+    // batch landing between the listing above and plan construction must
+    // stay ABOVE the committed watermark, not silently join a retrain
+    // whose manifest predates it — the capture discipline a DETACHED
+    // refresh racing live ingest depends on
     val corpus = tombstoneKey match {
-      case Some(k) => DeltaCompact.readCorpusLive(s, corpusDir, keyCol = k)
-      case None => DeltaCompact.readCorpus(s, corpusDir)
+      case Some(k) =>
+        DeltaCompact.readCorpusLivePinned(s, corpusDir, man, deltas, keyCol = k)
+      case None => DeltaCompact.readCorpusPinned(s, corpusDir, man, deltas)
     }
     (corpus, (deltas ++ man.map(_.maxFoldedBatch)).max)
   }

@@ -60,17 +60,17 @@ object StreamNeardupIngest {
     * `shard_id = band_id` (the serve join's leading key), bhash-sorted
     * within each shard file for row-group skipping, overwrite-idempotent
     * `batch=<id>` directory. */
-  def landSignatureDelta(batch: DataFrame, idxDir: String, batchId: Long): String = {
-    val dir = s"$idxDir/batch=$batchId"
-    graft.operators.Dedup.signatureRows(batch)
-      .withColumn("shard_id", col("band_id"))
-      .repartition(col("shard_id"))
-      // shard_id leads the sort: the dynamic-partition writer's required
-      // ordering (the DeltaCompact sortCols contract)
-      .sortWithinPartitions("shard_id", "bhash")
-      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
-    dir
-  }
+  def landSignatureDelta(batch: DataFrame, idxDir: String, batchId: Long): String =
+    DeltaCompact.atomicLandDir(s"$idxDir/batch=$batchId",
+      batch.sparkSession.sparkContext.hadoopConfiguration) { staging =>
+      graft.operators.Dedup.signatureRows(batch)
+        .withColumn("shard_id", col("band_id"))
+        .repartition(col("shard_id"))
+        // shard_id leads the sort: the dynamic-partition writer's required
+        // ordering (the DeltaCompact sortCols contract)
+        .sortWithinPartitions("shard_id", "bhash")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+    }
 
   /** The signature index as of now: committed base + unfolded deltas,
     * minus tombstoned doc_ids — deleted documents stop matching the

@@ -204,6 +204,72 @@ class DetachedMaintainerSpec extends SparkSpec {
     }
   }
 
+  test("codebook drift refresh detached: drifted batches keep assigning " +
+    "against the old codebook while the retrain runs; the cut-over heals") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.functions.avg
+    def vecs(from: Int, until: Int, label: Int => Int): DataFrame = {
+      import s.implicits._
+      (from until until).map { i =>
+        val l = label(i)
+        (i.toLong, i.toLong, l,
+          Array.tabulate(8)(j => if (j == l) 1f else (i % 7) * 0.01f))
+      }.toDF("doc_id", "vec_id", "label", "embedding")
+    }
+    def agreement(df: DataFrame): Double =
+      df.agg(avg(col("matches_label").cast("double"))).head().getDouble(0)
+
+    val base = Files.createTempDirectory("graft_dm_cb").toFile.getAbsolutePath
+    val (corpusDir, idxDir) = (s"$base/corpus", s"$base/idx")
+    val m = new DetachedMaintainer("dm-spec-cb")
+    try {
+      // bootstrap is synchronous by definition (nothing to serve yet)
+      val (_, boot) = AnnMaintenance.stepDetached(
+        vecs(0, 40, _ % 4), corpusDir, idxDir, 0L, m)
+      assert(boot)
+      // healthy batch: no ACT
+      val (a1, f1) = AnnMaintenance.stepDetached(
+        vecs(40, 80, _ % 4), corpusDir, idxDir, 1L, m)
+      assert(!f1 && agreement(a1) === 1.0)
+
+      // drifted batch fires the DETACHED retrain; hold it open
+      val actStarted = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val (a2, f2) = AnnMaintenance.stepDetached(
+        vecs(80, 120, _ => 4), corpusDir, idxDir, 2L, m,
+        beforeAct = () => {
+          actStarted.countDown()
+          assert(release.await(120, TimeUnit.SECONDS))
+        })
+      assert(f2, "drift must fire the detached retrain")
+      assert(agreement(a2) === 0.0,
+        "the assignment is against the codebook the batch arrived under")
+      assert(actStarted.await(60, TimeUnit.SECONDS))
+
+      // cadence + old-codebook isolation: the NEXT drifted batch lands
+      // and assigns while the retrain still runs — against the OLD
+      // codebook, and without piling a second ACT behind the first
+      val (a3, f3) = AnnMaintenance.stepDetached(
+        vecs(120, 160, _ => 4), corpusDir, idxDir, 3L, m)
+      assert(!f3, "at-most-one-in-flight: no second ACT while one runs")
+      assert(agreement(a3) === 0.0, "still the old codebook until the cut-over")
+      assert(m.isBusy(idxDir))
+
+      release.countDown()
+      m.await(idxDir)
+
+      // post-cut-over: the same drifted distribution is now healthy
+      val (a4, f4) = AnnMaintenance.stepDetached(
+        vecs(160, 200, _ => 4), corpusDir, idxDir, 4L, m)
+      assert(!f4, "the refresh healed the distribution — no further ACT")
+      assert(agreement(a4) === 1.0)
+    } finally {
+      m.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("maintainer contract: one in-flight ACT per tree, lost claims abort " +
     "cleanly, real failures resurface at the next submit") {
     val m = new DetachedMaintainer("dm-spec-contract")
