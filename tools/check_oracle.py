@@ -14,9 +14,23 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 report_path = sys.argv[3] if len(sys.argv) > 3 else None
 report = {}
 con = duckdb.connect()
+# Bound DuckDB's memory and let it spill: the 100x-corpus LSH oracles
+# (200k vectors x 8 tables of signature CTEs) OOM-killed the process at
+# the default unlimited setting, losing the whole report. 48 GiB leaves
+# the OS and the (stopped) JVM plenty on a 128 GiB host.
+con.sql("SET memory_limit='48GB'")
+con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+def flush_report():
+    """Write the report after EVERY query: a mid-run OOM kill (observed
+    on the 100x LSH oracles) must lose at most one query's evidence,
+    not the whole artifact."""
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 fails, passes, skips = [], 0, 0
@@ -31,7 +45,8 @@ for name in sorted(os.listdir(outdir)):
         report[name] = {"rows_match": None, "schema_match": None,
                         "hash_match": None, "spark_rows": len(got),
                         "oracle_rows": None, "err": "no_oracle"}
-        print(f"  [rows-only] {name}: {len(got)} rows")
+        print(f"  [rows-only] {name}: {len(got)} rows", flush=True)
+        flush_report()
         continue
     def record(rows=None, schema=None, value=None, erows=None, err=None):
         report[name] = {"rows_match": rows, "schema_match": schema,
@@ -42,17 +57,20 @@ for name in sorted(os.listdir(outdir)):
     except Exception as e:
         record(err=f"oracle SQL error: {e}")
         fails.append((name, f"oracle SQL error: {e}"))
+        flush_report()
         continue
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         record(schema=False, erows=len(exp))
         fails.append((name, f"columns differ: spark={gcols} duck={ecols}"))
+        flush_report()
         continue
     g = got[gcols].sort_values(gcols).reset_index(drop=True)
     e = exp[ecols].sort_values(ecols).reset_index(drop=True)
     if len(g) != len(e):
         record(rows=False, schema=True, erows=len(e))
         fails.append((name, f"row count differs: spark={len(g)} duck={len(e)}"))
+        flush_report()
         continue
     # dtype-tolerant compare (int32 vs int64 etc.), NaN == NaN
     import pandas as pd
@@ -84,11 +102,11 @@ for name in sorted(os.listdir(outdir)):
     else:
         record(rows=True, schema=True, value=True, erows=len(e))
         passes += 1
-        print(f"  [ok] {name}: {len(g)} rows")
+        print(f"  [ok] {name}: {len(g)} rows", flush=True)
+    flush_report()
 
+flush_report()
 if report_path:
-    with open(report_path, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
     print(f"\nwrote {report_path} ({len(report)} queries)")
 
 print(f"\n{passes} ok, {skips} rows-only, {len(fails)} FAILED")
