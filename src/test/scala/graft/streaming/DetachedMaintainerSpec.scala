@@ -69,10 +69,10 @@ class DetachedMaintainerSpec extends SparkSpec {
         autoSize = false,
         beforeAct = () => {
           actStarted.countDown()
-          assert(release.await(120, TimeUnit.SECONDS), "spec never released the ACT")
+          assert(release.await(600, TimeUnit.SECONDS), "spec never released the ACT")
         })
       assert(fired, "tombstone pressure must fire the detached ACT")
-      assert(actStarted.await(60, TimeUnit.SECONDS), "the ACT never started")
+      assert(actStarted.await(300, TimeUnit.SECONDS), "the ACT never started")
       assert(m.isBusy(idxDir))
 
       // (a) CADENCE: batch 2 lands on both trees WHILE the ACT blocks —
@@ -158,10 +158,10 @@ class DetachedMaintainerSpec extends SparkSpec {
       val fired = StreamBm25Ingest.maintainIndexDetached(s, out, m,
         beforeAct = () => {
           actStarted.countDown()
-          assert(release.await(120, TimeUnit.SECONDS), "spec never released the ACT")
+          assert(release.await(600, TimeUnit.SECONDS), "spec never released the ACT")
         })
       assert(fired, "pending tombstones must fire the detached rebuild")
-      assert(actStarted.await(60, TimeUnit.SECONDS))
+      assert(actStarted.await(300, TimeUnit.SECONDS))
 
       // (a) CADENCE: a post-takedown batch (never contained deleted docs)
       // lands while the rebuild blocks
@@ -240,12 +240,12 @@ class DetachedMaintainerSpec extends SparkSpec {
         vecs(80, 120, _ => 4), corpusDir, idxDir, 2L, m,
         beforeAct = () => {
           actStarted.countDown()
-          assert(release.await(120, TimeUnit.SECONDS))
+          assert(release.await(600, TimeUnit.SECONDS))
         })
       assert(f2, "drift must fire the detached retrain")
       assert(agreement(a2) === 0.0,
         "the assignment is against the codebook the batch arrived under")
-      assert(actStarted.await(60, TimeUnit.SECONDS))
+      assert(actStarted.await(300, TimeUnit.SECONDS))
 
       // cadence + old-codebook isolation: the NEXT drifted batch lands
       // and assigns while the retrain still runs — against the OLD

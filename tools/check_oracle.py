@@ -18,8 +18,14 @@ con = duckdb.connect()
 # (200k vectors x 8 tables of signature CTEs) OOM-killed the process at
 # the default unlimited setting, losing the whole report. 48 GiB leaves
 # the OS and the (stopped) JVM plenty on a 128 GiB host.
-con.sql("SET memory_limit='48GB'")
+con.sql(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '48GB')}'")
 con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+# Fewer threads = much lower peak memory for the giant hash joins the
+# 100x LSH/BM25 CTEs produce (DuckDB scales operator memory with
+# pipeline parallelism) — the knob for oracles that outgrow even the
+# spill budget at full width.
+if os.environ.get("DUCKDB_THREADS"):
+    con.sql(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
