@@ -70,6 +70,7 @@ object AnnMaintenance {
       batchId: Long, maintainer: DetachedMaintainer,
       minAgreement: Double = 0.5,
       sampleSize: Int = StreamAnnRefresh.DefaultSampleSize,
+      retainSnapshots: Int = 1,
       beforeAct: () => Unit = () => ()): (DataFrame, Boolean) = {
     val s = batch.sparkSession
     StreamShardRouter.landBatch(batch, corpusDir, batchId)
@@ -87,7 +88,10 @@ object AnnMaintenance {
     val fired = drifted && !maintainer.isBusy(idxDir) &&
       maintainer.submit(idxDir) { () =>
         beforeAct()
-        StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize)
+        // retainSnapshots >= 1: the detached cut-over races live serve
+        // plans — the superseded codebook generation must outlive the swap
+        StreamAnnRefresh.refresh(s, corpusDir, idxDir, sampleSize,
+          retainSnapshots = retainSnapshots)
         ()
       }
     (assigned, fired)
@@ -176,14 +180,18 @@ object AnnMaintenance {
       maxTombstoneFrac: Double = 0.05,
       autoSize: Boolean = true,
       gcGraceMs: Long = DeltaCompact.StagingTtlMs,
+      retainSnapshots: Int = 1,
       beforeAct: () => Unit = () => ()): Boolean = {
     if (maintainer.isBusy(idxDir)) return false
     lshDecide(s, corpusDir, idxDir, cap, maxTombstoneFrac, autoSize) match {
       case Some(bitsOverride) =>
         maintainer.submit(idxDir) { () =>
           beforeAct()
+          // retainSnapshots >= 1: the detached commit races live serve
+          // plans, which must survive on the superseded generation
           StreamLshIngest.refreshGeometry(s, corpusDir, idxDir, cap,
-            bitsOverride = bitsOverride, gcGraceMs = gcGraceMs)
+            bitsOverride = bitsOverride, gcGraceMs = gcGraceMs,
+            retainSnapshots = retainSnapshots)
           ()
         }
       case None => false

@@ -83,9 +83,17 @@ object DeltaCompact {
     * highest batch id folded into it, and the RETAINED older snapshots
     * (gen, maxFoldedBatch) — newest last. Retained generations survive
     * GC and serve [[readCorpusAsOf]] time travel; the default retention
-    * of 0 keeps the original keep-only-current behavior. */
+    * of 0 keeps the original keep-only-current behavior.
+    *
+    * `retain` persists the retention POLICY the last fold was asked for
+    * (its `retainSnapshots`), distinct from the current history DEPTH:
+    * a retaining tree folded only once has an empty history but a
+    * non-zero policy, and maintenance verbs that must preserve
+    * retention ([[StreamShardRouter.reshardOnFold]]'s default) read the
+    * policy instead of guessing it from depth. Manifests written before
+    * the field parse as 0 (depth-inference remains their fallback). */
   final case class Manifest(gen: Long, maxFoldedBatch: Long,
-      history: Seq[(Long, Long)] = Nil)
+      history: Seq[(Long, Long)] = Nil, retain: Int = 0)
 
   private def manifestPath(outDir: String) = new Path(outDir, "_compaction.json")
 
@@ -124,7 +132,10 @@ object DeltaCompact {
       throw new IllegalStateException(
         s"corrupt compaction manifest $p: history has $rawEntries " +
           s"entries but only ${history.size} parsed in $s")
-    Manifest(field("gen"), field("maxFoldedBatch"), history)
+    // optional (absent in pre-policy manifests → 0)
+    val retain = """"retain"\s*:\s*(\d+)""".r.findFirstMatchIn(top)
+      .map(_.group(1).toInt).getOrElse(0)
+    Manifest(field("gen"), field("maxFoldedBatch"), history, retain)
   }
 
   /** Read the committed manifest, if any compaction has ever run. */
@@ -143,7 +154,26 @@ object DeltaCompact {
         .map { case (g, w) => s"""{"gen":$g,"maxFoldedBatch":$w}""" }
         .mkString(""","history":[""", ",", "]")
     val non = nonce.fold("")(n => s""","nonce":"$n"""")
-    s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}$hist$non}"""
+    val ret = if (m.retain > 0) s""","retain":${m.retain}""" else ""
+    s"""{"gen":${m.gen},"maxFoldedBatch":${m.maxFoldedBatch}$hist$ret$non}"""
+  }
+
+  /** ONE definition of "the next generation's manifest under a retention
+    * policy", shared by [[compact]] and every out-of-object fold (the
+    * LSH geometry refresh, the BM25 rebuild, the codebook retrain):
+    * gen = prev + 1, the superseded generation joins the retained
+    * history (truncated to the policy depth), and the policy itself is
+    * persisted. Detached maintainers MUST pass `retainSnapshots >= 1` —
+    * their commit races live serve plans, and a history-less manifest
+    * would let [[gcFolded]] delete the superseded base at the swap
+    * instant, failing a reader mid-plan on the old generation. */
+  private[streaming] def nextManifest(prev: Option[Manifest], watermark: Long,
+      retainSnapshots: Int = 0): Manifest = {
+    val keep = math.max(0, retainSnapshots)
+    val history = prev
+      .map(p => (p.history :+ (p.gen, p.maxFoldedBatch)).takeRight(keep))
+      .getOrElse(Nil)
+    Manifest(prev.map(_.gen + 1).getOrElse(0L), watermark, history, keep)
   }
 
   /** `private[streaming]`: [[StreamBm25Ingest.compactIndex]] and
@@ -462,18 +492,33 @@ object DeltaCompact {
     val now = System.currentTimeMillis()
     ids.foreach { id =>
       val p = new Path(tombstoneRoot(outDir), s"batch=$id")
+      val marker = new Path(p, AppliedMarker)
       // grace: an APPLIED tombstone left landed is harmless (re-applying
       // on absent keys is a no-op, the sequence rule covers the rest) —
       // but deleting it mid-plan would fail a concurrent reader whose
-      // readTombstones listed it. Instead of deleting young dirs, mark
-      // them `_applied` (one tiny underscore file — parquet readers and
-      // in-flight plans are undisturbed) so maintenance DECIDEs stop
-      // counting them as pressure; a later fold deletes them once aged.
-      if (graceMs <= 0L ||
-          (f.exists(p) && now - f.getFileStatus(p).getModificationTime > graceMs))
-        f.delete(p, true)
-      else if (f.exists(p))
-        f.create(new Path(p, AppliedMarker), true).close()
+      // readTombstones listed it. Instead of deleting fresh applications,
+      // mark them `_applied` (one tiny underscore file — parquet readers
+      // and in-flight plans are undisturbed) so maintenance DECIDEs stop
+      // counting them as pressure; a later fold deletes them once the
+      // MARKER ages past the grace. The marker's mtime is the age clock —
+      // "graceMs since the tombstone was applied" is the semantic (the
+      // directory's own mtime is the LANDING time, which can be
+      // arbitrarily older than the application a concurrent reader's
+      // plan actually raced; it is also bumped by the marker creation
+      // itself, which would double the retention).
+      // A concurrent maintainer sweeping the same aged dir between our
+      // listing and these calls is fine — FileNotFound means
+      // already-swept, never a failed fold.
+      try {
+        if (graceMs <= 0L) { f.delete(p, true); () }
+        else if (f.exists(marker)) {
+          if (now - f.getFileStatus(marker).getModificationTime > graceMs)
+            f.delete(p, true)
+          ()
+        } else if (f.exists(p)) f.create(marker, true).close()
+      } catch {
+        case _: java.io.FileNotFoundException => () // concurrently swept
+      }
     }
   }
 
@@ -672,7 +717,6 @@ object DeltaCompact {
         antiTombstoned(assembled, ts, k)
       case _ => assembled
     }).drop(WmCol)
-    val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
     // step 1: the new base, one file per shard — repartition on the
     // shard key is the ONLY shuffle, sized by shard count not data.
@@ -698,10 +742,7 @@ object DeltaCompact {
     // ([[readCorpusAsOf]]) — the table-format snapshot-retention
     // discipline that makes "train on the corpus exactly as it was at
     // snapshot g" reproducible.
-    val history = prev
-      .map(p => (p.history :+ (p.gen, p.maxFoldedBatch)).takeRight(retainSnapshots))
-      .getOrElse(Nil)
-    val man = Manifest(nextGen, watermark, history)
+    val man = nextManifest(prev, watermark, retainSnapshots)
     // steps 1-4 (stage → claim by rename → pointer swap → GC) under the
     // concurrent-maintainer guard — see the object scaladoc
     commitStagedGeneration(outDir, man, conf, gcGraceMs) { staging =>
@@ -734,9 +775,19 @@ object DeltaCompact {
     // debris, swept by any later fold once aged past the grace.
     listDeltaBatches(outDir, conf).filter(_ <= man.maxFoldedBatch)
       .map(id => new Path(outDir, s"batch=$id"))
-      .filter(p => graceMs <= 0L ||
-        (f.exists(p) && now - f.getFileStatus(p).getModificationTime > graceMs))
-      .foreach(p => f.delete(p, true))
+      .foreach { p =>
+        // a concurrent maintainer sweeping the same aged dir between our
+        // listing and this status call must read as already-swept (skip),
+        // not fail the fold — exists-then-stat is not atomic
+        try {
+          if (graceMs <= 0L ||
+              now - f.getFileStatus(p).getModificationTime > graceMs)
+            f.delete(p, true)
+          ()
+        } catch {
+          case _: java.io.FileNotFoundException => ()
+        }
+      }
     // keep-set: OURS ∪ the freshly re-read pointer's — a stalled winner
     // running its GC after a successor already committed must not sweep
     // the successor's generations (the pointer may have moved past us)

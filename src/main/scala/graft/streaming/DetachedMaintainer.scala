@@ -45,12 +45,33 @@ import java.util.concurrent.atomic.AtomicLong
   * Failure contract: an ACT that fails for any OTHER reason is held and
   * rethrown at the tree's next [[submit]] or [[await]] — maintenance
   * errors must surface on the ingest path that depends on them, not
-  * vanish into a background thread's stderr. */
-final class DetachedMaintainer(namePrefix: String = "graft-maint")
+  * vanish into a background thread's stderr.
+  *
+  * Resource contract: at most `maxConcurrentActs` ACTs RUN at once
+  * across all trees — a driver managing many trees (the multi-tenant
+  * 100 TB shape) must not let N simultaneous build-cost rebuilds compete
+  * with ingest for cluster resources. ACTs past the cap queue FIFO in
+  * submission order and stay "in flight" for every other contract:
+  * [[isBusy]] is true while queued (so DECIDEs keep no-opping instead of
+  * piling duplicates), [[await]] blocks through the queue, and a queued
+  * ACT's failure propagates exactly like a running one's. The default is
+  * deliberately small: one ACT is the single-maintainer cadence, two
+  * lets a second tree's maintenance overlap the first's long rebuild
+  * (the `q_hybrid_lifecycle` lexical + semantic pair) without unbounded
+  * fan-out. */
+final class DetachedMaintainer(namePrefix: String = "graft-maint",
+    maxConcurrentActs: Int = 2)
     extends AutoCloseable {
 
+  require(maxConcurrentActs >= 1,
+    s"maxConcurrentActs must be >= 1, got $maxConcurrentActs")
+
   private val seq = new AtomicLong(0)
-  private val pool = Executors.newCachedThreadPool(new ThreadFactory {
+  // fixed pool = the concurrency cap; its unbounded FIFO work queue is
+  // bounded in practice by at-most-one-in-flight-per-tree (≤ one queued
+  // task per tree this maintainer touches, never a runaway backlog)
+  private val pool = Executors.newFixedThreadPool(maxConcurrentActs,
+    new ThreadFactory {
     def newThread(r: Runnable): Thread = {
       val t = new Thread(r, s"$namePrefix-${seq.incrementAndGet()}")
       t.setDaemon(true)

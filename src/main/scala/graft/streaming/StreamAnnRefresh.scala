@@ -103,15 +103,17 @@ object StreamAnnRefresh {
     * [[DeltaCompact.compact]] single-maintainer discipline). */
   def refresh(s: SparkSession, corpusDir: String, idxDir: String,
       sampleSize: Int = DefaultSampleSize,
-      tombstoneKey: Option[String] = None): DeltaCompact.Manifest = {
+      tombstoneKey: Option[String] = None,
+      retainSnapshots: Int = 0): DeltaCompact.Manifest = {
     GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
     val (corpus, watermark) = corpusAndWatermark(s, corpusDir, tombstoneKey)
     val cents = StreamAnn.labelCentroids(reservoir(corpus, sampleSize))
       .localCheckpoint()
     val prev = DeltaCompact.rollForward(idxDir, conf)
-    val nextGen = prev.map(_.gen + 1).getOrElse(0L)
-    val man = DeltaCompact.Manifest(nextGen, watermark)
+    // detached callers pass retainSnapshots >= 1 (nextManifest doc): the
+    // commit races live serves, which must survive on the old generation
+    val man = DeltaCompact.nextManifest(prev, watermark, retainSnapshots)
     // stage the generation COMPLETELY (codebook first, then postings),
     // then claim-by-rename + pointer swap + GC — the shared
     // concurrent-maintainer-guarded commit (DeltaCompact scaladoc)
@@ -166,7 +168,8 @@ object StreamAnnRefresh {
     * `base_gen=<g>/pq_codebook` + `base_gen=<g>/codes`. */
   def refreshPq(s: SparkSession, corpusDir: String, idxDir: String,
       sampleSize: Int = DefaultSampleSize,
-      tombstoneKey: Option[String] = None): DeltaCompact.Manifest = {
+      tombstoneKey: Option[String] = None,
+      retainSnapshots: Int = 0): DeltaCompact.Manifest = {
     GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
     val (corpus, watermark) = corpusAndWatermark(s, corpusDir, tombstoneKey)
@@ -183,8 +186,7 @@ object StreamAnnRefresh {
         transform(col("embedding"), _.cast("double")).as("c"))
       .localCheckpoint()
     val prev = DeltaCompact.rollForward(idxDir, conf)
-    val nextGen = prev.map(_.gen + 1).getOrElse(0L)
-    val man = DeltaCompact.Manifest(nextGen, watermark)
+    val man = DeltaCompact.nextManifest(prev, watermark, retainSnapshots)
     // stage codebook + codes COMPLETELY, then the shared guarded commit
     DeltaCompact.commitStagedGeneration(idxDir, man, conf) { staging =>
       pcents.write.mode("overwrite").parquet(s"$staging/pq_codebook")

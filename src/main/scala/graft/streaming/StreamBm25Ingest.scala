@@ -214,16 +214,16 @@ object StreamBm25Ingest {
     * [[mergeIndexes]] and future batch folds read it like any other
     * partial. Bounded idx growth: between compactions readers pay
     * base + unfolded deltas; after, one vocab-sized generation. */
-  def compactIndex(s: SparkSession, outDir: String): DeltaCompact.Manifest = {
+  def compactIndex(s: SparkSession, outDir: String,
+      retainSnapshots: Int = 0): DeltaCompact.Manifest = {
     graft.functions.GraftFunctions.register(s)
     val idxDir = s"$outDir/idx"
     val conf = s.sparkContext.hadoopConfiguration
     val prev = DeltaCompact.rollForward(idxDir, conf)
     val deltas = DeltaCompact.unfoldedDeltas(idxDir, prev, conf)
     val folded = recapMergePartial(indexPartials(s, outDir))
-    val nextGen = prev.map(_.gen + 1).getOrElse(0L)
     val watermark = (deltas ++ prev.map(_.maxFoldedBatch)).max
-    val man = DeltaCompact.Manifest(nextGen, watermark)
+    val man = DeltaCompact.nextManifest(prev, watermark, retainSnapshots)
     // stage → claim-by-rename → pointer swap → GC: the shared
     // concurrent-maintainer-guarded commit, so the protocol can't
     // diverge between the three fold flavors
@@ -268,6 +268,7 @@ object StreamBm25Ingest {
   def maintainIndexDetached(s: SparkSession, outDir: String,
       maintainer: DetachedMaintainer,
       gcGraceMs: Long = DeltaCompact.StagingTtlMs,
+      retainSnapshots: Int = 1,
       beforeAct: () => Unit = () => ()): Boolean = {
     if (maintainer.isBusy(outDir)) return false
     val pending = DeltaCompact.listPendingTombstoneBatches(
@@ -275,7 +276,10 @@ object StreamBm25Ingest {
     if (pending.isEmpty) false
     else maintainer.submit(outDir) { () =>
       beforeAct()
-      rebuildIndex(s, outDir, gcGraceMs)
+      // retainSnapshots >= 1: the detached commit races live serve plans,
+      // so the superseded generation must outlive the swap (gcGraceMs
+      // only protects delta/tombstone dirs, not the old base)
+      rebuildIndex(s, outDir, gcGraceMs, retainSnapshots)
       ()
     }
   }
@@ -297,13 +301,17 @@ object StreamBm25Ingest {
     * Cost class: the fold cadence's own — a rebuild rides the compaction
     * tick, never a per-delete rewrite. */
   def rebuildIndex(s: SparkSession, outDir: String,
-      gcGraceMs: Long = 0L): DeltaCompact.Manifest = {
+      gcGraceMs: Long = 0L,
+      retainSnapshots: Int = 0): DeltaCompact.Manifest = {
     graft.functions.GraftFunctions.register(s)
     val docsDir = s"$outDir/docs"
     val idxDir = s"$outDir/idx"
     val conf = s.sparkContext.hadoopConfiguration
+    // retention covers BOTH trees: a detached rebuild's docs fold races
+    // concurrent serve plans over the docs corpus exactly as its idx
+    // commit races index serves
     val docMan = DeltaCompact.compact(s, docsDir, tombstoneKey = Some("doc_id"),
-      gcGraceMs = gcGraceMs)
+      retainSnapshots = retainSnapshots, gcGraceMs = gcGraceMs)
     // exactly the folded snapshot — NOT readCorpus: a batch landing
     // between the fold and this read would sit above the committed
     // watermark, so baking it into the rebuilt base AND leaving it a
@@ -311,8 +319,8 @@ object StreamBm25Ingest {
     val live = DeltaCompact.readCorpusAsOf(s, docsDir, docMan.gen)
       .select(col("doc_id"), col("text"))
     val prev = DeltaCompact.rollForward(idxDir, conf, gcGraceMs)
-    val man = DeltaCompact.Manifest(
-      prev.map(_.gen + 1).getOrElse(0L), docMan.maxFoldedBatch)
+    val man = DeltaCompact.nextManifest(prev, docMan.maxFoldedBatch,
+      retainSnapshots)
     DeltaCompact.commitStagedGeneration(idxDir, man, conf, gcGraceMs) { staging =>
       TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(live))
         .repartitionByRange(col("tok"))

@@ -184,7 +184,8 @@ object StreamLshIngest {
   def refreshGeometry(s: SparkSession, corpusDir: String, idxDir: String,
       cap: Int = graft.operators.Similarity.LshCap,
       bitsOverride: Option[Int] = None,
-      gcGraceMs: Long = 0L): LshGeometry = {
+      gcGraceMs: Long = 0L,
+      retainSnapshots: Int = 0): LshGeometry = {
     graft.functions.GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
     val corpusMan = DeltaCompact.readManifest(corpusDir, conf)
@@ -207,7 +208,10 @@ object StreamLshIngest {
     val tsBatches = DeltaCompact.listTombstoneBatches(idxDir, conf)
     val watermark = (corpusDeltas ++ corpusMan.map(_.maxFoldedBatch)).max
     val prev = DeltaCompact.rollForward(idxDir, conf, gcGraceMs)
-    val man = DeltaCompact.Manifest(prev.map(_.gen + 1).getOrElse(0L), watermark)
+    // retainSnapshots >= 1 for DETACHED callers: the commit races live
+    // serve plans, and a history-less manifest would GC the superseded
+    // base at the swap instant under a reader mid-plan (nextManifest doc)
+    val man = DeltaCompact.nextManifest(prev, watermark, retainSnapshots)
     DeltaCompact.commitStagedGeneration(idxDir, man, conf, gcGraceMs) { staging =>
       graft.operators.Similarity.lshPostings(live, geom.tables, geom.bits)
         .withColumn("shard_id", graft.operators.Similarity.lshDirKey(col("tb")))

@@ -66,11 +66,17 @@ object StreamShardRouter {
       if (retainSnapshots != PreserveRetention) retainSnapshots
       else DeltaCompact
         .readManifest(outDir, spark.sparkContext.hadoopConfiguration)
-        // history.size + 1: every retained snapshot survives AND the
-        // pre-reshard generation joins the history (it was a retaining
-        // tree — the snapshot being folded away is exactly the kind it
-        // retains); empty history ⇒ 0, the non-retaining tree's default
-        .map(m => if (m.history.isEmpty) 0 else m.history.size + 1)
+        // the persisted retention POLICY (`m.retain`) is authoritative: a
+        // retaining tree folded only once has an EMPTY history (prev was
+        // None on its first fold) but a non-zero policy, and must not be
+        // mistaken for a non-retaining tree — the exact silent
+        // time-travel loss preserve-retention exists to prevent. The
+        // depth rule (history.size + 1: every retained snapshot survives
+        // AND the pre-reshard generation joins the history) stays as the
+        // fallback floor for pre-policy manifests, and as the max so a
+        // tree whose history outgrew its recorded policy never truncates.
+        .map(m => math.max(m.retain,
+          if (m.history.isEmpty) 0 else m.history.size + 1))
         .getOrElse(0)
     DeltaCompact.compact(spark, outDir, numShards = newShards,
       sortCols = sortCols,

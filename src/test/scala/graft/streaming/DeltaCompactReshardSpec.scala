@@ -122,6 +122,34 @@ class DeltaCompactReshardSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("reshard preserves retention on a tree folded only ONCE: the persisted " +
+    "policy, not the (still empty) history depth, is what preserve reads") {
+    val out = Files.createTempDirectory("graft_reshard6").toFile.getAbsolutePath
+    try {
+      // ONE fold with retainSnapshots = 2: history is still empty (there
+      // was no previous generation to retain) but the POLICY is persisted
+      // in the manifest — the case depth-inference gets wrong (the
+      // round-14 ADVICE finding: a retaining tree folded once looked
+      // identical to a non-retaining tree, so the default reshard GC'd
+      // the pre-reshard generation, silently losing its time travel)
+      land(out, 0, 0, 40, numShards = 4)
+      DeltaCompact.compact(spark, out, numShards = 4, retainSnapshots = 2)
+      val before = DeltaCompact.readManifest(out,
+        spark.sparkContext.hadoopConfiguration).get
+      assert(before.history.isEmpty && before.retain === 2)
+
+      land(out, 1, 40, 60, numShards = 4)
+      StreamShardRouter.reshardOnFold(spark, out, newShards = 8)
+      val after = DeltaCompact.readManifest(out,
+        spark.sparkContext.hadoopConfiguration).get
+      // the pre-reshard generation survives as retained history, and the
+      // policy rides along for the NEXT maintenance verb
+      assert(after.history.map(_._1) === Seq(0L))
+      assert(after.retain === 2)
+      assert(DeltaCompact.readCorpusAsOf(spark, out, 0L).count() === 40L)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("reshard on a NON-retaining tree keeps the GC-everything default: no history appears") {
     val out = Files.createTempDirectory("graft_reshard5").toFile.getAbsolutePath
     try {

@@ -68,6 +68,49 @@ class DeltaCompactSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("graced tombstone GC ages from the _applied marker: a tombstone " +
+    "landed long before its application still gets a FULL grace window") {
+    val out = Files.createTempDirectory("graft_tsgrace").toFile.getAbsolutePath
+    try {
+      import spark.implicits._
+      land(out, 0, 0, 40)
+      DeltaCompact.landTombstones((0L until 5L).toDF("doc_id"), out, 0L)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val tsDir = new java.io.File(s"$out/_tombstones/batch=0")
+      // age the LANDING well past the grace — the hazard case: the dir's
+      // own mtime says "old", but the application (and any reader plan
+      // racing it) is NOW, so deleting on the first sweep would yank the
+      // directory from under a concurrent reader that just listed it
+      assert(tsDir.setLastModified(System.currentTimeMillis() - 60000))
+
+      // first graced sweep: MARK, never delete — the age clock starts at
+      // application time (the marker's mtime), not landing time
+      DeltaCompact.gcTombstoneBatches(out, Seq(0L), conf, graceMs = 5000L)
+      assert(tsDir.exists(), "first graced sweep must mark, not delete")
+      val marker = new java.io.File(tsDir, "_applied")
+      assert(marker.exists())
+      // marked ⇒ zero maintenance pressure, but still applied by readers
+      assert(DeltaCompact.listPendingTombstoneBatches(out, conf).isEmpty)
+      assert(DeltaCompact.listTombstoneBatches(out, conf) === Seq(0L))
+
+      // second sweep inside the grace: still retained (the old dir-mtime
+      // clock would have deleted here — and the marker creation itself
+      // must not have reset anything, since the marker IS the clock)
+      DeltaCompact.gcTombstoneBatches(out, Seq(0L), conf, graceMs = 5000L)
+      assert(tsDir.exists())
+
+      // once the MARKER ages past the grace, the sweep deletes
+      assert(marker.setLastModified(System.currentTimeMillis() - 10000))
+      DeltaCompact.gcTombstoneBatches(out, Seq(0L), conf, graceMs = 5000L)
+      assert(!tsDir.exists())
+
+      // and sweeping an already-swept id is a clean no-op (the concurrent
+      // -maintainer FileNotFound race reads as already-done, not a crash)
+      DeltaCompact.gcTombstoneBatches(out, Seq(0L), conf, graceMs = 5000L)
+      DeltaCompact.gcTombstoneBatches(out, Seq(0L), conf)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("crash safety: an uncommitted base generation is invisible to readers") {
     val out = Files.createTempDirectory("graft_compact3").toFile.getAbsolutePath
     try {

@@ -270,6 +270,107 @@ class DetachedMaintainerSpec extends SparkSpec {
     }
   }
 
+  test("detached commit retains the superseded generation: a serve plan " +
+    "pinned on the old base survives the swap (retainSnapshots >= 1)") {
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    val corpusDir = tmp("graft_dm_ret_corpus")
+    val idxDir = tmp("graft_dm_ret_idx")
+    val m = new DetachedMaintainer("dm-spec-retain")
+    try {
+      (0 until 2).foreach { i =>
+        val b = emb.filter(col("vec_id") % 3 === i)
+        val p = StreamLshIngest.ingestStep(b, corpusDir, i.toLong)
+        StreamLshIngest.landPostingsDelta(p, idxDir, i.toLong)
+      }
+      // generation 0 commits SYNCHRONOUSLY (pre-maintenance baseline)
+      StreamLshIngest.refreshGeometry(s, corpusDir, idxDir,
+        bitsOverride = Some(StreamLshIngest.DefaultGeometry.bits))
+      val gen0 = DeltaCompact.readManifest(idxDir,
+        s.sparkContext.hadoopConfiguration).get
+      assert(gen0.gen === 0L)
+
+      // a serve whose plan resolved its file paths against generation 0 —
+      // the reader the detached commit races. Its manifest read happened
+      // at CONSTRUCTION; execution comes after the swap below.
+      val pinned = StreamLshIngest.readPostings(s, idxDir)
+
+      // takedown pressure → the DETACHED reclaim (default retention)
+      val doomed = DeltaCompact.readCorpus(s, corpusDir)
+        .filter(col("vec_id") % 7 === 3).select(col("vec_id")).localCheckpoint()
+      DeltaCompact.landTombstones(doomed, corpusDir, 0L, watermark = Some(1L))
+      StreamLshIngest.landTombstones(
+        doomed.select(col("vec_id").as("neighbor_id")), idxDir, 0L,
+        watermark = Some(1L))
+      assert(AnnMaintenance.lshStepDetached(s, corpusDir, idxDir, m,
+        autoSize = false))
+      m.await(idxDir)
+
+      val man = DeltaCompact.readManifest(idxDir,
+        s.sparkContext.hadoopConfiguration).get
+      assert(man.gen === 1L)
+      // the superseded generation is RETAINED: in the history, on disk
+      assert(man.history === Seq((0L, 1L)))
+      assert(man.retain === 1)
+      assert(new java.io.File(s"$idxDir/base_gen=0").exists(),
+        "the detached commit must not GC the base a reader may be mid-plan on")
+      // the pinned pre-swap plan still executes, and serves EXACTLY the
+      // old generation's content (all postings — the takedown postdates
+      // gen 0's build)
+      assert(postingSet(pinned) ===
+        postingSet(Similarity.lshPostings(emb.filter(col("vec_id") % 3 < 2))),
+        "a serve pinned on the superseded generation must survive the swap")
+      // the NEW generation reclaimed the takedown
+      assert(postingSet(StreamLshIngest.readPostings(s, idxDir)) ===
+        postingSet(Similarity.lshPostings(
+          emb.filter(col("vec_id") % 3 < 2 && col("vec_id") % 7 =!= 3))))
+    } finally {
+      m.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(corpusDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
+    }
+  }
+
+  test("concurrency cap: with maxConcurrentActs = 1, ACTs submitted to " +
+    "three trees run strictly serialized, all complete, failures propagate") {
+    val m = new DetachedMaintainer("dm-spec-cap", maxConcurrentActs = 1)
+    try {
+      val running = new java.util.concurrent.atomic.AtomicInteger(0)
+      val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+      val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val gate = new CountDownLatch(1)
+      def act(tree: String): () => Unit = () => {
+        assert(gate.await(300, TimeUnit.SECONDS))
+        val n = running.incrementAndGet()
+        peak.getAndUpdate(p => math.max(p, n))
+        order.add(tree)
+        Thread.sleep(30)
+        running.decrementAndGet()
+        if (tree == "t3") throw new IllegalStateException("t3 act broke")
+      }
+      // all three accepted immediately — queuing is invisible to the
+      // DECIDE ("fired" = the pressure is being handled), and each tree
+      // reads busy while its ACT waits for a slot
+      assert(m.submit("t1")(act("t1")))
+      assert(m.submit("t2")(act("t2")))
+      assert(m.submit("t3")(act("t3")))
+      assert(m.isBusy("t1") && m.isBusy("t2") && m.isBusy("t3"))
+      // at-most-one-per-tree holds for QUEUED acts too
+      assert(!m.submit("t2")(() => fail("must not run")))
+      gate.countDown()
+      m.await("t1"); m.await("t2")
+      // cap 1 ⇒ never two ACTs running at once, FIFO submission order
+      assert(peak.get() === 1, s"cap 1 must serialize, saw peak ${peak.get()}")
+      assert(order.toArray(Array.empty[String]).toSeq === Seq("t1", "t2", "t3"))
+      // a queued-then-run ACT's failure propagates exactly like a
+      // running one's
+      val e = intercept[IllegalStateException](m.await("t3"))
+      assert(e.getMessage === "t3 act broke")
+      assert(m.submit("t3")(() => ())) // tree usable again after surfacing
+      m.awaitAll()
+    } finally m.close()
+  }
+
   test("maintainer contract: one in-flight ACT per tree, lost claims abort " +
     "cleanly, real failures resurface at the next submit") {
     val m = new DetachedMaintainer("dm-spec-contract")
