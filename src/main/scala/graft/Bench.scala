@@ -461,10 +461,21 @@ object Bench {
     // their full per-batch ms vectors, so a climb that reproduces in
     // both same-session runs is a finding, one that doesn't is noise —
     // adjudicable from the artifact alone.
+    // gcMs: JVM-wide GC time during the run — the attribution column for
+    // a tail climb (per-batch ms rising WITH gc_ms ⇒ bench-JVM heap debt
+    // / host window; rising WITHOUT ⇒ a real stateful-path cost creep,
+    // diagnosable from the same artifact)
     case class SoakRun(sec: Double, batches: Int, ratio: Double,
-        tailMs: Double, durs: Seq[Double], stateMax: Long, stateLast: Long)
+        tailMs: Double, durs: Seq[Double], stateMax: Long, stateLast: Long,
+        gcMs: Long)
+    def totalGcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     def soakRun(): SoakRun = {
       System.gc()
+      val gc0 = totalGcMs()
       val src = spark.readStream.format("plan-gen")
         .option("plan",
           "sequence = [ { type = fixed, value = 7, rate = 50000, duration = 120 } ]")
@@ -495,14 +506,15 @@ object Bench {
         BenchMetrics.tailMeanMs(warm),
         durs.toSeq,
         if (stateRows.isEmpty) -1L else stateRows.max,
-        if (stateRows.isEmpty) -1L else stateRows.last)
+        if (stateRows.isEmpty) -1L else stateRows.last,
+        totalGcMs() - gc0)
     }
     val soakRuns = (1 to 2).map { i =>
       val r = soakRun()
       progress(f"soak run $i: ${r.sec}%.2fs for 120 s of data, " +
         f"${r.batches} batches, tail/head median ratio ${r.ratio}%.2f, " +
         f"tail mean ${r.tailMs}%.0f ms, state rows max=${r.stateMax} " +
-        f"last=${r.stateLast}")
+        f"last=${r.stateLast}, gc ${r.gcMs} ms")
       r
     }
     // per-metric min (the plan's actual cost shape); state maxima are
@@ -709,7 +721,7 @@ object Bench {
     val soakJson =
       f""""stream_soak_context":"in-bench","stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_tail_mean_ms":$soakTailMs%.1f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
     val soakRunsJson = soakRuns.map { r =>
-      f"""{"sec":${r.sec}%.3f,"batches":${r.batches},"tail_head_ratio":${r.ratio}%.3f,"tail_mean_ms":${r.tailMs}%.1f,"state_rows_max":${r.stateMax},"state_rows_last":${r.stateLast},"batch_ms":${r.durs.map(d => f"$d%.0f").mkString("[", ",", "]")}}"""
+      f"""{"sec":${r.sec}%.3f,"batches":${r.batches},"tail_head_ratio":${r.ratio}%.3f,"tail_mean_ms":${r.tailMs}%.1f,"state_rows_max":${r.stateMax},"state_rows_last":${r.stateLast},"gc_ms":${r.gcMs},"batch_ms":${r.durs.map(d => f"$d%.0f").mkString("[", ",", "]")}}"""
     }.mkString("[", ",", "]")
     // stdout variant omits the unsteered control point (detail-only) to
     // keep the line inside the driver's 2000-char stdout tail
@@ -737,29 +749,39 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
 
-    // The stdout line carries the headline families (dedup/LSH, embeddings,
-    // heavy relational, streaming) plus ANY failed query — failures must
-    // never be hidden by the compaction.
+    // The stdout line carries one representative per headline family
+    // (dedup/LSH, embeddings, heavy relational, streaming) plus ANY
+    // failed query — failures must never be hidden by the compaction.
+    // HARD BUDGET: the driver keeps only the LAST 2000 chars of stdout,
+    // and a line past that is cut MID-JSON from the front —
+    // BENCH_r14.json came back `"parsed": null` exactly this way (its
+    // line had crept to ~2210 chars; only the tail fragment survived as
+    // evidence). So the persisted build/serve split and index-bytes keys
+    // now live in BENCH_DETAIL.json ONLY, the headline set is one-per-
+    // family, and a length guard drops the query map to failures-only
+    // rather than ever emitting an unparseable line.
     val headline = Set(
-      "q1_agg", "q_join_fact", "q_bloom_join", "q_sessionize", "q_rolling_window",
-      "q_percentiles", "q_tfidf_top", "q_repetition",
-      "q_minhash_bands", "q_minhash_pairs", "q_ngram_jaccard",
-      "q_simhash_pairs", "q_simhash_pairs_32", "q_dedup_near", "q_dedup_clusters",
-      "q_contamination", "q_corpus_pipeline", "q_dedup_keep_best",
-      "q_lm_score", "q_bigram_lm",
-      "q_knn_brute", "q_knn_ivf", "q_embed_neardup", "q_embed_pq",
-      "q_knn_pq_adc", "q_knn_ivf_pq", "q_embed_clusters", "q_semdedup",
-      "q_dup_span_coverage", "q_dup_span_removal", "q_incr_dedup", "q_knn_rerank",
-      "q_merge_upsert", "q_char_entropy",
-      "q_approx_percentiles", "probe_approx_percentiles_sketch", "q_knn_ivf_persist",
-      "q_knn_ivf2", "q_knn_ivf2_persist",
+      "q1_agg", "q_join_fact", "q_bloom_join", "q_sessionize",
+      "q_rolling_window", "q_percentiles", "q_tfidf_top",
+      "q_minhash_pairs", "q_ngram_jaccard", "q_simhash_pairs",
+      "q_dedup_near", "q_dedup_clusters", "q_corpus_pipeline",
+      "q_lm_score", "q_knn_brute", "q_knn_ivf", "q_knn_pq_adc",
+      "q_embed_neardup", "q_embed_clusters", "q_semdedup",
+      "q_incr_dedup", "q_knn_rerank", "q_merge_upsert",
+      "q_approx_percentiles", "probe_approx_percentiles_sketch",
+      "q_knn_ivf_persist", "q_knn_ivf2_persist",
       "q_stream_batch_stats", "stream_ingest_50k")
-    val qsLine = results
-      .filter { case (k, v) => headline.contains(k) || v < 0 }
+    val failed = results.valuesIterator.count(_ < 0)
+    def stdoutLine(qs: String): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"queries":$qs,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJsonLine,$rateJsonLine,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    def qsJson(p: ((String, Double)) => Boolean): String = results
+      .filter(p)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.valuesIterator.count(_ < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib_s":$calibSec%.3f,"queries":$qsLine,"n_queries":${results.size},"failed":$failed,"stream_runs":$runsJson,"stream_ramp_50k_s":$rampSec%.3f,$spikeJsonLine,$rateJsonLine,"knn_ivf_persist_build_s":$ivfBuildSec%.3f,"knn_ivf_persist_serve_s":$ivfServeSec%.3f,"knn_ivf2_persist_build_s":$ivf2BuildSec%.3f,"knn_ivf2_persist_serve_s":$ivf2ServeSec%.3f,"knn_lsh_persist_build_s":$lshBuildSec%.3f,"knn_lsh_persist_serve_s":$lshServeSec%.3f,"knn_ivf_pq_persist_build_s":$ivfPqBuildSec%.3f,"knn_ivf_pq_persist_serve_s":$ivfPqServeSec%.3f,"ivf_postings_bytes":$ivfPostingsBytes,"ivf_pq_postings_bytes":$ivfPqPostingsBytes,"hybrid_bm25_persist_build_s":$bm25BuildSec%.3f,"hybrid_persist_serve_s":$hybridServeSec%.3f,$soakJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val line = stdoutLine(qsJson { case (k, v) => headline.contains(k) || v < 0 })
+    println(
+      if (line.length <= 1950) line
+      else stdoutLine(qsJson { case (_, v) => v < 0 })) // failures always survive
     spark.stop()
   }
 }
