@@ -467,14 +467,29 @@ object Bench {
     // diagnosable from the same artifact)
     case class SoakRun(sec: Double, batches: Int, ratio: Double,
         tailMs: Double, durs: Seq[Double], stateMax: Long, stateLast: Long,
-        gcMs: Long)
+        gcMs: Long, memStartMb: Long, memEndMb: Long)
     def totalGcMs(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // host MemAvailable (MB) — the external-pressure attribution column:
+    // the r14/r15 soak-tail swings reproduced exactly when a co-resident
+    // process ate the host's memory during the soak window (SCALE.md
+    // §Round 15); recording start/end per run makes a degraded window
+    // detectable from BENCH_rN.json alone, no session prose needed
+    def memAvailMb(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("MemAvailable:") =>
+            l.trim.split("\\s+")(1).toLong / 1024
+        }.getOrElse(-1L)
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     def soakRun(): SoakRun = {
       System.gc()
+      val memStart = memAvailMb()
       val gc0 = totalGcMs()
       val src = spark.readStream.format("plan-gen")
         .option("plan",
@@ -507,7 +522,7 @@ object Bench {
         durs.toSeq,
         if (stateRows.isEmpty) -1L else stateRows.max,
         if (stateRows.isEmpty) -1L else stateRows.last,
-        totalGcMs() - gc0)
+        totalGcMs() - gc0, memStart, memAvailMb())
     }
     val soakRuns = (1 to 2).map { i =>
       val r = soakRun()
@@ -522,6 +537,10 @@ object Bench {
     val soakSec = soakRuns.map(_.sec).min
     val soakBatches = soakRuns.map(_.batches).max
     val soakFlat = soakRuns.map(_.ratio).min
+    // companion WORST-run ratio: a creep that reproduces in only one of
+    // the two same-session runs must be visible in the headline artifact
+    // (the min alone hides it until someone opens BENCH_DETAIL's runs)
+    val soakFlatMax = soakRuns.map(_.ratio).max
     val soakTailMs = soakRuns.map(_.tailMs).min
     val soakStateRowsMax = soakRuns.map(_.stateMax).max
     val soakStateRowsLast = soakRuns.map(_.stateLast).max
@@ -719,9 +738,9 @@ object Bench {
     // against a fresh-JVM probe (SCALE.md measured that context gap at
     // ~2× on the spike peak; the r14 judge asked for the field)
     val soakJson =
-      f""""stream_soak_context":"in-bench","stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_tail_mean_ms":$soakTailMs%.1f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
+      f""""stream_soak_context":"in-bench","stream_soak_s":$soakSec%.3f,"stream_soak_batches":$soakBatches,"stream_soak_tail_head_ratio":$soakFlat%.3f,"stream_soak_tail_head_ratio_max":$soakFlatMax%.3f,"stream_soak_tail_mean_ms":$soakTailMs%.1f,"stream_soak_state_rows_max":$soakStateRowsMax,"stream_soak_state_rows_last":$soakStateRowsLast,"dedup_soak_s":$dsoakSec%.3f,"dedup_soak_rows_in":$dsoakRows,"dedup_soak_state_rows_max":$dsoakStateMax,"dedup_soak_state_rows_last":$dsoakStateLast"""
     val soakRunsJson = soakRuns.map { r =>
-      f"""{"sec":${r.sec}%.3f,"batches":${r.batches},"tail_head_ratio":${r.ratio}%.3f,"tail_mean_ms":${r.tailMs}%.1f,"state_rows_max":${r.stateMax},"state_rows_last":${r.stateLast},"gc_ms":${r.gcMs},"batch_ms":${r.durs.map(d => f"$d%.0f").mkString("[", ",", "]")}}"""
+      f"""{"sec":${r.sec}%.3f,"batches":${r.batches},"tail_head_ratio":${r.ratio}%.3f,"tail_mean_ms":${r.tailMs}%.1f,"state_rows_max":${r.stateMax},"state_rows_last":${r.stateLast},"gc_ms":${r.gcMs},"mem_avail_start_mb":${r.memStartMb},"mem_avail_end_mb":${r.memEndMb},"batch_ms":${r.durs.map(d => f"$d%.0f").mkString("[", ",", "]")}}"""
     }.mkString("[", ",", "]")
     // stdout variant omits the unsteered control point (detail-only) to
     // keep the line inside the driver's 2000-char stdout tail
@@ -779,9 +798,17 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val line = stdoutLine(qsJson { case (k, v) => headline.contains(k) || v < 0 })
+    // three tiers, each still a complete JSON object: headline map →
+    // failures-only map → EMPTY map. The failures-only fallback is
+    // itself unguarded against ~80 failed queries (~25 chars each), and
+    // a cut-mid-JSON line is strictly worse than a query-less one —
+    // n_queries/failed counts and the BENCH_DETAIL pointer survive every
+    // tier, so the round's evidence is always parseable.
+    val failLine = stdoutLine(qsJson { case (_, v) => v < 0 })
     println(
       if (line.length <= 1950) line
-      else stdoutLine(qsJson { case (_, v) => v < 0 })) // failures always survive
+      else if (failLine.length <= 1950) failLine
+      else stdoutLine("{}"))
     spark.stop()
   }
 }

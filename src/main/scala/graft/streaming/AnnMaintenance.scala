@@ -70,7 +70,7 @@ object AnnMaintenance {
       batchId: Long, maintainer: DetachedMaintainer,
       minAgreement: Double = 0.5,
       sampleSize: Int = StreamAnnRefresh.DefaultSampleSize,
-      retainSnapshots: Int = 1,
+      retainSnapshots: Int = DeltaCompact.PreserveRetentionDetached,
       beforeAct: () => Unit = () => ()): (DataFrame, Boolean) = {
     val s = batch.sparkSession
     StreamShardRouter.landBatch(batch, corpusDir, batchId)
@@ -180,7 +180,7 @@ object AnnMaintenance {
       maxTombstoneFrac: Double = 0.05,
       autoSize: Boolean = true,
       gcGraceMs: Long = DeltaCompact.StagingTtlMs,
-      retainSnapshots: Int = 1,
+      retainSnapshots: Int = DeltaCompact.PreserveRetentionDetached,
       beforeAct: () => Unit = () => ()): Boolean = {
     if (maintainer.isBusy(idxDir)) return false
     lshDecide(s, corpusDir, idxDir, cap, maxTombstoneFrac, autoSize) match {

@@ -95,6 +95,30 @@ object DeltaCompact {
   final case class Manifest(gen: Long, maxFoldedBatch: Long,
       history: Seq[(Long, Long)] = Nil, retain: Int = 0)
 
+  /** `retainSnapshots` sentinel: "this fold does not intend to change the
+    * tree's retention policy" — resolves to the persisted `prev.retain`
+    * (0 on a fresh tree). This is the default for every maintenance verb
+    * (compact, geometry refresh, codebook retrain, BM25 rebuild): a fold
+    * that merely heals the tree must never silently truncate a deeper
+    * persisted policy and lose time-travel history. Resolution happens
+    * inside [[nextManifest]], at commit time against the freshest
+    * manifest, so a policy committed between a detached DECIDE and its
+    * ACT is still honored. Pass an explicit `n >= 0` to SET the policy. */
+  val PreserveRetention: Int = -1
+
+  /** [[PreserveRetention]], floored at 1 — the detached-maintainer
+    * variant: a detached commit races live serve plans, so the
+    * superseded generation must outlive the swap even on a
+    * non-retaining tree (the round-15 `retainSnapshots >= 1` contract). */
+  val PreserveRetentionDetached: Int = -2
+
+  private[streaming] def resolveRetain(asked: Int,
+      prev: Option[Manifest]): Int = asked match {
+    case PreserveRetention => prev.map(_.retain).getOrElse(0)
+    case PreserveRetentionDetached => math.max(1, prev.map(_.retain).getOrElse(0))
+    case n => math.max(0, n)
+  }
+
   private def manifestPath(outDir: String) = new Path(outDir, "_compaction.json")
 
   private[streaming] def fs(dir: String, conf: Configuration): FileSystem =
@@ -163,13 +187,16 @@ object DeltaCompact {
     * LSH geometry refresh, the BM25 rebuild, the codebook retrain):
     * gen = prev + 1, the superseded generation joins the retained
     * history (truncated to the policy depth), and the policy itself is
-    * persisted. Detached maintainers MUST pass `retainSnapshots >= 1` —
-    * their commit races live serve plans, and a history-less manifest
-    * would let [[gcFolded]] delete the superseded base at the swap
-    * instant, failing a reader mid-plan on the old generation. */
+    * persisted. Detached maintainers MUST pass `retainSnapshots >= 1`
+    * (or [[PreserveRetentionDetached]]) — their commit races live serve
+    * plans, and a history-less manifest would let [[gcFolded]] delete
+    * the superseded base at the swap instant, failing a reader mid-plan
+    * on the old generation. [[PreserveRetention]] (the maintenance-verb
+    * default) resolves to the persisted policy here, against the
+    * freshest manifest. */
   private[streaming] def nextManifest(prev: Option[Manifest], watermark: Long,
-      retainSnapshots: Int = 0): Manifest = {
-    val keep = math.max(0, retainSnapshots)
+      retainSnapshots: Int = PreserveRetention): Manifest = {
+    val keep = resolveRetain(retainSnapshots, prev)
     val history = prev
       .map(p => (p.history :+ (p.gen, p.maxFoldedBatch)).takeRight(keep))
       .getOrElse(Nil)
@@ -676,7 +703,7 @@ object DeltaCompact {
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
       sortCols: Seq[String] = Nil,
       tombstoneKey: Option[String] = None,
-      retainSnapshots: Int = 0,
+      retainSnapshots: Int = PreserveRetention,
       maxRecordsPerFile: Long = 0L,
       allowEvolution: Boolean = false,
       extraStage: String => Unit = _ => (),

@@ -79,6 +79,12 @@ final class DetachedMaintainer(namePrefix: String = "graft-maint",
     }
   })
   private val inFlight = new ConcurrentHashMap[String, FutureTask[Unit]]()
+  // submission epoch-ms while the tree's ACT is still WAITING for a pool
+  // slot — cleared by the ACT the instant it starts running. Operators
+  // distinguishing "slow ACT" from "ACT starved behind the cap" (the
+  // fixed-pool behavior change's observability cost) read [[queuedSinceMs]]
+  // or the one-line start log below.
+  private val queuedAt = new ConcurrentHashMap[String, java.lang.Long]()
 
   /** Submit `act` for `tree` unless one is already in flight there.
     * Returns true iff the ACT was accepted (the DECIDE's "fired"
@@ -86,13 +92,31 @@ final class DetachedMaintainer(namePrefix: String = "graft-maint",
     * generation claim), rethrows that failure here instead of silently
     * retrying over a tree in an unknown state. */
   def submit(tree: String)(act: () => Unit): Boolean = {
-    val task = new FutureTask[Unit](() => act(), ())
+    val submitMs = System.currentTimeMillis()
+    val boxed = java.lang.Long.valueOf(submitMs)
+    val task = new FutureTask[Unit](() => {
+      queuedAt.remove(tree, boxed)
+      val waitedMs = System.currentTimeMillis() - submitMs
+      // surface a starved start: a queue wait of the ACT's own cost class
+      // means another tree's rebuild held the slot — without this line a
+      // delayed reclaim is indistinguishable from a slow rebuild
+      if (waitedMs >= 1000L)
+        System.err.println(
+          s"[graft-maint] act for $tree waited ${waitedMs} ms for a pool " +
+            s"slot (cap $maxConcurrentActs) before starting")
+      act()
+    }, ())
+    def accept(): Boolean = {
+      queuedAt.put(tree, boxed)
+      pool.execute(task)
+      true
+    }
     val prev = inFlight.putIfAbsent(tree, task)
-    if (prev == null) { pool.execute(task); true }
+    if (prev == null) accept()
     else if (!prev.isDone) false
     else {
       propagate(tree, prev) // clears the finished slot; rethrows a held failure
-      if (inFlight.putIfAbsent(tree, task) == null) { pool.execute(task); true }
+      if (inFlight.putIfAbsent(tree, task) == null) accept()
       else false // lost the slot to a concurrent submitter on OUR side
     }
   }
@@ -100,6 +124,15 @@ final class DetachedMaintainer(namePrefix: String = "graft-maint",
   /** Whether `tree` has an ACT in flight. */
   def isBusy(tree: String): Boolean =
     Option(inFlight.get(tree)).exists(!_.isDone)
+
+  /** Epoch-ms at which `tree`'s in-flight ACT was submitted, while it is
+    * still queued behind the `maxConcurrentActs` cap — None once it is
+    * actually running (or when the tree is idle). The cheap probe for
+    * "is my reclaim starved or just slow": `isBusy && queuedSinceMs
+    * .nonEmpty` = waiting for a slot; `isBusy && queuedSinceMs.isEmpty`
+    * = genuinely rebuilding. */
+  def queuedSinceMs(tree: String): Option[Long] =
+    if (!isBusy(tree)) None else Option(queuedAt.get(tree)).map(_.longValue)
 
   /** Block until `tree`'s in-flight ACT (if any) completes; rethrow its
     * failure unless it was a clean lost-claim abort. The quiesce point —

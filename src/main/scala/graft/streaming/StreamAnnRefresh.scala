@@ -104,7 +104,7 @@ object StreamAnnRefresh {
   def refresh(s: SparkSession, corpusDir: String, idxDir: String,
       sampleSize: Int = DefaultSampleSize,
       tombstoneKey: Option[String] = None,
-      retainSnapshots: Int = 0): DeltaCompact.Manifest = {
+      retainSnapshots: Int = DeltaCompact.PreserveRetention): DeltaCompact.Manifest = {
     GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
     val (corpus, watermark) = corpusAndWatermark(s, corpusDir, tombstoneKey)
@@ -169,7 +169,7 @@ object StreamAnnRefresh {
   def refreshPq(s: SparkSession, corpusDir: String, idxDir: String,
       sampleSize: Int = DefaultSampleSize,
       tombstoneKey: Option[String] = None,
-      retainSnapshots: Int = 0): DeltaCompact.Manifest = {
+      retainSnapshots: Int = DeltaCompact.PreserveRetention): DeltaCompact.Manifest = {
     GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
     val (corpus, watermark) = corpusAndWatermark(s, corpusDir, tombstoneKey)

@@ -215,7 +215,7 @@ object StreamBm25Ingest {
     * partial. Bounded idx growth: between compactions readers pay
     * base + unfolded deltas; after, one vocab-sized generation. */
   def compactIndex(s: SparkSession, outDir: String,
-      retainSnapshots: Int = 0): DeltaCompact.Manifest = {
+      retainSnapshots: Int = DeltaCompact.PreserveRetention): DeltaCompact.Manifest = {
     graft.functions.GraftFunctions.register(s)
     val idxDir = s"$outDir/idx"
     val conf = s.sparkContext.hadoopConfiguration
@@ -268,7 +268,7 @@ object StreamBm25Ingest {
   def maintainIndexDetached(s: SparkSession, outDir: String,
       maintainer: DetachedMaintainer,
       gcGraceMs: Long = DeltaCompact.StagingTtlMs,
-      retainSnapshots: Int = 1,
+      retainSnapshots: Int = DeltaCompact.PreserveRetentionDetached,
       beforeAct: () => Unit = () => ()): Boolean = {
     if (maintainer.isBusy(outDir)) return false
     val pending = DeltaCompact.listPendingTombstoneBatches(
@@ -302,7 +302,7 @@ object StreamBm25Ingest {
     * tick, never a per-delete rewrite. */
   def rebuildIndex(s: SparkSession, outDir: String,
       gcGraceMs: Long = 0L,
-      retainSnapshots: Int = 0): DeltaCompact.Manifest = {
+      retainSnapshots: Int = DeltaCompact.PreserveRetention): DeltaCompact.Manifest = {
     graft.functions.GraftFunctions.register(s)
     val docsDir = s"$outDir/docs"
     val idxDir = s"$outDir/idx"

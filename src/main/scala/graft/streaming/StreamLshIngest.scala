@@ -185,7 +185,7 @@ object StreamLshIngest {
       cap: Int = graft.operators.Similarity.LshCap,
       bitsOverride: Option[Int] = None,
       gcGraceMs: Long = 0L,
-      retainSnapshots: Int = 0): LshGeometry = {
+      retainSnapshots: Int = DeltaCompact.PreserveRetention): LshGeometry = {
     graft.functions.GraftFunctions.register(s)
     val conf = s.sparkContext.hadoopConfiguration
     val corpusMan = DeltaCompact.readManifest(corpusDir, conf)

@@ -89,8 +89,11 @@ object StreamShardRouter {
 
   /** Sentinel for [[reshardOnFold]]'s `retainSnapshots`: preserve the
     * committed manifest's current retention depth instead of pinning a
-    * count. */
-  val PreserveRetention: Int = -1
+    * count. Shares [[DeltaCompact.PreserveRetention]]'s value — the
+    * reshard resolves it HERE (it also deepens by history size, see
+    * above) rather than letting [[DeltaCompact.nextManifest]]'s plain
+    * policy-preserve do it. */
+  val PreserveRetention: Int = DeltaCompact.PreserveRetention
 
   /** Start routing `docs` (a streaming DataFrame with `doc_id`) into
     * `outDir`. Returns the query; callers await termination.

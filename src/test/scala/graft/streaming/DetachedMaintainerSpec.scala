@@ -357,6 +357,17 @@ class DetachedMaintainerSpec extends SparkSpec {
       assert(m.isBusy("t1") && m.isBusy("t2") && m.isBusy("t3"))
       // at-most-one-per-tree holds for QUEUED acts too
       assert(!m.submit("t2")(() => fail("must not run")))
+      // queue-wait visibility (the round-16 ADVICE observability ask):
+      // the RUNNING act's marker clears the instant it starts, the
+      // queued ones' persist — "starved behind the cap" and "slow
+      // rebuild" are distinguishable without thread dumps
+      val deadline = System.nanoTime() + 5000000000L
+      while (m.queuedSinceMs("t1").nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(m.queuedSinceMs("t1").isEmpty,
+        "a running ACT must not read as queued")
+      assert(m.queuedSinceMs("t2").nonEmpty && m.queuedSinceMs("t3").nonEmpty,
+        "ACTs waiting for the cap slot must surface their queue wait")
       gate.countDown()
       m.await("t1"); m.await("t2")
       // cap 1 ⇒ never two ACTs running at once, FIFO submission order

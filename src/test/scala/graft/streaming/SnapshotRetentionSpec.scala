@@ -11,6 +11,52 @@ import graft.SparkSpec
   * ages out), and un-retained generations refuse loudly. */
 class SnapshotRetentionSpec extends SparkSpec {
 
+  test("maintenance verbs preserve a deeper persisted policy: a default fold " +
+    "on a retain-2 tree keeps policy + history; explicit still wins; the " +
+    "detached sentinel floors at 1") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_snapres").toFile.getAbsolutePath + "/t"
+    def land(id: Long): Unit = {
+      StreamShardRouter.landBatch(
+        Seq((id, id * 10.0)).toDF("doc_id", "v"), dir, id)
+      ()
+    }
+    try {
+      // the round-16 ADVICE finding: nextManifest used to take the verb's
+      // own (smaller) retainSnapshots verbatim, so a DEFAULT fold on a
+      // retaining tree truncated the history and dropped the policy — the
+      // silent time-travel loss the persisted `retain` field exists to
+      // prevent. Default is now PreserveRetention, resolved at commit time.
+      land(0L); land(1L)
+      val m0 = DeltaCompact.compact(s, dir, retainSnapshots = 2) // gen 0, policy 2
+      assert(m0.retain === 2 && m0.history.isEmpty)
+      land(2L)
+      val m1 = DeltaCompact.compact(s, dir) // DEFAULT: preserve, not reset-to-0
+      assert(m1.retain === 2, "a default fold must keep the persisted policy")
+      assert(m1.history === Seq((0L, 1L)))
+      land(3L)
+      val m2 = DeltaCompact.compact(s, dir)
+      assert(m2.retain === 2 && m2.history === Seq((0L, 1L), (1L, 2L)))
+      // the retained snapshots stayed readable across both default folds
+      assert(DeltaCompact.readCorpusAsOf(s, dir, 0L).count() === 2)
+      assert(DeltaCompact.readCorpusAsOf(s, dir, 1L).count() === 3)
+
+      // explicit retention still wins: reducing policy is a deliberate act
+      land(4L)
+      val m3 = DeltaCompact.compact(s, dir, retainSnapshots = 0)
+      assert(m3.retain === 0 && m3.history.isEmpty)
+
+      // the detached sentinel floors at 1 on a non-retaining tree (a
+      // detached commit races live serves) and preserves deeper policies
+      land(5L)
+      val m4 = DeltaCompact.compact(s, dir,
+        retainSnapshots = DeltaCompact.PreserveRetentionDetached)
+      assert(m4.retain === 1 && m4.history === Seq((m3.gen, m3.maxFoldedBatch)))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir).getParentFile)
+  }
+
   test("history round-trips; GC keeps current + retained; window slides; refusal is loud") {
     val s = spark
     import s.implicits._
