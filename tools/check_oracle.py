@@ -30,6 +30,18 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
+# GRAFT_IVF_PARTITIONS=<k>: replay the IVF-family oracles via k bounded
+# per-vec_id-partition passes instead of one monolithic n x sqrt(n) pair
+# materialization (~57 GB at 2 M vectors) — see tools/ivf_partition.py.
+# Identical answer hashing; cross-validated against the monolithic path
+# at sf0.1 and 10x. Non-IVF oracles are untouched.
+rewriter = None
+if int(os.environ.get("GRAFT_IVF_PARTITIONS", "0") or 0) > 0:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ivf_partition import IvfPartitionRewriter
+    rewriter = IvfPartitionRewriter(
+        con, int(os.environ["GRAFT_IVF_PARTITIONS"]))
+
 def flush_report():
     """Write the report after EVERY query: a mid-run OOM kill (observed
     on the 100x LSH oracles) must lose at most one query's evidence,
@@ -59,7 +71,8 @@ for name in sorted(os.listdir(outdir)):
                         "hash_match": value, "spark_rows": len(got),
                         "oracle_rows": erows, "err": err}
     try:
-        exp = con.sql(oracle[name]).df()
+        sql = oracle[name] if rewriter is None else rewriter.rewrite(oracle[name])
+        exp = con.sql(sql).df()
     except Exception as e:
         record(err=f"oracle SQL error: {e}")
         fails.append((name, f"oracle SQL error: {e}"))

@@ -24,8 +24,14 @@ for t in ["documents", "embeddings", "events"]:
     dst = os.path.join(out, f"{t}.parquet")
     table = ds.dataset(src, format="parquet").to_table()
     # preserve the physical schema the Spark writer produced (events.ts
-    # stays the raw long the synthesizer wrote; Tables.events adapts)
-    pq.write_table(table, dst)
+    # stays the raw long the synthesizer wrote; Tables.events adapts).
+    # row_group_size 65536: pyarrow's default writes ~1M-row groups, and
+    # Spark can only split a parquet file at row-group boundaries — the
+    # 1000x embeddings file came out as TWO 282 MB groups, capping every
+    # engine-side decade replay at 2 of 32 cores. ~65k rows ≈ 20-65 MB
+    # per group keeps the single-file layout (one file per table is the
+    # flatten contract) while letting local[32] scan it wide.
+    pq.write_table(table, dst, row_group_size=65536)
     print(f"  {t}: {table.num_rows} rows -> {dst}")
 
 for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
