@@ -21,15 +21,28 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Tables.validate(spark, sfDir) // fail fast on testdata schema drift
     new java.io.File(outDir).mkdirs()
+    // per-gate engine seconds, dumped as engine_seconds.json next to the
+    // parquet: the machine-readable half of the decade ladder
+    // (SCALE_LADDER.json) — tools/scale_ladder.py merges these with
+    // check_oracle.py's oracle_s column per scale, so cross-round cost
+    // diffs never depend on SCALE.md prose
+    val engineSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        engineSec(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        engineSec(name) = -1.0
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/engine_seconds.json"),
+      engineSec.map { case (k, v) => s""""$k": ${f"$v%.3f"}""" }
+        .mkString("{", ", ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

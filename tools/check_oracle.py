@@ -7,7 +7,7 @@ With a third argument, also writes a CORRECTNESS_rN.json-shaped artifact
 (per-query rows/schema/hash flags) so scale runs leave the same evidence
 trail as the driver's gate.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -66,10 +66,12 @@ for name in sorted(os.listdir(outdir)):
         print(f"  [rows-only] {name}: {len(got)} rows", flush=True)
         flush_report()
         continue
+    oracle_t0 = time.time()
     def record(rows=None, schema=None, value=None, erows=None, err=None):
         report[name] = {"rows_match": rows, "schema_match": schema,
                         "hash_match": value, "spark_rows": len(got),
-                        "oracle_rows": erows, "err": err}
+                        "oracle_rows": erows, "err": err,
+                        "oracle_s": round(time.time() - oracle_t0, 3)}
     try:
         sql = oracle[name] if rewriter is None else rewriter.rewrite(oracle[name])
         exp = con.sql(sql).df()

@@ -46,4 +46,11 @@ else
 fi
 
 echo "== [4/4] DuckDB oracle replay + value compare"
-python3 tools/check_oracle.py "$FLAT" "$OUT" "CORRECTNESS_${COPIES}x.json"
+# set -e guard: capture the gate's exit code, still merge the ladder
+RC=0
+python3 tools/check_oracle.py "$FLAT" "$OUT" "CORRECTNESS_${COPIES}x.json" || RC=$?
+# machine-readable decade ladder: per-gate engine/oracle seconds at this
+# scale (engine side from Verify's engine_seconds.json, oracle side from
+# the report). Merged even on partial failure — the costs ARE evidence.
+python3 tools/scale_ladder.py "${COPIES}x" "$OUT" "CORRECTNESS_${COPIES}x.json" || true
+exit $RC
