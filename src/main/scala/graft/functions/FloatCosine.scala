@@ -93,6 +93,7 @@ object GraftFunctions {
   val Hash60Name = "graft_hash60"
   val Md5SlicesName = "graft_md5_slices"
   val RegexpCountName = "graft_regexp_count"
+  val PqSubDistsName = "graft_pq_sub_dists"
 
   /** Evaluate a foldable argument to a plan-time Int with descriptive
     * errors: a null or non-numeric literal must fail with the function
@@ -142,6 +143,13 @@ object GraftFunctions {
     require(exprs.length == 2,
       s"$CosineName takes exactly 2 arguments, got ${exprs.length}")
     FloatCosine(exprs.head, exprs(1))
+  }
+
+  /** Build a [[PqSubDists]] from SQL arguments, with arity validation. */
+  private[graft] def mkPqSubDists(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"$PqSubDistsName takes exactly 2 arguments, got ${exprs.length}")
+    PqSubDists(exprs.head, exprs(1))
   }
 
   /** Build-side bloom aggregate `graft_bloom_agg(xxhash64_key, items,
@@ -290,10 +298,22 @@ object GraftFunctions {
         new ExpressionInfo(classOf[RegexpCount].getName, RegexpCountName),
         (exprs: Seq[Expression]) => mkRegexpCount(exprs))
     }
+    val pqId = FunctionIdentifier(PqSubDistsName)
+    if (!registry.functionExists(pqId)) {
+      registry.registerFunction(
+        pqId,
+        new ExpressionInfo(classOf[PqSubDists].getName, PqSubDistsName),
+        (exprs: Seq[Expression]) => mkPqSubDists(exprs))
+    }
   }
 
   /** Column API for the native cosine (after [[register]]). */
   def cosine(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Column API for the fused PQ subspace distances (after [[register]]):
+    * `ARRAY<DOUBLE>[8]`, subspace s = Σ (a[i]-b[i])² over [s*8, s*8+8). */
+  def pqSubDists(a: Column, b: Column): Column =
+    call_function(PqSubDistsName, a, b)
 
   /** Column API for the bounded collect (after [[register]]): at most
     * `cap + 1` elements retained per group — size `cap + 1` flags an

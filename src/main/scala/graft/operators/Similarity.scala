@@ -1518,8 +1518,13 @@ object Similarity {
       .drop("cent_vid")
 
   /** Squared L2 between 8-dim subspace `s0` of vectors `v` and `c` — an
-    * ascending-index fold over zip_with'd slices, the same op order as the
-    * oracle's list_sum comprehension (bit-stable across engines). */
+    * ascending-index fold, the same op order as the oracle's list_sum
+    * comprehension (bit-stable across engines). Query-side (LUT) call
+    * sites only; the corpus-scale encode path uses the fused native
+    * kernel [[graft.functions.PqSubDists]] (identical arithmetic order,
+    * whole-stage-codegen'd — the zip_with/slice higher-order form here
+    * never codegens and allocates two slices per eval, which at the
+    * 1000× corpus made PQ encode the most expensive engine build stage). */
   private def pqSubDist(s0: Int, v: Column, c: Column): Column = aggregate(
     zip_with(slice(v, s0 * 8 + 1, 8), slice(c, s0 * 8 + 1, 8),
       (a, b) => (a - b) * (a - b)),
@@ -1529,13 +1534,16 @@ object Similarity {
     * the lowest rank) as `cc0..cc7`, plus the per-subspace min distances
     * `m0..m7`. Argmin is a HASH-aggregable graft_min_k AGGREGATE
     * (map-side combined, one exchange row per vector — the min_by
-    * struct-ordering formulation planned SortAggregate; see ivfAssign). */
+    * struct-ordering formulation planned SortAggregate; see ivfAssign).
+    * The 8 subspace distances come from ONE fused native kernel eval per
+    * (vector, entry) pair — see [[graft.functions.PqSubDists]]. */
   private[graft] def pqAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val vd = emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
     val withD = vd.crossJoin(broadcast(cents))
+      .withColumn("ds", GraftFunctions.pqSubDists(col("v"), col("c")))
       .select(col("vec_id") +: col("cent_rank") +:
-        (0 until 8).map(s0 => pqSubDist(s0, col("v"), col("c")).as(s"d$s0")): _*)
+        (0 until 8).map(s0 => col("ds").getItem(s0).as(s"d$s0")): _*)
     val aggs = (0 until 8).flatMap(s0 => Seq(
       GraftFunctions.minK(maskedCand(col(s"d$s0"),
         struct(col(s"d$s0"), col("cent_rank"))), 1).as(s"am$s0"),
@@ -1598,6 +1606,7 @@ object Similarity {
          |  round($err, 6) AS pq_err
          |FROM d JOIN mins m ON d.vec_id = m.vec_id GROUP BY d.vec_id""".stripMargin
     }) { (s, d) =>
+    GraftFunctions.register(s) // pqAssign's fused graft_pq_sub_dists kernel
     val emb = Tables.embeddings(s, d)
     pqAssign(emb, pqCodebook(emb))
       .select(col("vec_id") +:
@@ -1650,6 +1659,7 @@ object Similarity {
          |   FROM summed WHERE neighbor_id <> query_id)
          |WHERE rank <= $K""".stripMargin
     }) { (s, d) =>
+    GraftFunctions.register(s) // pqAssign's fused graft_pq_sub_dists kernel
     val emb = Tables.embeddings(s, d)
     val cents = pqCodebook(emb)
     val codes = pqAssign(emb, cents).select(col("vec_id") +:

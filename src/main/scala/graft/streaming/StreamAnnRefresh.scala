@@ -213,6 +213,7 @@ object StreamAnnRefresh {
     * stops fitting and recovers after [[refreshPq]]. */
   def pqReconError(emb: DataFrame, pcents: DataFrame): Double = {
     import org.apache.spark.sql.functions.avg
+    GraftFunctions.register(emb.sparkSession) // pqAssign's fused kernel
     graft.operators.Similarity.pqAssign(emb, pcents)
       .select(((0 until 8).map(i => col(s"m$i")).reduce(_ + _)).as("err"))
       .agg(avg(col("err"))).head().getDouble(0)
