@@ -94,6 +94,7 @@ object GraftFunctions {
   val Md5SlicesName = "graft_md5_slices"
   val RegexpCountName = "graft_regexp_count"
   val PqSubDistsName = "graft_pq_sub_dists"
+  val ArgmaxCosineName = "graft_argmax_cosine"
 
   /** Evaluate a foldable argument to a plan-time Int with descriptive
     * errors: a null or non-numeric literal must fail with the function
@@ -150,6 +151,13 @@ object GraftFunctions {
     require(exprs.length == 2,
       s"$PqSubDistsName takes exactly 2 arguments, got ${exprs.length}")
     PqSubDists(exprs.head, exprs(1))
+  }
+
+  /** Build an [[ArgmaxCosine]] from SQL arguments, with arity validation. */
+  private[graft] def mkArgmaxCosine(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"$ArgmaxCosineName takes exactly 3 arguments (vec, cents, ids), got ${exprs.length}")
+    ArgmaxCosine(exprs.head, exprs(1), exprs(2))
   }
 
   /** Build-side bloom aggregate `graft_bloom_agg(xxhash64_key, items,
@@ -305,6 +313,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[PqSubDists].getName, PqSubDistsName),
         (exprs: Seq[Expression]) => mkPqSubDists(exprs))
     }
+    val axId = FunctionIdentifier(ArgmaxCosineName)
+    if (!registry.functionExists(axId)) {
+      registry.registerFunction(
+        axId,
+        new ExpressionInfo(classOf[ArgmaxCosine].getName, ArgmaxCosineName),
+        (exprs: Seq[Expression]) => mkArgmaxCosine(exprs))
+    }
   }
 
   /** Column API for the native cosine (after [[register]]). */
@@ -314,6 +329,13 @@ object GraftFunctions {
     * `ARRAY<DOUBLE>[8]`, subspace s = Σ (a[i]-b[i])² over [s*8, s*8+8). */
   def pqSubDists(a: Column, b: Column): Column =
     call_function(PqSubDistsName, a, b)
+
+  /** Column API for the fused nearest-centroid argmax (after
+    * [[register]]): `cents`/`ids` are plan literals (ascending id order
+    * — the caller's tie contract), the result is the winning id or NULL
+    * when every similarity is NaN. See [[ArgmaxCosine]]. */
+  def argmaxCosine(vec: Column, cents: Column, ids: Column): Column =
+    call_function(ArgmaxCosineName, vec, cents, ids)
 
   /** Column API for the bounded collect (after [[register]]): at most
     * `cap + 1` elements retained per group — size `cap + 1` flags an

@@ -984,18 +984,31 @@ object Similarity {
   /** Carries `label` through to the assignment output: metadata rides IN
     * the posting row (and thus in the persisted postings layout), so
     * filtered serves never need a corpus back-join for it — the
-    * label-in-postings design [[qKnnFiltered]]'s notes promise. */
-  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cents))
-      .withColumn("csim", GraftFunctions.cosine(col("c_embedding"), col("embedding")))
-      .groupBy("vec_id")
-      .agg(
-        any_value(col("embedding")).as("embedding"),
-        any_value(col("label")).as("label"),
-        GraftFunctions.minK(maskedCand(col("csim"),
-          struct((-col("csim")).as("neg"), col("cent_id"))), 1).as("am"))
-      .select(col("vec_id"), col("embedding"), col("label"),
-        col("am").getItem(0).getField("cent_id").as("cell"))
+    * label-in-postings design [[qKnnFiltered]]'s notes promise.
+    *
+    * Round 16: the assignment is a NARROW MAP, not a join+aggregate. The
+    * codebook is a plan parameter — O(√n) rows collected, sorted by
+    * cent_id (the global tie rule), embedded as expression literals —
+    * and [[graft.functions.ArgmaxCosine]] resolves each vector's cell in
+    * one fused codegen'd loop. The previous `crossJoin(broadcast)` +
+    * `graft_min_k` formulation materialized n×√n candidate rows and
+    * pushed all of them through an interpreted TypedImperativeAggregate
+    * update — 2.8 G rows PER Lloyd pass at the 1000× corpus, the
+    * measured dominant cost of every IVF build (SCALE.md Round 16). Now
+    * the plan is scan → project: no exchange, no aggregate, no candidate
+    * row explosion, and the per-pair arithmetic is bit-identical (the
+    * [[qKnnIvf]] oracle gates pin it). */
+  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val entries = cents
+      .select(col("cent_id").cast("long"), col("c_embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    emb.select(col("vec_id"), col("embedding"), col("label"),
+      GraftFunctions.argmaxCosine(col("embedding"),
+        typedLit(entries.map(_._2).toSeq),
+        typedLit(entries.map(_._1).toSeq)).as("cell"))
+  }
 
   /** The Lloyd-trained IVF codebook: ≈√n stride seeds, 2 fixed iterations
     * (per-(cell, dim) means rounded+float-truncated for cross-engine bit
