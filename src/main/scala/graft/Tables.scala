@@ -14,8 +14,49 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Floor below which a table is not worth an exchange to parallelize:
+    * for sub-half-MB inputs (dimension tables at every SF; every table at
+    * sf≤0.01) the repartition's fixed cost rivals the map work it would
+    * spread out. */
+  private val MinParallelizeBytes = 512L * 1024
+
+  private val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def fileBytes(spark: SparkSession, path: String): Long =
+    sizeCache.getOrElseUpdate(path,
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => -1L })
+
+  /** Round 16 (optimization): single-file parquet tables split only at
+    * row-group/`maxPartitionBytes` boundaries, so a table smaller than
+    * one split scans as ONE task and every downstream per-row kernel
+    * (tokenize, minhash, posting expansion, cosine) runs single-threaded
+    * no matter how many cores the session has — the guide §2.5
+    * "unsplittable input" skew, measured as multi-second 1-task map
+    * stages across the registry at sf0.1/local[32]. The fix is the
+    * guide's own: repartition immediately after the read — but only when
+    * (a) the table is big enough that spreading the work beats the
+    * exchange's fixed cost ([[MinParallelizeBytes]]) and (b) the scan
+    * cannot reach half the session's cores by splitting alone
+    * (bytes/maxPartitionBytes < parallelism/2). At cluster scale (b) is
+    * false for any real table, so the exchange vanishes exactly where it
+    * would hurt — scale-adaptive, not a local[32] constant. Filters and
+    * column pruning still reach the scan (Catalyst pushes both through
+    * round-robin Repartition). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val bytes = fileBytes(spark, path)
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val dp = spark.sparkContext.defaultParallelism
+    if (bytes >= MinParallelizeBytes && bytes / maxSplit < dp / 2)
+      df.repartition(dp)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -132,6 +132,15 @@ object StreamShardRouter {
     DeltaCompact.atomicLandDir(s"$outDir/batch=$batchId",
       batch.sparkSession.sparkContext.hadoopConfiguration) { staging =>
       withShard(batch, numShards)
+        // co-locate each shard before the dynamic-partition write: ONE
+        // file per (batch, shard) — the fold's own layout rule — written
+        // by up to `numShards` parallel tasks. Without it every input
+        // partition writes its own file per shard (measured at sf0.1:
+        // 512 files / 2.1 s from a 32-partition batch vs 16 files /
+        // 0.5 s here, and read-back halves too — guide §6.2); a 1-
+        // partition batch instead serializes all shards through one
+        // writer task. This exchange is batch-sized by construction.
+        .repartition(col("shard_id"))
         .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
     }
 }
