@@ -20,6 +20,18 @@ object Tables {
     * spread out. */
   private val MinParallelizeBytes = 512L * 1024
 
+  /** Tables whose downstream per-row work is heavy enough that spreading
+    * an unsplittable scan beats the exchange — MEASURED, not assumed
+    * (r16 A/B at sf0.1): the text/event tables feed regexp-tokenize /
+    * minhash / simhash / codec kernels and won 0.3–0.6 s per gate when
+    * parallelized, while `lineitem`/`orders` readers (cheap columnar
+    * aggregates — the 1-task scan is already near the work's cost) and
+    * `embeddings` readers (re-read many times per gate, often as a
+    * broadcast build side where an extra exchange serializes before the
+    * join) REGRESSED 0.7–2 s per gate under the same rule, so they keep
+    * the plain scan. */
+  private val ParallelizeTables = Set("documents", "events")
+
   private val sizeCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
@@ -53,7 +65,8 @@ object Tables {
     val bytes = fileBytes(spark, path)
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val dp = spark.sparkContext.defaultParallelism
-    if (bytes >= MinParallelizeBytes && bytes / maxSplit < dp / 2)
+    if (ParallelizeTables(name) && bytes >= MinParallelizeBytes &&
+        bytes / maxSplit < dp / 2)
       df.repartition(dp)
     else df
   }
