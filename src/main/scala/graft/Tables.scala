@@ -22,15 +22,16 @@ object Tables {
 
   /** Tables whose downstream per-row work is heavy enough that spreading
     * an unsplittable scan beats the exchange — MEASURED, not assumed
-    * (r16 A/B at sf0.1): the text/event tables feed regexp-tokenize /
-    * minhash / simhash / codec kernels and won 0.3–0.6 s per gate when
-    * parallelized, while `lineitem`/`orders` readers (cheap columnar
-    * aggregates — the 1-task scan is already near the work's cost) and
-    * `embeddings` readers (re-read many times per gate, often as a
-    * broadcast build side where an extra exchange serializes before the
-    * join) REGRESSED 0.7–2 s per gate under the same rule, so they keep
-    * the plain scan. */
-  private val ParallelizeTables = Set("documents", "events")
+    * (r16 A/B at sf0.1): `documents` feeds regexp-tokenize / minhash /
+    * simhash / codec kernels and won 0.3–0.9 s per gate when
+    * parallelized. Everything else lost or broke even under the same
+    * rule and keeps the plain scan: `lineitem`/`orders` (cheap columnar
+    * aggregates — the 1-task scan is already near the work's cost),
+    * `embeddings` (re-read many times per gate, often as a broadcast
+    * build side where an extra exchange serializes before the join),
+    * and `events` (window/agg gates net +5.1 s across the family — the
+    * window work is too light to pay for the exchange). */
+  private val ParallelizeTables = Set("documents")
 
   private val sizeCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]

@@ -46,14 +46,27 @@ object StreamBm25Ingest {
     graft.functions.GraftFunctions.register(s)
     val dir = StreamShardRouter.landBatch(batch, s"$outDir/docs", batchId, numShards)
     val landed = s.read.parquet(dir)
-    writeDocIdRange(s, dir, landed)
+    // the doc-id envelope rides the partial-index write as observed
+    // metrics (CollectMetrics over the same landed scan) instead of its
+    // own min/max/count job — r16: one fewer Spark action per
+    // micro-batch, same sidecar bytes
+    val obs = org.apache.spark.sql.Observation()
+    val observed = landed.observe(obs,
+      min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+      count(lit(1)).as("n"))
     // atomic like the docs landing: a concurrent serve's mergeIndexes
     // must never list a half-written partial
     val idxDir = DeltaCompact.atomicLandDir(s"$outDir/idx/batch=$batchId",
       s.sparkContext.hadoopConfiguration) { staging =>
-      TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(landed))
+      TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(observed))
         .write.mode("overwrite").parquet(staging)
     }
+    val m = obs.get
+    val range =
+      if (m("n").asInstanceOf[Long] == 0L) DocIdRange(0L, -1L, 0L)
+      else DocIdRange(m("mn").asInstanceOf[Long], m("mx").asInstanceOf[Long],
+        m("n").asInstanceOf[Long])
+    writeDocIdRange(s, dir, range)
     s.read.parquet(idxDir)
   }
 
@@ -65,12 +78,7 @@ object StreamBm25Ingest {
     new org.apache.hadoop.fs.Path(batchDir, "_docid_range.json")
 
   private def writeDocIdRange(s: SparkSession, batchDir: String,
-      landed: DataFrame): Unit = {
-    val r = landed.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
-      count(lit(1)).as("n")).head()
-    val range =
-      if (r.getLong(2) == 0L) DocIdRange(0L, -1L, 0L)
-      else DocIdRange(r.getLong(0), r.getLong(1), r.getLong(2))
+      range: DocIdRange): Unit = {
     val json =
       s"""{"minId":${range.minId},"maxId":${range.maxId},"count":${range.count}}"""
     val conf = s.sparkContext.hadoopConfiguration
@@ -191,17 +199,26 @@ object StreamBm25Ingest {
     * a partial (tok, kept, dfc), so folded generations keep folding with
     * future batches exactly (min-k of a union = min-k of concatenated
     * min-ks; df is additive given the batch-disjointness precondition). */
-  private def recapMergePartial(partials: DataFrame): DataFrame = {
-    val dfs = partials.groupBy("tok").agg(sum(col("dfc")).as("dfc"))
+  private def recapMergePartial(partials: DataFrame): DataFrame =
+    // ONE pass: the re-cap and the df sum share the tok-keyed
+    // ObjectHashAggregate instead of reading the partials twice and
+    // joining the two aggregates back on tok (r16: the join plan scanned
+    // every partial twice and paid a second exchange + sort). A partial
+    // row's `kept` is non-empty by construction (a term row exists only
+    // when ≥1 posting did — bm25Partial aggregates FROM postings), so
+    // posexplode never drops a row's dfc, and crediting dfc at pos 0
+    // counts each partial row exactly once — bit-identical to the old
+    // sum-then-join.
     partials
-      .select(col("tok"), explode(col("kept")).as("kv"))
+      .select(col("tok"), col("dfc"),
+        posexplode(col("kept")).as(Seq("pos", "kv")))
       .groupBy("tok")
-      .agg(graft.functions.GraftFunctions.minK(
-        struct(col("kv.negtf").as("negtf"), col("kv.doc_id").as("doc_id"),
-          col("kv.tf").as("tf")), TextAnalysis.Bm25Cap).as("kept"))
-      .join(dfs, "tok")
+      .agg(
+        graft.functions.GraftFunctions.minK(
+          struct(col("kv.negtf").as("negtf"), col("kv.doc_id").as("doc_id"),
+            col("kv.tf").as("tf")), TextAnalysis.Bm25Cap).as("kept"),
+        sum(when(col("pos") === 0, col("dfc"))).as("dfc"))
       .select(col("tok"), col("kept"), col("dfc"))
-  }
 
   /** Fold every landed per-batch partial into ONE base-generation
     * partial under [[DeltaCompact]]'s manifest commit protocol — the
