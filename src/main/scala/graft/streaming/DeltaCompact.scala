@@ -700,6 +700,17 @@ object DeltaCompact {
     * maintenance cadence's original behavior. Trees serving DURING
     * maintenance should also retain ≥ 1 snapshot so a reader mid-plan
     * on the superseded base survives the swap. */
+  /** `shardDirs = false` (r16 optimization) writes the folded base as
+    * PLAIN files — shard_id stays a data column, rows still
+    * repartitioned by shard and sorted by (shard_id, sortCols) so every
+    * file is shard-clustered and row-group min/max stats carry a shard
+    * or sort-key filter. For trees whose readers never partition-prune
+    * on shard_id directories (the streamed LSH posting tree: every serve
+    * reads via readPostings and drops tb_hi unfiltered), the dynamic-
+    * partition fan-out is pure per-directory writer/commit overhead —
+    * measured ~3 s per 128-dir fold at sf0.1 vs sub-second plain. Trees
+    * with genuinely pruned reads (the doc corpus's per-shard trainer
+    * scans, the persisted IVF/PQ cell layouts) keep the default. */
   def compact(spark: SparkSession, outDir: String, numShards: Int = 16,
       sortCols: Seq[String] = Nil,
       tombstoneKey: Option[String] = None,
@@ -708,7 +719,8 @@ object DeltaCompact {
       allowEvolution: Boolean = false,
       extraStage: String => Unit = _ => (),
       reshard: Option[DataFrame => DataFrame] = None,
-      gcGraceMs: Long = 0L): Manifest = {
+      gcGraceMs: Long = 0L,
+      shardDirs: Boolean = true): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     // adopt a predecessor that won its rename but crashed pre-pointer
     // BEFORE computing our own next generation
@@ -773,10 +785,10 @@ object DeltaCompact {
     // steps 1-4 (stage → claim by rename → pointer swap → GC) under the
     // concurrent-maintainer guard — see the object scaladoc
     commitStagedGeneration(outDir, man, conf, gcGraceMs) { staging =>
-      clustered
-        .write.mode("overwrite").partitionBy("shard_id")
+      val w = clustered
+        .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
-        .parquet(staging)
+      (if (shardDirs) w.partitionBy("shard_id") else w).parquet(staging)
       extraStage(staging)
     }
     // applied tombstones fold away too: only the CAPTURED batches (a

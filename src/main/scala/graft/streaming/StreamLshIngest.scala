@@ -157,9 +157,16 @@ object StreamLshIngest {
     val geom = readGeometry(s, idxDir)
     DeltaCompact.compact(s, idxDir,
       gcGraceMs = gcGraceMs,
-      numShards =
-        graft.operators.Similarity.lshDirKeyDomainFor(geom.tables, geom.bits),
+      // with shardDirs = false, numShards is just the fold exchange's
+      // width (≈ output file count) — size it to the session instead of
+      // the 128-value dir-key domain the directory layout used to need
+      numShards = math.max(1, s.sparkContext.defaultParallelism),
       sortCols = Seq("tb"),
+      // plain shard-clustered files, no directory fan-out: no streamed-
+      // tree serve prunes on shard_id dirs (they all read readPostings
+      // and drop tb_hi), and the per-directory writer overhead dominated
+      // the fold at micro-batch cadence — see compact()'s shardDirs doc
+      shardDirs = false,
       // deletes apply physically at the fold: a tombstoned vector's
       // posting rows (×tables of them) are excluded from the new base —
       // exact for LSH because postings are pure per-vector expansions
@@ -224,11 +231,16 @@ object StreamLshIngest {
     // base at the swap instant under a reader mid-plan (nextManifest doc)
     val man = DeltaCompact.nextManifest(prev, watermark, retainSnapshots)
     DeltaCompact.commitStagedGeneration(idxDir, man, conf, gcGraceMs) { staging =>
+      // plain (shard_id, tb)-sorted files, shard_id an int data column —
+      // the same no-directory layout the fold writes (shardDirs = false
+      // rationale on compactPostings): no streamed-tree serve prunes on
+      // the dirs, and the ≤128-way dynamic-partition fan-out dominated
+      // the rebuild's wall time at sf0.1 (~3 s of writer constants)
       graft.operators.Similarity.lshPostings(live, geom.tables, geom.bits)
-        .withColumn("shard_id", graft.operators.Similarity.lshDirKey(col("tb")))
-        .repartition(col("shard_id"))
+        .withColumn("shard_id",
+          graft.operators.Similarity.lshDirKey(col("tb")).cast("int"))
         .sortWithinPartitions("shard_id", "tb")
-        .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+        .write.mode("overwrite").parquet(staging)
       writeGeometry(staging, geom, conf)
     }
     DeltaCompact.gcTombstoneBatches(idxDir, tsBatches, conf, gcGraceMs)
