@@ -734,9 +734,12 @@ object Features {
         byBatch.filter(col("b") === b).drop("b"), dir, b.toLong)
       ()
     }
-    land(1); land(2)
+    // landings between folds are independent jobs over a checkpointed
+    // source (distinct batch dirs) — overlap them (guide §2.6); the
+    // folds stay barriers, exactly as the snapshot semantics require
+    Par.units(() => land(1), () => land(2))
     graft.streaming.DeltaCompact.compact(s, dir) // gen 0, watermark 2
-    land(3); land(4)
+    Par.units(() => land(3), () => land(4))
     graft.streaming.DeltaCompact.compact(s, dir, retainSnapshots = 1) // gen 1
     def shape(df: org.apache.spark.sql.DataFrame, snap: String) =
       df.select(lit(snap).as("snap"), col("doc_id").as("seq"),

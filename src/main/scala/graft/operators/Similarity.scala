@@ -2512,7 +2512,13 @@ object Similarity {
     // index generation-folded mid-run (batch 1), batches 2-3 post-fold
     val lexSrc = s"$root/lex_src"
     val lexOut = s"$root/lex"
-    docs.repartition(4).write.mode("overwrite").parquet(lexSrc)
+    val semSrc = s"$root/sem_src"
+    // both source splits written before either stream starts — two
+    // independent jobs overlapped from driver threads (guide §2.6), so
+    // the semantic stream isn't delayed by the lexical source write
+    Par.units(
+      () => docs.repartition(4).write.mode("overwrite").parquet(lexSrc),
+      () => emb.repartition(4).write.mode("overwrite").parquet(semSrc))
     val lexQ = s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
       .parquet(lexSrc)
       .writeStream
@@ -2532,10 +2538,8 @@ object Similarity {
 
     // semantic ingest: LSH posting deltas landed in SERVE layout per
     // batch, postings generation-folded mid-run (batch 1)
-    val semSrc = s"$root/sem_src"
     val semDocs = s"$root/sem_docs"
     val semIdx = s"$root/sem_idx"
-    emb.repartition(4).write.mode("overwrite").parquet(semSrc)
     val semQ = s.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
       .parquet(semSrc)
       .writeStream
@@ -2631,12 +2635,15 @@ object Similarity {
     if (!lshDeleteDone(idx)) {
       reapDeadDirs("/tmp/graft_lshdelete", pid)
       val emb = Tables.embeddings(s, d)
-      // expand ONCE, land three disjoint delta slices of the expansion
+      // expand ONCE, land three disjoint delta slices of the expansion —
+      // independent jobs over the checkpointed expansion (distinct batch
+      // dirs), overlapped from driver threads (guide §2.6)
       val postings = lshPostings(emb).localCheckpoint()
-      (0 until 3).foreach { i =>
+      Par.units((0 until 3).map(i => () => {
         graft.streaming.StreamLshIngest.landPostingsDelta(
           postings.filter(col("neighbor_id") % 3 === i), idx, i.toLong)
-      }
+        ()
+      }): _*)
       graft.streaming.StreamLshIngest.landTombstones(
         emb.filter(col("vec_id") % DeleteMod === DeleteRem)
           .select(col("vec_id").as("neighbor_id")), idx, 0L)
@@ -2771,7 +2778,12 @@ object Similarity {
     // the maintenance DECIDE runs every batch and rebuilds exactly once
     val lexSrc = s"$root/lex_src"
     val lexOut = s"$root/lex"
-    docs.repartition(4).write.mode("overwrite").parquet(lexSrc)
+    val semSrc = s"$root/sem_src"
+    // both source splits written before either stream starts — two
+    // independent jobs overlapped from driver threads (guide §2.6)
+    Par.units(
+      () => docs.repartition(4).write.mode("overwrite").parquet(lexSrc),
+      () => emb.repartition(4).write.mode("overwrite").parquet(semSrc))
     val lexQ = s.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
       .parquet(lexSrc)
       .writeStream
@@ -2795,10 +2807,8 @@ object Similarity {
     // q_hybrid_stream_persist): LSH posting deltas at the COMMITTED
     // geometry; takedown at batch 1 tombstones corpus AND index;
     // AnnMaintenance.lshStep decides every batch
-    val semSrc = s"$root/sem_src"
     val semDocs = s"$root/sem_docs"
     val semIdx = s"$root/sem_idx"
-    emb.repartition(4).write.mode("overwrite").parquet(semSrc)
     val semQ = s.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
       .parquet(semSrc)
       .writeStream
@@ -2833,22 +2843,31 @@ object Similarity {
     maint.close()
 
     // end-of-run maintenance tick: fold the post-refresh deltas, forget
-    // the vector corpus's tombstones physically, carry the geometry
-    graft.streaming.DeltaCompact.compact(s, semDocs,
-      tombstoneKey = Some("vec_id"))
-    graft.streaming.StreamLshIngest.compactPostings(s, semIdx)
-    graft.streaming.StreamBm25Ingest.maintainIndex(s, lexOut) // no-op unless deletes pend
+    // the vector corpus's tombstones physically, carry the geometry —
+    // THREE independent trees (semDocs, semIdx, lexOut), so the three
+    // folds overlap from driver threads (guide §2.6) instead of paying
+    // three per-action floors back to back
+    Par.units(
+      () => { graft.streaming.DeltaCompact.compact(s, semDocs,
+        tombstoneKey = Some("vec_id")); () },
+      () => { graft.streaming.StreamLshIngest.compactPostings(s, semIdx); () },
+      () => { graft.streaming.StreamBm25Ingest.maintainIndex(s, lexOut); () }) // no-op unless deletes pend
 
-    // serve purely off the folded artifacts, through the registry kernels
-    val liveDocs = graft.streaming.DeltaCompact
-      .readCorpus(s, s"$lexOut/docs").select(col("doc_id"), col("text"))
-      .localCheckpoint()
+    // serve purely off the folded artifacts, through the registry
+    // kernels; the two branch checkpoints are independent (lex docs tree
+    // vs sem geometry + query probes) and overlap the same way
+    val Seq(liveDocs, probes) = Par.run[DataFrame](
+      () => graft.streaming.DeltaCompact
+        .readCorpus(s, s"$lexOut/docs").select(col("doc_id"), col("text"))
+        .localCheckpoint(),
+      () => {
+        val geom = graft.streaming.StreamLshIngest.readGeometry(s, semIdx)
+        lshQueryProbes(emb, geom.tables, geom.bits).localCheckpoint()
+      })
     val lex = graft.operators.TextAnalysis
       .bm25Serve(graft.streaming.StreamBm25Ingest.mergeIndexes(s, lexOut), liveDocs)
       .filter(col("query_id") < NumQueries)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val geom = graft.streaming.StreamLshIngest.readGeometry(s, semIdx)
-    val probes = lshQueryProbes(emb, geom.tables, geom.bits).localCheckpoint()
     val sem = lshServeJoin(
         graft.streaming.StreamLshIngest.readPostings(s, semIdx).drop("tb_hi"),
         probes)

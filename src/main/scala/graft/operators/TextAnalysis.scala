@@ -1717,10 +1717,13 @@ object TextAnalysis {
       reapSamePid = n =>
         n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
     val corpusDir = s"$root/docs"
-    (0 until 3).foreach { i =>
+    // three independent delta landings (distinct batch dirs) — overlap
+    // them from driver threads (guide §2.6)
+    Par.units((0 until 3).map(i => () => {
       graft.streaming.StreamShardRouter.landBatch(
         docs.filter(col("doc_id") % 3 === i), corpusDir, i.toLong)
-    }
+      ()
+    }): _*)
     graft.streaming.DeltaCompact.landTombstones(
       docs.filter(col("doc_id") % Similarity.DeleteMod === Similarity.DeleteRem)
         .select(col("doc_id")), corpusDir, 0L)

@@ -32,14 +32,23 @@ object StreamCdcApply {
   def applyBatch(batch: DataFrame, outDir: String, batchId: Long,
       numShards: Int = 16): Unit = {
     // 1. invalidate prior versions of EVERY touched key (upsert or
-    //    delete — both supersede history before this batch)
-    DeltaCompact.landTombstones(batch.select(col("doc_id")), outDir, batchId,
-      watermark = Some(batchId - 1))
+    //    delete — both supersede history before this batch). The upsert
+    //    count rides this write as an observed metric (CollectMetrics
+    //    over the same batch scan) instead of a separate isEmpty action —
+    //    r16: one fewer Spark job per CDC micro-batch, same decision.
+    val obs = org.apache.spark.sql.Observation()
+    DeltaCompact.landTombstones(
+      batch.observe(obs, count(when(col("op") === "U", 1)).as("n_ups"))
+        .select(col("doc_id")),
+      outDir, batchId, watermark = Some(batchId - 1))
     // 2. land the upserts as this batch's data delta (skip an empty
     //    landing — a delete-only batch would otherwise write a
     //    schema-less delta directory)
-    val ups = batch.filter(col("op") === "U").drop("op")
-    if (!ups.isEmpty) { StreamShardRouter.landBatch(ups, outDir, batchId, numShards); () }
+    if (obs.get("n_ups").asInstanceOf[Long] > 0L) {
+      StreamShardRouter.landBatch(
+        batch.filter(col("op") === "U").drop("op"), outDir, batchId, numShards)
+      ()
+    }
   }
 
   /** The materialized view as of now: live rows only (prior versions and
