@@ -2824,11 +2824,14 @@ object Similarity {
         if (id == 1L) {
           val doomed = graft.streaming.DeltaCompact.readCorpus(s, semDocs)
             .filter(takedownVec).select(col("vec_id")).localCheckpoint()
-          graft.streaming.DeltaCompact.landTombstones(
-            doomed, semDocs, 0L, watermark = Some(id))
-          graft.streaming.StreamLshIngest.landTombstones(
-            doomed.select(col("vec_id").as("neighbor_id")), semIdx, 0L,
-            watermark = Some(id))
+          // two independent tombstone trees (corpus + index), one
+          // checkpointed key set — overlap the landings (guide §2.6)
+          Par.units(
+            () => { graft.streaming.DeltaCompact.landTombstones(
+              doomed, semDocs, 0L, watermark = Some(id)); () },
+            () => { graft.streaming.StreamLshIngest.landTombstones(
+              doomed.select(col("vec_id").as("neighbor_id")), semIdx, 0L,
+              watermark = Some(id)); () })
         }
         graft.streaming.AnnMaintenance.lshStepDetached(s, semDocs, semIdx,
           maint, autoSize = false)

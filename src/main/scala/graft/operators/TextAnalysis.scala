@@ -323,7 +323,16 @@ object TextAnalysis {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    // df DERIVED FROM tf (r16): tf has exactly one row per distinct
+    // (doc_id, tok), so count(*) per tok over tf ≡ count(DISTINCT doc_id)
+    // per tok over toks — integer-exact, same oracle. The old
+    // `toks.groupBy(tok).agg(countDistinct(doc_id))` keyed its exchange
+    // (tok, doc_id) while tf keyed (doc_id, tok), so the corpus was
+    // scanned and tokenized TWICE with no possible exchange reuse; now
+    // both branches share tf's subtree (one scan + explode, ReuseExchange
+    // dedupes) and the df exchange carries vocab-sized tf rows instead of
+    // the full token stream (guide §2.3/§2.4).
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("tok"))
     tf.join(df, "tok")
@@ -1855,20 +1864,31 @@ object TextAnalysis {
 
   /** First `steps` BPE merges over the corpus — see [[qBpeMerges]]. */
   def bpeMerges(docs: DataFrame, steps: Int): DataFrame = {
+    // checkpoint per iteration (r16): the corpus word-frequency aggregate
+    // and each step's rewrite used to stay LAZY, so step k's plan
+    // re-derived every earlier step from the raw corpus and the final
+    // 3-step union held 7 corpus scans; production BPE trainers
+    // checkpoint per iteration for exactly this reason (the scaladoc
+    // already said so — now the gate does it). The corpus is touched
+    // once; each iteration is vocab-sized. Values unchanged (the merge
+    // argmax is fully tie-broken), same oracle.
     var words = docs
       .select(explode(Portable.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 20))
       .groupBy(regexp_replace(col("word"), "(.)", "($1)").as("rep"))
       .agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val out = (1 to steps).map { k =>
       val best = bpePairs(words)
         .orderBy(col("w").desc, col("tok_a"), col("tok_b")).limit(1)
+        .localCheckpoint()
       words = words.crossJoin(broadcast(best))
         .select(
           replace(col("rep"),
             concat(lit("("), col("tok_a"), lit(")("), col("tok_b"), lit(")")),
             concat(lit("("), col("tok_a"), col("tok_b"), lit(")"))).as("rep"),
           col("freq"))
+        .localCheckpoint()
       best.select(lit(k).as("step"), col("tok_a"), col("tok_b"), col("w").as("freq"))
     }
     out.reduce(_ unionByName _)

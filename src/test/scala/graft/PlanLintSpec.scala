@@ -42,7 +42,6 @@ class PlanLintSpec extends SparkSpec {
     *    (i, cell);
     *  - q_pmi_cooc: broadcast 1-row corpus doc count;
     *  - q_sparse_cosine: broadcast 1-row corpus doc count (idf);
-    *  - q_bpe_merges: broadcast 1-row argmax pair per merge step;
     *  - q_nb_source_score: broadcast 1-row smoothing constants
     *    (n_pos/n_neg/vocab size);
     *  - q_knn_incr_assign: broadcast O(labels)-row frozen centroid index;
@@ -58,6 +57,9 @@ class PlanLintSpec extends SparkSpec {
     * deliberately absent: their probe computation runs behind an eager
     * localCheckpoint at build time, so the served plan the lint sees is
     * checkpoint-scan → hash joins only — no nested loop to whitelist.
+    * q_bpe_merges joined them in r16: the trainer loop checkpoints per
+    * iteration (each step's broadcast 1-row argmax crossJoin runs at
+    * build time), so the served union is checkpoint-fed too.
     */
   private val bnljByDesign = Set(
     "q_time_shift", "q_range_join", "q_range_join_binned",
@@ -66,7 +68,7 @@ class PlanLintSpec extends SparkSpec {
     "q_source_divergence", "q_weighted_sample", "q_vocab_coverage", "q_profile",
     "q_time_decay", "q_heavy_hitters", "q_heavy_hitters_cms", "q_pmi_cooc",
     "q_sparse_cosine", "q_bm25_topk",
-    "q_bpe_merges", "q_nb_source_score", "q_knn_incr_assign",
+    "q_nb_source_score", "q_knn_incr_assign",
     "q_temperature_mix", "q_nb_calibration", "q_knn_ivf2", "q_knn_filtered",
     "q_hybrid_rrf", "q_hybrid_rrf_persist", "q_hard_negatives")
 
