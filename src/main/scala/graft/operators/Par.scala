@@ -33,13 +33,32 @@ object Par {
         pool.submit(new java.util.concurrent.Callable[A] {
           def call(): A = t()
         }))
-      futs.map { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            throw Option(e.getCause).getOrElse(e)
-        }
+      var firstErr: Throwable = null
+      val out = futs.map { f =>
+        if (firstErr != null) { f.cancel(true); None }
+        else
+          try Some(f.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              firstErr = Option(e.getCause).getOrElse(e); None
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt(); firstErr = e; None
+          }
       }
+      if (firstErr != null) {
+        // On a leg failure, do NOT let the surviving legs keep running
+        // Spark jobs while the caller unwinds — a gate's cleanup (tmp-dir
+        // reap, next fold) could race a still-running write. Cancel the
+        // rest, interrupt their threads, and WAIT for them to actually
+        // stop before propagating the first failure (bounded: a leg that
+        // ignores interrupts for 60 s is left to its daemon thread rather
+        // than hanging the caller forever).
+        futs.foreach(_.cancel(true))
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        throw firstErr
+      }
+      out.map(_.get)
     } finally pool.shutdown()
   }
 

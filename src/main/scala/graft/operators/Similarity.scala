@@ -1160,8 +1160,6 @@ object Similarity {
     "q_stream_ann_compact", IncrAssignOracle) { (s, d) =>
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
-    val cents = graft.streaming.StreamAnn
-      .labelCentroids(emb.filter(col("vec_id") % 5 =!= 0)).localCheckpoint()
     val pid = ProcessHandle.current().pid()
     val run = compactRunCounter.incrementAndGet()
     val root = s"/tmp/graft_compact/run_${pid}_$run"
@@ -1171,9 +1169,18 @@ object Similarity {
         n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
     val srcDir = s"$root/src"
     val outDir = s"$root/landed"
-    // 4 source files → 4 AvailableNow micro-batches → 4 delta dirs
-    emb.filter(col("vec_id") % 5 === 0).repartition(4)
-      .write.mode("overwrite").parquet(srcDir)
+    // the frozen-centroid build and the 4-way source split are
+    // independent actions over disjoint slices (history vs new-ingest) —
+    // overlap them (guide §2.6, r17; was two serial per-action floors)
+    val cents = graft.operators.Par.run[DataFrame](
+      () => graft.streaming.StreamAnn
+        .labelCentroids(emb.filter(col("vec_id") % 5 =!= 0)).localCheckpoint(),
+      () => {
+        // 4 source files → 4 AvailableNow micro-batches → 4 delta dirs
+        emb.filter(col("vec_id") % 5 === 0).repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        null
+      }).head
     val q = s.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .writeStream

@@ -1181,10 +1181,14 @@ object TextAnalysis {
         n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
       col("n_chars")).localCheckpoint()
-    graft.streaming.StreamShardRouter.landBatch(
-      docs.filter(col("doc_id") % 2 === 0), outDir, 0L, numShards = 4)
-    graft.streaming.StreamShardRouter.landBatch(
-      docs.filter(col("doc_id") % 2 === 1), outDir, 1L, numShards = 4)
+    // two independent landings over a checkpointed source (distinct
+    // batch dirs) — overlap them (guide §2.6, r17; the q_time_travel
+    // pattern); the reshard fold below stays a barrier
+    Par.units(
+      () => { graft.streaming.StreamShardRouter.landBatch(
+        docs.filter(col("doc_id") % 2 === 0), outDir, 0L, numShards = 4); () },
+      () => { graft.streaming.StreamShardRouter.landBatch(
+        docs.filter(col("doc_id") % 2 === 1), outDir, 1L, numShards = 4); () })
     graft.streaming.StreamShardRouter.reshardOnFold(s, outDir, newShards = 16)
     graft.streaming.DeltaCompact.readCorpus(s, outDir)
       .groupBy(col("shard_id").cast("int").as("shard_id"))

@@ -288,23 +288,33 @@ object DeltaCompact {
     if (f.exists(dest) && readGenManifest(dest.toString, conf).isEmpty)
       f.delete(dest, true)
     val fc = FileContext.getFileContext(dest.toUri, conf)
+    // A lost claim must leave the WINNER'S tree clean: the local-FS
+    // AbstractFileSystem rename can exhibit POSIX `mv`-into-directory
+    // semantics when dest already exists — the loser's staging lands as
+    // `base_gen=<g>/gen=<g>.<nonce>/`, a non-underscore subdirectory that
+    // breaks every partition-inferring reader of the winner's base
+    // (observed: LshRefreshCrashRaceSpec, CONFLICTING_PARTITION_COLUMN_
+    // NAMES). So both abort paths sweep the staging from BOTH places it
+    // can be: its original path and misplaced inside dest.
+    def abortLostClaim(detail: String): Nothing = {
+      f.delete(staging, true)
+      val misplaced = new Path(dest, staging.getName)
+      if (f.exists(misplaced)) f.delete(misplaced, true)
+      throw new ConcurrentCompactionException(
+        s"generation ${man.gen} under $outDir $detail")
+    }
     try fc.rename(staging, dest) // no OVERWRITE: the atomic claim
     catch {
       case e: java.io.IOException =>
-        f.delete(staging, true)
-        throw new ConcurrentCompactionException(
-          s"generation ${man.gen} under $outDir was committed by a " +
-            s"concurrent maintainer — aborting before pointer swap and GC " +
-            s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+        abortLostClaim("was committed by a concurrent maintainer — " +
+          "aborting before pointer swap and GC " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
     }
     // belt-and-braces for file systems whose no-overwrite rename check is
     // not atomic: the slot must carry OUR nonce, or someone else won
-    if (!readGenManifest(dest.toString, conf).exists(_._2 == nonce)) {
-      f.delete(staging, true)
-      throw new ConcurrentCompactionException(
-        s"generation ${man.gen} under $outDir carries another maintainer's " +
-          "manifest after rename — lost the claim, aborting before GC")
-    }
+    if (!readGenManifest(dest.toString, conf).exists(_._2 == nonce))
+      abortLostClaim("carries another maintainer's manifest after " +
+        "rename — lost the claim, aborting before GC")
     writeManifest(outDir, man, conf)
     gcFolded(outDir, man, conf, gcGraceMs)
   }
@@ -356,11 +366,27 @@ object DeltaCompact {
     * next fold's GC. */
   private[streaming] def atomicLandDir(dir: String, conf: Configuration)(
       write: String => Unit): String = {
+    atomicLandDirIf(dir, conf) { staging => write(staging); true }
+      .getOrElse(throw new IllegalStateException(
+        s"unreachable: unconditional land of $dir did not publish"))
+  }
+
+  /** [[atomicLandDir]] with the PUBLISH decision made by the writer
+    * itself: `write` stages the content and returns whether to publish.
+    * On `false` the staging is deleted and nothing lands — the
+    * skip-empty-batch idiom without a separate counting action (the
+    * decision can ride the staged write as an `Observation`). Returns
+    * the landed dir, or None when the writer declined. */
+  private[streaming] def atomicLandDirIf(dir: String, conf: Configuration)(
+      write: String => Boolean): Option[String] = {
     val dest = new Path(dir)
     val staging = new Path(dest.getParent,
       s"$LandingPrefix${dest.getName}.${java.util.UUID.randomUUID()}")
-    write(staging.toString)
     val f = fs(dir, conf)
+    val publish =
+      try write(staging.toString)
+      catch { case e: Throwable => f.delete(staging, true); throw e }
+    if (!publish) { f.delete(staging, true); return None }
     f.delete(dest, true)
     if (!f.rename(staging, dest)) {
       f.delete(staging, true)
@@ -368,7 +394,7 @@ object DeltaCompact {
         s"atomic land of $dir lost its publish rename — two landers raced " +
           "one batch id, which the landing contract excludes")
     }
-    dir
+    Some(dir)
   }
 
   /** Sweep crashed landers' `_landing_` staging debris older than the

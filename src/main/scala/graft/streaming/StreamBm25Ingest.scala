@@ -44,30 +44,43 @@ object StreamBm25Ingest {
       numShards: Int = 16): DataFrame = {
     val s = batch.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val dir = StreamShardRouter.landBatch(batch, s"$outDir/docs", batchId, numShards)
-    val landed = s.read.parquet(dir)
-    // the doc-id envelope rides the partial-index write as observed
-    // metrics (CollectMetrics over the same landed scan) instead of its
+    // The docs landing and the batch's capped partial derive from the
+    // SAME batch rows and write DISTINCT trees (`docs/batch=<id>` vs
+    // `idx/batch=<id>`), so the two actions overlap from driver threads
+    // (guide §2.6; r17 — was land → read landed back → write partial, a
+    // serial 2-job chain per micro-batch). The partial is computed from
+    // `batch` directly: landBatch writes exactly `withShard(batch)`, so
+    // partial-from-batch ≡ partial-from-landed row for row (pinned by
+    // StreamBm25IngestSpec's fold-vs-batch-build parity). The shard
+    // co-location exchange mirrors landBatch's so the tokenize+aggregate
+    // still fans out across `numShards` tasks even when the batch source
+    // is one unsplittable file (the r16 scan-parallelism finding).
+    // The doc-id envelope rides the partial-index write as observed
+    // metrics (CollectMetrics over the same batch scan) instead of its
     // own min/max/count job — r16: one fewer Spark action per
-    // micro-batch, same sidecar bytes
+    // micro-batch, same sidecar bytes.
     val obs = org.apache.spark.sql.Observation()
-    val observed = landed.observe(obs,
+    val observed = batch.observe(obs,
       min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
       count(lit(1)).as("n"))
-    // atomic like the docs landing: a concurrent serve's mergeIndexes
-    // must never list a half-written partial
-    val idxDir = DeltaCompact.atomicLandDir(s"$outDir/idx/batch=$batchId",
-      s.sparkContext.hadoopConfiguration) { staging =>
-      TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(observed))
-        .write.mode("overwrite").parquet(staging)
-    }
+    val dirs = graft.operators.Par.run[String](
+      () => StreamShardRouter.landBatch(batch, s"$outDir/docs", batchId, numShards),
+      // atomic like the docs landing: a concurrent serve's mergeIndexes
+      // must never list a half-written partial
+      () => DeltaCompact.atomicLandDir(s"$outDir/idx/batch=$batchId",
+        s.sparkContext.hadoopConfiguration) { staging =>
+        TextAnalysis.bm25Partial(TextAnalysis.bm25Postings(
+          StreamShardRouter.withShard(observed, numShards)
+            .repartition(col("shard_id"))))
+          .write.mode("overwrite").parquet(staging)
+      })
     val m = obs.get
     val range =
       if (m("n").asInstanceOf[Long] == 0L) DocIdRange(0L, -1L, 0L)
       else DocIdRange(m("mn").asInstanceOf[Long], m("mx").asInstanceOf[Long],
         m("n").asInstanceOf[Long])
-    writeDocIdRange(s, dir, range)
-    s.read.parquet(idxDir)
+    writeDocIdRange(s, dirs.head, range)
+    s.read.parquet(dirs(1))
   }
 
   /** Per-batch doc-id envelope, carried as metadata with the landed

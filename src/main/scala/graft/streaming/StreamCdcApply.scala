@@ -31,24 +31,34 @@ object StreamCdcApply {
     * and the tombstone watermark is pinned to `batchId − 1`. */
   def applyBatch(batch: DataFrame, outDir: String, batchId: Long,
       numShards: Int = 16): Unit = {
-    // 1. invalidate prior versions of EVERY touched key (upsert or
-    //    delete — both supersede history before this batch). The upsert
-    //    count rides this write as an observed metric (CollectMetrics
-    //    over the same batch scan) instead of a separate isEmpty action —
-    //    r16: one fewer Spark job per CDC micro-batch, same decision.
-    val obs = org.apache.spark.sql.Observation()
-    DeltaCompact.landTombstones(
-      batch.observe(obs, count(when(col("op") === "U", 1)).as("n_ups"))
-        .select(col("doc_id")),
-      outDir, batchId, watermark = Some(batchId - 1))
-    // 2. land the upserts as this batch's data delta (skip an empty
-    //    landing — a delete-only batch would otherwise write a
-    //    schema-less delta directory)
-    if (obs.get("n_ups").asInstanceOf[Long] > 0L) {
-      StreamShardRouter.landBatch(
-        batch.filter(col("op") === "U").drop("op"), outDir, batchId, numShards)
-      ()
-    }
+    // The two landings touch DISTINCT trees (`_tombstones/batch=<id>` vs
+    // `batch=<id>`) with no ordering contract between them — a reader
+    // mid-batch is undefined either way, and replay overwrites both
+    // idempotently — so they overlap from driver threads (guide §2.6;
+    // r17: was tombstones → observed-count decision → upserts, a serial
+    // 2-job chain). The skip-empty decision (a delete-only batch must
+    // not write a schema-less delta directory) now rides the upsert
+    // leg's OWN staged write as an Observation
+    // ([[StreamShardRouter.landBatchIfNonEmpty]]), which removes the
+    // r16 cross-leg dependency: that Observation rode landTombstones'
+    // write and was exact only while landTombstones ran exactly one
+    // full-scan action (ADVICE r16) — now each leg's metric is computed
+    // by the action that leg itself controls.
+    //  leg 1: invalidate prior versions of EVERY touched key (upsert or
+    //         delete — both supersede history before this batch)
+    //  leg 2: land the upserts as this batch's data delta (skipped
+    //         empty inside its own write)
+    graft.operators.Par.units(
+      () => {
+        DeltaCompact.landTombstones(batch.select(col("doc_id")),
+          outDir, batchId, watermark = Some(batchId - 1))
+        ()
+      },
+      () => {
+        StreamShardRouter.landBatchIfNonEmpty(
+          batch.filter(col("op") === "U").drop("op"), outDir, batchId, numShards)
+        ()
+      })
   }
 
   /** The materialized view as of now: live rows only (prior versions and

@@ -32,28 +32,40 @@ import org.apache.spark.sql.functions._
 object StreamNeardupIngest {
 
   /** One crawl micro-batch: verdict `batch` (doc_id, text) against the
-    * index as of the batches BEFORE it, then land the batch's signature
+    * index as of the batches BEFORE it, and land the batch's signature
     * delta. Returns the verdicts (doc_id, dup_of, est_jaccard), one row
     * per flagged incoming doc. The verdicts are MATERIALIZED (eager
-    * checkpoint) before the batch's own delta lands — a lazy plan would
-    * otherwise read the index after the append and match the batch
-    * against itself. */
+    * checkpoint) from a plan whose index view is CAPTURED before the
+    * batch's own delta publishes — [[readIndex]] lists the committed
+    * base + delta directories eagerly at construction, and
+    * [[landSignatureDelta]] publishes a NEW `batch=<id>` directory by
+    * atomic rename — so the serve can never match the batch against
+    * itself. That independence is also why the two actions OVERLAP from
+    * driver threads (guide §2.6; r17 — was a serial checkpoint → land
+    * chain paying two per-action floors per crawl batch): the serve
+    * plan reads only pre-captured directories, the landing writes only
+    * the new one. */
   def ingestStep(batch: DataFrame, idxDir: String, batchId: Long): DataFrame = {
     val s = batch.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
     val hasIndex = DeltaCompact.readManifest(idxDir, conf).nonEmpty ||
       DeltaCompact.listDeltaBatches(idxDir, conf).nonEmpty
-    val verdicts =
-      if (!hasIndex)
-        // first batch ever: nothing can precede it — empty verdict frame
-        // in the serve schema
-        batch.select(col("doc_id"), col("doc_id").as("dup_of"),
-          lit(0d).as("est_jaccard")).limit(0).localCheckpoint()
-      else
-        graft.operators.Dedup.neardupServeIndex(readIndex(s, idxDir), batch)
-          .localCheckpoint()
-    landSignatureDelta(batch, idxDir, batchId)
-    verdicts
+    if (!hasIndex) {
+      // first batch ever: nothing can precede it — empty verdict frame
+      // in the serve schema
+      val verdicts = batch.select(col("doc_id"), col("doc_id").as("dup_of"),
+        lit(0d).as("est_jaccard")).limit(0).localCheckpoint()
+      landSignatureDelta(batch, idxDir, batchId)
+      verdicts
+    } else {
+      // construct the serve plan (captures the index view) BEFORE the
+      // landing leg starts, then run both actions concurrently
+      val serve = graft.operators.Dedup.neardupServeIndex(readIndex(s, idxDir), batch)
+      graft.operators.Par.run[AnyRef](
+        () => serve.localCheckpoint(),
+        () => { landSignatureDelta(batch, idxDir, batchId); null }
+      ).head.asInstanceOf[DataFrame]
+    }
   }
 
   /** Land one batch's signature rows as a delta: plain parquet files
@@ -67,11 +79,12 @@ object StreamNeardupIngest {
     * exchange plus the dynamic-partition committer for rows no serve
     * ever prunes by directory ([[readIndex]] drops `shard_id`
     * unfiltered). The same rationale as
-    * [[StreamLshIngest.landPostingsDelta]]'s r16 change: the long-lived
-    * base keeps the pruned layout — [[compactIndex]]'s fold still writes
-    * `shard_id=` directories — so the layout is restored once per fold
-    * cadence instead of paid per micro-batch; within each delta file the
-    * (shard_id, bhash) sort keeps row-group min/max stats effective. */
+    * [[StreamLshIngest.landPostingsDelta]]'s r16 change — except that
+    * here NO reader directory-prunes the tree at all, so
+    * [[compactIndex]]'s fold ALSO writes plain shard-clustered files
+    * (`shardDirs = false`): deltas and the folded base share the flat
+    * layout, and within each file the (shard_id, bhash) sort keeps
+    * row-group min/max stats effective. */
   def landSignatureDelta(batch: DataFrame, idxDir: String, batchId: Long): String =
     DeltaCompact.atomicLandDir(s"$idxDir/batch=$batchId",
       batch.sparkSession.sparkContext.hadoopConfiguration) { staging =>

@@ -143,4 +143,30 @@ object StreamShardRouter {
         .repartition(col("shard_id"))
         .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
     }
+
+  /** [[landBatch]] that SKIPS an empty batch without a separate counting
+    * action: the row count rides the staged write itself as an
+    * `Observation`, and the publish-rename happens only for non-empty
+    * batches — an empty one leaves no `batch=<id>` directory (a
+    * schema-less delta directory would break every corpus reader).
+    * Replay-idempotent exactly like [[landBatch]]: batch content is
+    * deterministic per id, so a re-delivery makes the same decision.
+    * One Spark job either way (r17, guide §1.4/§2.3 — the
+    * `StreamBm25Ingest.ingestStep` sidecar-envelope pattern applied to
+    * the skip-empty decision). Returns the landed dir, or None when the
+    * batch had no rows. */
+  def landBatchIfNonEmpty(batch: DataFrame, outDir: String, batchId: Long,
+      numShards: Int = 16): Option[String] = {
+    val obs = org.apache.spark.sql.Observation()
+    DeltaCompact.atomicLandDirIf(s"$outDir/batch=$batchId",
+      batch.sparkSession.sparkContext.hadoopConfiguration) { staging =>
+      withShard(
+        batch.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")),
+        numShards)
+        .repartition(col("shard_id"))
+        .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+      obs.get("n").asInstanceOf[Long] > 0L
+    }
+  }
 }

@@ -63,6 +63,18 @@ class DeltaCompactRaceSpec extends SparkSpec {
       val staging = new java.io.File(out, "_staging")
       assert(!staging.exists() || staging.listFiles().isEmpty,
         s"loser must clean its staging: ${Option(staging.listFiles()).map(_.toSeq)}")
+      // …and none of it inside the WINNER'S base either: the local-FS
+      // rename TOCTOU can `mv` the loser's staging INTO base_gen=0
+      // (POSIX move-into-directory semantics) — a non-underscore
+      // `gen=0.<nonce>/` subdirectory there breaks every partition-
+      // inferring reader (CONFLICTING_PARTITION_COLUMN_NAMES, the
+      // LshRefreshCrashRaceSpec flake). The abort path must sweep both.
+      val baseEntries = new java.io.File(out, "base_gen=0").listFiles().toSeq
+        .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+      assert(baseEntries.forall(n => n.startsWith("shard_id=") || n.startsWith("part-")),
+        s"winner's base must hold only its own content: $baseEntries")
+      // the committed base stays READABLE after the race
+      assert(spark.read.parquet(s"$out/base_gen=0").count() === 1L)
       // tree stays fold-able after the race (the loser's delta is intact)
       land(out, 1, 40, 60)
       val man2 = DeltaCompact.compact(spark, out, numShards = 4)
