@@ -31,7 +31,10 @@ object Tables {
     * build side where an extra exchange serializes before the join),
     * and `events` (window/agg gates net +5.1 s across the family — the
     * window work is too light to pay for the exchange). */
-  private val ParallelizeTables = Set("documents")
+  // `var` is a measurement hook ONLY (same-JVM A/B harnesses flip it to
+  // compare scan shapes inside one session); production code never
+  // mutates it.
+  @volatile private[graft] var ParallelizeTables: Set[String] = Set("documents")
 
   private val sizeCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -103,6 +106,19 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** The documents table WITHOUT the unsplittable-scan repartition — for
+    * queries the r17 15-rep same-JVM interleaved A/B measured FASTER on
+    * the plain 1-task scan (aggregate/join-shaped plans whose first
+    * shuffle already spreads the work, so the extra exchange is a pure
+    * stage-floor tax): q_tfidf_top, q_bm25_topk, q_corpus_pipeline,
+    * q_vocab_coverage, q_dedup_exact, q_nb_source_score,
+    * q_token_budget_mix. Heavy per-row-kernel queries (regex counts,
+    * minhash/shingles, codec decode) measurably keep the [[load]]
+    * repartition. At cluster scale both loaders read identically — the
+    * [[load]] guard already drops the exchange for any multi-split scan
+    * (TablesLoadGuardSpec). */
+  def documentsPlain(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Expected (column, Spark simpleString dtype) per table. Time/timestamp

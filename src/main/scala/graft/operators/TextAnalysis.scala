@@ -282,7 +282,9 @@ object TextAnalysis {
     """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ')))) AS content_hash,
       |  count(*) AS copies, min(doc_id) AS canonical_doc
       |FROM documents GROUP BY content_hash""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    // plain scan: measured faster for this single-aggregate shape (r17
+    // 15-rep A/B, see Tables.documentsPlain)
+    Tables.documentsPlain(s, d)
       .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary"))
         .as("content_hash"))
       .agg(count(lit(1)).as("copies"), min("doc_id").as("canonical_doc"))
@@ -320,20 +322,21 @@ object TextAnalysis {
       |    (PARTITION BY doc_id ORDER BY tfidf6 DESC, tok) AS rn FROM scored)
       |WHERE rn = 1""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
+    // REVERTED to the r15 formulation (r17): the r16 df-from-tf rewrite
+    // (df = tf.groupBy(tok).count(), sharing tf's exchange via runtime
+    // ReuseExchange) regressed in the driver's ground-truth bench
+    // (1.01 → 1.28 s) and a 7-rep same-JVM interleaved A/B confirmed it:
+    // countDistinct over the plain scan 0.83 s vs df-from-tf 1.01 s vs
+    // the shipped df-from-tf + repartition 1.26 s. The second tokenize
+    // pass overlaps across cores at this shape, while the shared-exchange
+    // plan serializes the window behind one reused exchange. Plain scan
+    // (documentsPlain) for the same reason — the A/B measured the
+    // allowlist repartition a pure tax on this aggregate-shaped plan.
+    val toks = Tables.documentsPlain(s, d)
       .select(col("doc_id"), explode(Portable.words(col("text"))).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    // df DERIVED FROM tf (r16): tf has exactly one row per distinct
-    // (doc_id, tok), so count(*) per tok over tf ≡ count(DISTINCT doc_id)
-    // per tok over toks — integer-exact, same oracle. The old
-    // `toks.groupBy(tok).agg(countDistinct(doc_id))` keyed its exchange
-    // (tok, doc_id) while tf keyed (doc_id, tok), so the corpus was
-    // scanned and tokenized TWICE with no possible exchange reuse; now
-    // both branches share tf's subtree (one scan + explode, ReuseExchange
-    // dedupes) and the df exchange carries vocab-sized tf rows instead of
-    // the full token stream (guide §2.3/§2.4).
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documentsPlain(s, d).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf6").desc, col("tok"))
     tf.join(df, "tok")
       .crossJoin(broadcast(n))
@@ -362,7 +365,9 @@ object TextAnalysis {
       |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS DOUBLE)
       |    / CAST(total AS DOUBLE), 6) AS coverage
       |FROM top CROSS JOIN total""".stripMargin) { (s, d) =>
-    val freq = Tables.documents(s, d)
+    // plain scan: r17 15-rep A/B measured the allowlist repartition a
+    // tax on this aggregate shape (0.37 vs 0.48 s min)
+    val freq = Tables.documentsPlain(s, d)
       .select(explode(Portable.words(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum("cnt").as("total"))
@@ -604,7 +609,11 @@ object TextAnalysis {
     val nWords = wordCountFloor1(col("text"))
     val nStop = stopCount(col("text"))
     val w = Window.partitionBy("h").orderBy("doc_id")
-    Tables.documents(s, d)
+    // plain scan: the filters fuse into the scan and the dedup window is
+    // the only shuffle — the repartition exchange only adds a stage
+    // (r17 A/B: 0.43 vs 0.48 s min; the driver's r16 bench regressed
+    // this row 0.84x under the allowlist)
+    Tables.documentsPlain(s, d)
       .filter(length(col("text")).between(50, 10000) &&
         nStop.cast("double") / nWords >= 0.05)
       .withColumn("h",
@@ -754,7 +763,10 @@ object TextAnalysis {
     * aggregate over the corpus (map-side combined), smoothing constants
     * via a 1-row broadcast. */
   private def nbModel(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    // plain scan (and in the apply below): r17 15-rep A/B, 0.75 vs
+    // 0.86 s min for q_nb_source_score — one vocab aggregate + equi-join,
+    // the exchange is a pure stage tax
+    val toks = Tables.documentsPlain(s, d)
       .select(col("doc_id"), col("source"),
         explode(Portable.words(col("text"))).as("tok"))
     val cnt = toks.groupBy("tok").agg(
@@ -770,7 +782,7 @@ object TextAnalysis {
 
   val qNbSourceScore: Q = Q(
     "q_nb_source_score", NbScoreOracle) { (s, d) =>
-    val toks = Tables.documents(s, d)
+    val toks = Tables.documentsPlain(s, d)
       .select(col("doc_id"), col("source"),
         explode(Portable.words(col("text"))).as("tok"))
     // group on (doc_id, source) — source is functionally dependent on
@@ -1020,7 +1032,9 @@ object TextAnalysis {
        |SELECT source, any_value(src_tokens) AS src_tokens,
        |  count(*) AS docs_kept, CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
        |FROM kept GROUP BY source""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d).select(
+    // plain scan: r17 15-rep A/B, 0.38 vs 0.46 s min (broadcast-join
+    // probe shape — the exchange buys nothing the join's own scan lacks)
+    val toks = Tables.documentsPlain(s, d).select(
       col("doc_id"), col("source"),
       Portable.regexpCount(col("text"), TokenPat).as("n_tokens"))
     val totals = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
@@ -1513,7 +1527,9 @@ object TextAnalysis {
        |SELECT query_id, doc_id, round(CAST(score AS DOUBLE), 4) AS bm25, rank
        |FROM bm25ranked WHERE rank <= $Bm25K""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d)
+    // plain scan: r17 15-rep A/B, 0.90 vs 1.04 s min — the build is one
+    // tok-keyed aggregate whose shuffle already spreads the work
+    val docs = Tables.documentsPlain(s, d)
     bm25Serve(bm25Index(bm25Partial(bm25Postings(docs))), docs)
   }
 
