@@ -2646,14 +2646,23 @@ object Similarity {
       // independent jobs over the checkpointed expansion (distinct batch
       // dirs), overlapped from driver threads (guide §2.6)
       val postings = lshPostings(emb).localCheckpoint()
-      Par.units((0 until 3).map(i => () => {
+      // the tombstone landing overlaps the three delta landings (r17):
+      // its watermark is PINNED to 2 — exactly what the post-landing
+      // computed value would be (the highest delta batch id below is 2),
+      // so the delete applies to all three slices identically — which
+      // removes the only ordering dependency and makes it a fourth
+      // independent leg (guide §2.6)
+      Par.units(((0 until 3).map(i => () => {
         graft.streaming.StreamLshIngest.landPostingsDelta(
           postings.filter(col("neighbor_id") % 3 === i), idx, i.toLong)
         ()
-      }): _*)
-      graft.streaming.StreamLshIngest.landTombstones(
-        emb.filter(col("vec_id") % DeleteMod === DeleteRem)
-          .select(col("vec_id").as("neighbor_id")), idx, 0L)
+      }) :+ (() => {
+        graft.streaming.StreamLshIngest.landTombstones(
+          emb.filter(col("vec_id") % DeleteMod === DeleteRem)
+            .select(col("vec_id").as("neighbor_id")), idx, 0L,
+          watermark = Some(2L))
+        ()
+      })): _*)
       lshDeleteDone += idx
     }
     idx

@@ -1746,16 +1746,22 @@ object TextAnalysis {
       reapSamePid = n =>
         n.split('_').lastOption.flatMap(_.toLongOption).exists(_ <= run - 3))
     val corpusDir = s"$root/docs"
-    // three independent delta landings (distinct batch dirs) — overlap
-    // them from driver threads (guide §2.6)
-    Par.units((0 until 3).map(i => () => {
+    // three independent delta landings (distinct batch dirs) PLUS the
+    // tombstone landing, all overlapped from driver threads (guide
+    // §2.6). The tombstone's watermark is PINNED to 2 (r17) — exactly
+    // what the post-landing computed value would be (the highest delta
+    // batch id is 2), so the delete covers all three slices identically
+    // and the only ordering dependency disappears.
+    Par.units(((0 until 3).map(i => () => {
       graft.streaming.StreamShardRouter.landBatch(
         docs.filter(col("doc_id") % 3 === i), corpusDir, i.toLong)
       ()
-    }): _*)
-    graft.streaming.DeltaCompact.landTombstones(
-      docs.filter(col("doc_id") % Similarity.DeleteMod === Similarity.DeleteRem)
-        .select(col("doc_id")), corpusDir, 0L)
+    }) :+ (() => {
+      graft.streaming.DeltaCompact.landTombstones(
+        docs.filter(col("doc_id") % Similarity.DeleteMod === Similarity.DeleteRem)
+          .select(col("doc_id")), corpusDir, 0L, watermark = Some(2L))
+      ()
+    })): _*)
     // maintenance fold: tombstones applied physically, then folded away
     graft.streaming.DeltaCompact.compact(s, corpusDir,
       tombstoneKey = Some("doc_id"))
