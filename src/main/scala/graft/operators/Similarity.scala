@@ -2554,8 +2554,9 @@ object Similarity {
       .foreachBatch { (b: DataFrame, id: Long) =>
         val batch = b.withColumn("doc_id", col("vec_id"))
           .select("doc_id", "vec_id", "label", "embedding")
-        val postings = graft.streaming.StreamLshIngest.ingestStep(batch, semDocs, id)
-        graft.streaming.StreamLshIngest.landPostingsDelta(postings, semIdx, id)
+        // corpus landing ∥ posting-delta landing (r17, guide §2.6 — the
+        // StreamBm25Ingest.ingestStep pattern; see ingestAndLand)
+        graft.streaming.StreamLshIngest.ingestAndLand(batch, semDocs, semIdx, id)
         if (id == 1L) {
           graft.streaming.StreamLshIngest.compactPostings(s, semIdx); ()
         }
@@ -2834,9 +2835,9 @@ object Similarity {
           .select("doc_id", "vec_id", "label", "embedding")
         val incoming = if (id >= 2L) shaped.filter(!takedownVec) else shaped
         val geomNow = graft.streaming.StreamLshIngest.readGeometry(s, semIdx)
-        val postings = graft.streaming.StreamLshIngest
-          .ingestStep(incoming, semDocs, id, geometry = geomNow)
-        graft.streaming.StreamLshIngest.landPostingsDelta(postings, semIdx, id)
+        // corpus landing ∥ posting-delta landing (r17, guide §2.6)
+        graft.streaming.StreamLshIngest.ingestAndLand(incoming, semDocs, semIdx,
+          id, geometry = geomNow)
         if (id == 1L) {
           val doomed = graft.streaming.DeltaCompact.readCorpus(s, semDocs)
             .filter(takedownVec).select(col("vec_id")).localCheckpoint()

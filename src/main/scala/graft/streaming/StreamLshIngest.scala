@@ -46,6 +46,36 @@ object StreamLshIngest {
     graft.operators.Similarity.lshPostings(landed, geometry.tables, geometry.bits)
   }
 
+  /** [[ingestStep]] + [[landPostingsDelta]] with the two landings
+    * OVERLAPPED from driver threads (guide §2.6, r17 — the
+    * `StreamBm25Ingest.ingestStep` pattern): the corpus batch landing
+    * and the posting-delta landing derive from the SAME batch rows and
+    * write DISTINCT trees, so neither needs the other's output.
+    * Posting rows are computed from `batch` directly — landBatch writes
+    * exactly `withShard(batch)` and [[graft.operators.Similarity
+    * .lshPostings]] projects (vec_id, embedding) only, so
+    * postings-from-batch ≡ postings-from-landed row for row — with the
+    * landing's own shard co-location exchange, so the plane-projection
+    * expansion still fans out across `numShards` tasks when the batch
+    * source is one unsplittable file. For callers that need the
+    * postings frame itself (refresh decisions, specs), [[ingestStep]]
+    * is unchanged. */
+  def ingestAndLand(batch: DataFrame, outDir: String, idxDir: String,
+      batchId: Long, numShards: Int = 16,
+      geometry: LshGeometry = DefaultGeometry): Unit = {
+    graft.operators.Par.units(
+      () => { StreamShardRouter.landBatch(batch, outDir, batchId, numShards); () },
+      () => {
+        landPostingsDelta(
+          graft.operators.Similarity.lshPostings(
+            StreamShardRouter.withShard(batch, numShards)
+              .repartition(col("shard_id")),
+            geometry.tables, geometry.bits),
+          idxDir, batchId)
+        ()
+      })
+  }
+
   /** tb_hi domain size (tables × 2^(bits − dirShift)) — the serve
     * layout's directory count, derived from the SAME geometry constants
     * the serve kernels use so the streaming delta layout can never
