@@ -2563,6 +2563,13 @@ object Similarity {
         ()
       }
       .start()
+    // the query-probe checkpoint is a pure function of the BASE embeddings
+    // table (no run-dir dependency, registry geometry — this gate never
+    // refreshes it), so it runs here, backfilling executor gaps while the
+    // two ingest streams drain, instead of as a serial serve-phase action
+    // after them (guide §2.6; contrast qHybridLifecycle, whose probes must
+    // wait for the post-fold committed geometry)
+    val probes = lshQueryProbes(emb).localCheckpoint()
     lexQ.awaitTermination()
     semQ.awaitTermination()
 
@@ -2572,7 +2579,6 @@ object Similarity {
       .bm25Serve(graft.streaming.StreamBm25Ingest.mergeIndexes(s, lexOut), docs)
       .filter(col("query_id") < NumQueries)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val probes = lshQueryProbes(emb).localCheckpoint()
     val sem = lshServeJoin(
         graft.streaming.StreamLshIngest.readPostings(s, semIdx).drop("tb_hi"),
         probes)
